@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line with per-query seconds.
+
+Each query is forced with a count() action (no driver-side collect of
+payload rows). A warmup query amortizes JVM/session startup out of the
+per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from lavasmart_bank_sync_etl_spark.session import get_spark
+
+    spark = get_spark("lavasmart-bench")
+    # warmup: trigger JVM + parquet footer reads
+
+    t0 = time.time()
+    entrymod.entry(spark).count()
+    warmup = time.time() - t0
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in sorted(queries):
+        start = time.time()
+        try:
+            queries[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - start, 3)
+        except Exception as exc:  # record failures, don't abort the suite
+            timings[name] = -1.0
+            print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "warmup_sec": round(warmup, 3),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
