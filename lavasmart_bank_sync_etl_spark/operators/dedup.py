@@ -1,0 +1,201 @@
+"""Deduplication operators (SURVEY.md §2.3 D1 + the LLM-pipeline
+near-dup family from BASELINE.json).
+
+D1 is the reference's first-wins key dedup; the rest are the
+large-scale training-data operators: exact hash dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale notes baked into each implementation:
+- first_wins: one window shuffle on the key — the same shuffle the
+  downstream merge join needs, so AQE can reuse the exchange.
+- minhash/simhash: signatures computed in the scan stage from an
+  exploded shingle set; candidate pairs come from an equi-join on
+  (band_id, band_hash) buckets, never an O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def first_wins_dedup(
+    df: DataFrame,
+    key: str = "folio",
+    order_cols: list[str] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """D1 — first-wins dedup by business key in explicit scan order
+    (Code.gs:752-765).
+
+    The reference's "scan order" (day asc, row position asc) is not a
+    Spark concept, so callers must provide ``order_cols`` that pin it
+    (SURVEY §4: e.g. ``["sale_date", "src_row_idx"]``). Returns
+    (winners, losers); losers feed the DUPLICADO EN ORIGEN audit
+    append (Code.gs:834-843).
+    """
+    order_cols = order_cols or ["sale_date", "src_row_idx"]
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    winners = ranked.where(F.col("_rn") == 1).drop("_rn")
+    losers = ranked.where(F.col("_rn") > 1).drop("_rn")
+    return winners, losers
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline dedup family (documents table)
+# ---------------------------------------------------------------------------
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical text normalization used by all near-dup operators:
+    lowercase, collapse whitespace, strip non-alphanumerics (keeps
+    spaces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(F.coalesce(c, F.lit("")))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep min-id representative.
+
+    md5 over normalized text → 2-col shuffle of (hash, id) only; at
+    100 TB the payload never moves, just the fingerprints.
+    """
+    h = F.md5(normalized_text(text_col))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles of normalized text as an array<string>.
+
+    Built with transform over a split — no UDF; stays in codegen.
+    """
+    c = normalized_text(col)
+    words = F.split(c, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        ),
+    ).otherwise(F.array(c))
+
+
+def _hash64(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit hash reproducible in DuckDB:
+    ``CAST(('0x' || substr(md5(seed || s), 1, 15)) AS BIGINT)``.
+    Spark side uses conv(hex→dec); both are pure builtins.
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(str(seed) + "|"), col)), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signatures: explode shingles once, take per-seed mins in
+    one aggregation (num_hashes min() columns — a single shuffle of
+    (id, 16×8B), not one pass per hash function)."""
+    exploded = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    aggs = [F.min(_hash64(F.col("shingle"), s)).alias(f"mh{s}") for s in range(num_hashes)]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: signature → ``bands`` band-hashes; candidate pairs
+    are ids sharing any (band_id, band_hash) bucket — an equi-join on
+    the bucket key, the scale path that replaces all-pairs comparison.
+    Returns distinct candidate pairs (id_a < id_b)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("_", *cols)).alias("band_hash"))
+        )
+    buckets = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col(f"l.band_id") == F.col(f"r.band_id"),
+                F.col(f"l.band_hash") == F.col(f"r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """n-gram Jaccard near-dup: explode shingles, self-join on shingle
+    to count intersections, derive |A∪B| from per-doc sizes.
+
+    The shingle equi-join keeps this out of O(n²): only docs sharing a
+    shingle ever meet. At 100 TB, add a band/LSH prefilter
+    (minhash_lsh_candidates) before this exact scorer.
+    """
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-token 32-bit hashes; fingerprint bit i
+    is the sign of the sum over tokens of (bit set ? +1 : −1).
+
+    Expressed as explode + groupBy with one SUM per bit-bucket via
+    bit-extraction expressions; no UDF. 32 bits keeps the aggregate
+    row narrow (32 longs) while remaining discriminative for dedup.
+    """
+    tokens = df.select(F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("tok"))
+    th = _hash64(F.col("tok"), 0)
+    aggs = [
+        F.sum(F.when(((th.bitwiseAND(F.lit(1 << i))) != 0), 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = tokens.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(bits):
+        contrib = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = contrib if fp is None else (fp + contrib)
+    return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))

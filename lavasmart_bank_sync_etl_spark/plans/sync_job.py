@@ -1,0 +1,293 @@
+"""SyncJob — the end-to-end incremental sync plan (SURVEY.md §3).
+
+One parameterized job covers both reference entry points: the daily
+run (window = [today−10, today], Code.gs:649-860) and arbitrary-range
+backfill (Code.gs:873-1093). Strictly two-phase, mirroring the
+reference's read/classify → apply split, which maps 1:1 onto Spark's
+lazy-plan → action model:
+
+  Phase 1 (lazy, one shuffle): clean → window → dedup(D1) → ONE
+  full-outer merge join of the deduped source against the tag-unioned
+  destinations → ``action`` classification {insert, update, unchanged,
+  move, dest_only}. The classified plan is persisted so every split
+  below reads the join output once (SURVEY §4 read-once phasing).
+
+  Phase 2 (actions, fixed order — moves resolve before inserts so a
+  moved folio is never double-written; guaranteed here by action
+  exclusivity rather than the reference's map mutation,
+  Code.gs:1143-1154): per-target state rewrite, review-queue append,
+  audit append.
+
+Scale: destinations are read with only their merge-relevant columns;
+the incremental source is a pruned date window, so AQE typically
+broadcasts it against the big destination side. Null-safe key join
+keeps skew bounded (folio is unique per destination — D1 guarantees
+unique per source).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import merge as M
+from ..operators.classify import null_guards, window_filter
+from ..operators.dedup import first_wins_dedup
+from ..operators.routing import detect_deletions, first_match_per_key, union_targets_tagged
+from ..schemas import (
+    ACTION_CONFLICT,
+    ACTION_DELETE_DETECTED,
+    ACTION_DUPLICATE,
+    ACTION_MOVE,
+    ACTION_NEW,
+    ACTION_UPDATE,
+    METHOD_TO_TABLE,
+    TABLE_ORDER,
+    TARGETS,
+)
+from ..sources.warehouse import Warehouse
+
+#: method string → destination table, as a SQL mapping expression.
+def _target_table_expr(metodo: Column) -> Column:
+    expr = F.lit(METHOD_TO_TABLE["OTROS"])
+    for method, table in METHOD_TO_TABLE.items():
+        expr = F.when(metodo == method, F.lit(table)).otherwise(expr)
+    return expr
+
+
+class SyncJob:
+    """Run one sync over ``[start, end]`` (inclusive — T1/T4)."""
+
+    def __init__(self, spark, warehouse: Warehouse, start: dt.date | str, end: dt.date | str):
+        self.spark = spark
+        self.wh = warehouse
+        self.start = dt.date.fromisoformat(start) if isinstance(start, str) else start
+        self.end = dt.date.fromisoformat(end) if isinstance(end, str) else end
+        if self.start > self.end:
+            raise ValueError(f"start {self.start} > end {self.end}")  # Code.gs:876-889
+
+    # ------------------------------------------------------------------
+    def run(self, source: DataFrame) -> dict[str, int]:
+        """Execute the sync. ``source`` columns: folio, sale_date,
+        cliente, servicio, monto, metodo (classified), banco,
+        src_row_idx. Returns the A4 run summary counts."""
+        wh = self.wh
+        wh.migrate_legacy()
+        for t in TABLE_ORDER + ["audit_log", "review_queue"]:
+            wh.ensure(t)
+
+        # ---- phase 1: classify (lazy) --------------------------------
+        src = null_guards(window_filter(source, self.start, self.end))
+        winners, dups = first_wins_dedup(src, "folio", ["sale_date", "src_row_idx"])
+        winners = winners.select(
+            "folio",
+            F.col("sale_date").alias("fecha"),
+            "cliente", "servicio", "monto",
+            F.coalesce("banco", F.lit("")).alias("banco"),
+            F.col("metodo").alias("metodo_raw_upper"),
+            _target_table_expr(F.col("metodo")).alias("target_table"),
+            F.col("metodo_raw").alias("metodo_pago_raw"),
+        )
+
+        targets = {t: wh.read(t) for t in TABLE_ORDER}
+        tagged = first_match_per_key(union_targets_tagged(targets), "folio")
+
+        s = winners.alias("src")
+        d = tagged.alias("dst")
+        joined = s.join(d, on=F.col("src.folio").eqNullSafe(F.col("dst.folio")), how="full_outer")
+
+        src_present = F.col("src.folio").isNotNull()
+        dst_present = F.col("dst.folio").isNotNull()
+        same_table = F.col("src.target_table") == F.col("dst.table_tag")
+        changed = F.when(
+            F.col("dst.table_tag") == "transfers",
+            M.any_field_changed(M.DIFF_FIELDS_TRANSFERS),
+        ).otherwise(M.any_field_changed(M.DIFF_FIELDS_OTHERS))
+
+        action = (
+            F.when(src_present & ~dst_present, F.lit(M.ACTION_INSERT))
+            .when(~src_present & dst_present, F.lit(M.ACTION_DEST_ONLY))
+            .when(~same_table, F.lit(M.ACTION_MOVE))
+            .when(changed, F.lit(M.ACTION_UPDATE))
+            .otherwise(F.lit(M.ACTION_UNCHANGED))
+        )
+        classified = joined.withColumn("action", action).persist()
+
+        # ---- derive splits -------------------------------------------
+        is_move = F.col("action") == M.ACTION_MOVE
+        conflicts = classified.where(is_move & F.col("dst.dest_has_work"))
+        auto_moves = classified.where(is_move & ~F.col("dst.dest_has_work"))
+        updates = classified.where(F.col("action") == M.ACTION_UPDATE)
+        inserts = classified.where(F.col("action") == M.ACTION_INSERT)
+        dest_only = classified.where(F.col("action") == M.ACTION_DEST_ONLY)
+        deletions = detect_deletions(
+            dest_only.select("dst.*").where(
+                F.col("fecha").between(F.lit(self.start), F.lit(self.end))
+            ),
+            winners.select("folio"),
+        )
+
+        # ---- phase 2: apply (fixed order) ----------------------------
+        summary = self._apply(classified, conflicts, auto_moves, updates, inserts, deletions, dups)
+        classified.unpersist()
+        return summary
+
+    # ------------------------------------------------------------------
+    def _src_as_target_row(self, df: DataFrame, table: str) -> DataFrame:
+        """Project src-side values into one target's full schema with
+        NULL human columns (S3 insert shape)."""
+        schema, script_cols, human_cols = TARGETS[table]
+        sel: list[Column] = []
+        for f_ in schema.fields:
+            if f_.name == "metodo_pago_raw":
+                sel.append(F.coalesce(F.col("src.metodo_pago_raw"), F.lit("(vacío)")).alias(f_.name))
+            elif f_.name in script_cols:
+                sel.append(F.col(f"src.{f_.name}").alias(f_.name))
+            else:
+                sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        return df.select(*sel)
+
+    def _apply(
+        self,
+        classified: DataFrame,
+        conflicts: DataFrame,
+        auto_moves: DataFrame,
+        updates: DataFrame,
+        inserts: DataFrame,
+        deletions: DataFrame,
+        dups: DataFrame,
+    ) -> dict[str, int]:
+        wh = self.wh
+        now = F.current_timestamp()
+
+        # ① review-queue append for conflicted moves (S6; Code.gs:1422-1437)
+        review_rows = conflicts.select(
+            now.alias("ts"),
+            F.col("src.folio").alias("folio"),
+            F.concat(
+                F.lit("Cambio de método de pago con trabajo manual: "),
+                F.col("dst.table_tag"), F.lit(" → "), F.col("src.target_table"),
+            ).alias("conflicto"),
+            F.col("dst.table_tag").alias("hoja_origen"),
+            F.col("src.target_table").alias("hoja_destino"),
+            F.col("src.fecha").alias("fecha"),
+            F.col("src.cliente").alias("cliente"),
+            F.col("src.servicio").alias("servicio"),
+            F.col("src.monto").alias("monto"),
+            F.col("src.banco").alias("banco"),
+            F.when(F.col("dst.dest_has_work"), F.lit("Sí")).otherwise(F.lit("No")).alias("conciliado"),
+            F.lit("").alias("concepto_banco"),
+            F.lit("").alias("observaciones"),
+            F.lit("Pendiente").alias("estado"),
+        )
+        wh.append("review_queue", review_rows)
+
+        # ② per-target state rewrite: updates in place, moved-out rows
+        #    dropped, inserts + auto-move-ins appended
+        counts: dict[str, int] = {}
+        for table in TABLE_ORDER:
+            schema, script_cols, human_cols = TARGETS[table]
+            dest = wh.read(table).alias("dcur")
+            plan = classified.where(F.col("dst.table_tag") == table).select(
+                F.col("dst.folio").alias("folio"),
+                F.col("action").alias("_action"),
+                *[F.col(f"src.{c}").alias(f"_new_{c}") for c in script_cols if c != "folio"],
+            )
+            merged = dest.join(plan, on="folio", how="left")
+            kept = merged.where(
+                F.coalesce(F.col("_action"), F.lit("")) != F.lit(M.ACTION_MOVE)
+            )
+            out_cols = []
+            for f_ in schema.fields:
+                if f_.name == "folio":
+                    out_cols.append(F.col("folio"))
+                elif f_.name in script_cols:
+                    out_cols.append(
+                        F.when(
+                            F.col("_action") == M.ACTION_UPDATE, F.col(f"_new_{f_.name}")
+                        ).otherwise(F.col(f"dcur.{f_.name}")).alias(f_.name)
+                    )
+                else:
+                    out_cols.append(F.col(f"dcur.{f_.name}").alias(f_.name))
+            new_state = kept.select(*out_cols)
+
+            ins = self._src_as_target_row(
+                inserts.where(F.col("src.target_table") == table), table
+            )
+            move_ins = self._src_as_target_row(
+                auto_moves.where(F.col("src.target_table") == table), table
+            )
+            final = new_state.unionByName(ins).unionByName(move_ins)
+            wh.rewrite(table, final)
+
+        # ③ audit appends (S5 + C4)
+        det, old_v, new_v = M.change_narrative(M.DIFF_FIELDS_TRANSFERS)
+        det_o, old_o, new_o = M.change_narrative(M.DIFF_FIELDS_OTHERS)
+        is_tr = F.col("dst.table_tag") == "transfers"
+        audit_updates = updates.select(
+            now.alias("ts"), F.col("src.folio").alias("folio"),
+            F.lit(ACTION_UPDATE).alias("accion"),
+            F.when(is_tr, det).otherwise(det_o).alias("detalle"),
+            F.when(is_tr, old_v).otherwise(old_o).alias("valores_anteriores"),
+            F.when(is_tr, new_v).otherwise(new_o).alias("valores_nuevos"),
+        )
+        audit_inserts = inserts.select(
+            now.alias("ts"), F.col("src.folio").alias("folio"),
+            F.lit(ACTION_NEW).alias("accion"),
+            F.concat(F.lit("Alta en "), F.col("src.target_table")).alias("detalle"),
+            F.lit("").alias("valores_anteriores"),
+            F.concat_ws(
+                "; ",
+                F.concat(F.lit("Fecha: "), F.date_format("src.fecha", "d/M/yyyy")),
+                F.concat(F.lit("Monto: "), F.format_number(F.round("src.monto", 2), 2)),
+            ).alias("valores_nuevos"),
+        )
+        audit_moves = auto_moves.select(
+            now.alias("ts"), F.col("src.folio").alias("folio"),
+            F.lit(ACTION_MOVE).alias("accion"),
+            F.concat(F.col("dst.table_tag"), F.lit(" → "), F.col("src.target_table")).alias("detalle"),
+            F.col("dst.table_tag").alias("valores_anteriores"),
+            F.col("src.target_table").alias("valores_nuevos"),
+        )
+        audit_conflicts = conflicts.select(
+            now.alias("ts"), F.col("src.folio").alias("folio"),
+            F.lit(ACTION_CONFLICT).alias("accion"),
+            F.concat(
+                F.lit("Trabajo manual protegido; enviado a revisión ("),
+                F.col("dst.table_tag"), F.lit(" → "), F.col("src.target_table"), F.lit(")"),
+            ).alias("detalle"),
+            F.col("dst.table_tag").alias("valores_anteriores"),
+            F.col("src.target_table").alias("valores_nuevos"),
+        )
+        audit_deletions = deletions.select(
+            now.alias("ts"), F.col("folio"),
+            F.lit(ACTION_DELETE_DETECTED).alias("accion"),
+            F.lit("Presente en destino, ausente en origen dentro de la ventana").alias("detalle"),
+            F.col("table_tag").alias("valores_anteriores"),
+            F.lit("").alias("valores_nuevos"),
+        )
+        audit_dups = dups.select(
+            now.alias("ts"), F.col("folio"),
+            F.lit(ACTION_DUPLICATE).alias("accion"),
+            F.concat(F.lit("Folio duplicado en origen; gana la primera aparición")).alias("detalle"),
+            F.lit("").alias("valores_anteriores"),
+            F.lit("").alias("valores_nuevos"),
+        )
+        audit = (
+            audit_updates.unionByName(audit_inserts).unionByName(audit_moves)
+            .unionByName(audit_conflicts).unionByName(audit_deletions).unionByName(audit_dups)
+        )
+        wh.append("audit_log", audit)
+
+        # ④ A4 run summary (Code.gs:846-854)
+        summary_rows = (
+            classified.groupBy("action").count().collect()
+        )
+        counts = {r["action"]: r["count"] for r in summary_rows}
+        counts["conflicts"] = conflicts.count()
+        counts["auto_moves"] = auto_moves.count()
+        counts["deletions_detected"] = deletions.count()
+        counts["duplicates"] = dups.count()
+        return counts

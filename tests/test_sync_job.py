@@ -1,0 +1,168 @@
+"""Golden ETL scenarios (SURVEY.md §5.2) — the reference's behavioral
+invariants as end-to-end sync tests over a tmp warehouse:
+
+  insert / update-preserving-human-cols (requerimientos.md:184 PoC) /
+  money-tolerance boundary / move without manual work / conflict with
+  manual work → review queue / deletion log-only / duplicate first-wins
+  / rerun idempotence (requerimientos.md:169).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from lavasmart_bank_sync_etl_spark.operators.classify import classify_method
+from lavasmart_bank_sync_etl_spark.plans.sync_job import SyncJob
+from lavasmart_bank_sync_etl_spark.schemas import (
+    ACTION_CONFLICT, ACTION_DELETE_DETECTED, ACTION_DUPLICATE, ACTION_MOVE, ACTION_UPDATE,
+)
+from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+SRC_SCHEMA = StructType([
+    StructField("folio", StringType()),
+    StructField("sale_date", DateType()),
+    StructField("cliente", StringType()),
+    StructField("servicio", StringType()),
+    StructField("monto", DoubleType()),
+    StructField("metodo_raw", StringType()),
+    StructField("banco", StringType()),
+    StructField("src_row_idx", LongType()),
+])
+
+D = dt.date
+WIN = ("2025-11-01", "2025-11-10")
+
+
+def src_df(spark, rows):
+    df = spark.createDataFrame(rows, SRC_SCHEMA)
+    return df.withColumn("metodo", classify_method(F.col("metodo_raw")))
+
+
+def row(folio, day, monto=100.0, metodo="TRANSFERENCIA", cliente="Ana", servicio="Sala",
+        banco="SANTANDER", idx=0):
+    return (folio, D(2025, 11, day), cliente, servicio, monto, metodo, banco, idx)
+
+
+@pytest.fixture
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def run(spark, wh, rows, start=WIN[0], end=WIN[1]):
+    return SyncJob(spark, wh, start, end).run(src_df(spark, rows))
+
+
+def folios(wh, table):
+    return {r["folio"]: r.asDict() for r in wh.read(table).collect()}
+
+
+def audit_actions(wh):
+    return [(r["folio"], r["accion"]) for r in wh.read("audit_log").collect()]
+
+
+def test_insert_new_folio(spark, wh):
+    counts = run(spark, wh, [row("0-1", 2), row("0-2", 3, metodo="tarjeta CREDITO")])
+    assert counts.get("insert") == 2
+    assert "0-1" in folios(wh, "transfers")
+    assert "0-2" in folios(wh, "cards")
+
+
+def test_update_preserves_human_columns(spark, wh):
+    run(spark, wh, [row("0-1", 2, monto=550.0)])
+    # human annotates
+    t = wh.read("transfers").withColumn("conciliado", F.lit(True)).withColumn(
+        "observaciones", F.lit("revisado por Ana")
+    )
+    wh.rewrite("transfers", t)
+    counts = run(spark, wh, [row("0-1", 2, monto=990.0)])
+    assert counts.get("update") == 1
+    got = folios(wh, "transfers")["0-1"]
+    assert got["monto"] == 990.0
+    assert got["conciliado"] is True
+    assert got["observaciones"] == "revisado por Ana"
+    assert ("0-1", ACTION_UPDATE) in audit_actions(wh)
+
+
+def test_money_tolerance_boundary(spark, wh):
+    run(spark, wh, [row("0-1", 2, monto=100.0)])
+    c1 = run(spark, wh, [row("0-1", 2, monto=100.009)])
+    assert c1.get("update") is None and c1.get("unchanged") == 1
+    c2 = run(spark, wh, [row("0-1", 2, monto=100.011)])
+    assert c2.get("update") == 1
+
+
+def test_method_change_without_work_moves(spark, wh):
+    run(spark, wh, [row("0-1", 2)])
+    counts = run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])
+    assert counts.get("auto_moves") == 1
+    assert "0-1" not in folios(wh, "transfers")
+    assert "0-1" in folios(wh, "cash")
+    assert ("0-1", ACTION_MOVE) in audit_actions(wh)
+
+
+def test_method_change_with_work_goes_to_review(spark, wh):
+    run(spark, wh, [row("0-1", 2)])
+    t = wh.read("transfers").withColumn("concepto_banco", F.lit("SPEI RECIBIDO 123"))
+    wh.rewrite("transfers", t)
+    counts = run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])
+    assert counts.get("conflicts") == 1
+    assert "0-1" not in folios(wh, "transfers")   # removed from old
+    assert "0-1" not in folios(wh, "cash")        # NOT auto-inserted
+    rq = {r["folio"]: r.asDict() for r in wh.read("review_queue").collect()}
+    assert rq["0-1"]["estado"] == "Pendiente"
+    assert rq["0-1"]["hoja_origen"] == "transfers"
+    assert rq["0-1"]["hoja_destino"] == "cash"
+    assert ("0-1", ACTION_CONFLICT) in audit_actions(wh)
+
+
+def test_deletion_detected_but_never_deleted(spark, wh):
+    run(spark, wh, [row("0-1", 2), row("0-2", 3)])
+    counts = run(spark, wh, [row("0-1", 2)])  # 0-2 vanished from source
+    assert counts.get("deletions_detected") == 1
+    assert "0-2" in folios(wh, "transfers")  # log-only, row survives
+    assert ("0-2", ACTION_DELETE_DETECTED) in audit_actions(wh)
+
+
+def test_duplicate_folio_first_wins(spark, wh):
+    counts = run(spark, wh, [
+        row("0-1", 2, monto=100.0, idx=0),
+        row("0-1", 2, monto=999.0, idx=1),   # later scan position loses
+    ])
+    assert counts.get("duplicates") == 1
+    assert folios(wh, "transfers")["0-1"]["monto"] == 100.0
+    assert ("0-1", ACTION_DUPLICATE) in audit_actions(wh)
+
+
+def test_rerun_idempotent(spark, wh):
+    rows = [row("0-1", 2), row("0-2", 3, metodo="EFECTIVO"), row("0-3", 4, metodo="tarjeta")]
+    run(spark, wh, rows)
+    counts = run(spark, wh, rows)
+    assert counts.get("insert") is None and counts.get("update") is None
+    assert counts.get("unchanged") == 3
+    assert wh.read("transfers").count() == 1
+    assert wh.read("cards").count() == 1
+    assert wh.read("cash").count() == 1
+
+
+def test_window_excludes_out_of_range(spark, wh):
+    counts = run(spark, wh, [row("0-1", 2), ("0-9", D(2025, 10, 1), "Ana", "Sala", 5.0,
+                                             "TRANSFERENCIA", "BBVA", 0)])
+    assert counts.get("insert") == 1
+    assert "0-9" not in folios(wh, "transfers")
+
+
+def test_others_keeps_raw_method(spark, wh):
+    run(spark, wh, [row("0-1", 2, metodo="cheque nominativo")])
+    got = folios(wh, "others")["0-1"]
+    assert got["metodo_pago_raw"] == "cheque nominativo"
+
+
+def test_backfill_range_validation(spark, wh):
+    with pytest.raises(ValueError):
+        SyncJob(spark, wh, "2025-11-10", "2025-11-01")
