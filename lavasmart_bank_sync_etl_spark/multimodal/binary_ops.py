@@ -1,0 +1,91 @@
+"""Multimodal column handling (BASELINE.json north-star).
+
+Media (image/audio/video) are opaque ``binary`` columns with typed
+metadata. The Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` signature, partitioning — is real and tested; the
+actual codec step is stubbed (no media libs in this container) behind
+``decode_image`` / a deterministic fake used by the pipeline, per the
+build contract.
+
+Scale notes: payloads stay columnar in Arrow batches end-to-end; the
+pandas iterator processes one batch at a time so executor memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — resize
+that, not the code, when payloads grow. Feature extraction is
+embarrassingly parallel: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+#: Output schema of the decode/feature stage.
+DECODED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("byte_len", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("caption", StringType()),
+])
+
+MEDIA_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("mime", StringType()),
+])
+
+
+def decode_image(payload: bytes) -> object:
+    """Real codec entry point — STUB: the container ships no media
+    libraries. On a real cluster, plug Pillow/torchaudio/ffmpeg here;
+    everything around this call (batching, schema, partitioning) is
+    production-shaped."""
+    raise NotImplementedError("media codecs not available in this environment")
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for decode_image used by the tested
+    pipeline: pseudo-dimensions from the byte length, caption from the
+    content hash. Reproducible in ANSI SQL for the oracle."""
+    n = len(payload)
+    digest = hashlib.md5(payload).hexdigest()
+    return n, n % 640, (n // 7) % 480, f"decoded:{digest[:8]}"
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Wrap a text column as an opaque binary payload + typed metadata
+    — the ingest shape any real media table would have."""
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over binary payloads via
+    ``mapInPandas`` — the one justified Python stage (codecs are
+    Python-side by nature). Batch-at-a-time iterator keeps memory
+    bounded."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_len": pd.Series([f[0] for f in feats], dtype="int64"),
+                    "width": pd.Series([f[1] for f in feats], dtype="int32"),
+                    "height": pd.Series([f[2] for f in feats], dtype="int32"),
+                    "caption": [f[3] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)

@@ -1,0 +1,129 @@
+"""Similarity search over embedding columns (BASELINE.json
+north-star): brute-force cosine top-k baseline + LSH-bucketed scale
+path.
+
+Scale design: brute force is a broadcast of the (small) query set
+against the corpus — O(|corpus|·|queries|) work but embarrassingly
+parallel, no shuffle of the corpus. The LSH variant buckets by
+random-hyperplane sign bits so candidate generation is an equi-join on
+the bucket key; at 100 TB only same-bucket pairs are scored. For IVF
+semantics, replace the hyperplane bucket with a nearest-centroid
+assignment — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: broadcast queries × corpus,
+    score with the built-in cosine expression, keep rank ≤ k via a
+    per-query window. Excludes self-matches.
+
+    Output: query_id, neighbor_id, score (4dp), rank.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane,
+    packed into an int. Planes are fixed constants → pure expression,
+    evaluated at scan time."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        prods = F.zip_with(
+            vec, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a.cast("double") * b
+        )
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's
+    hyperplane bucket (equi-join on bucket id — the 100 TB path where
+    a cross join is impossible). Recall is tuned by the number of
+    planes (fewer planes → bigger buckets → higher recall & cost)."""
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(qb)
+        .join(cb, on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold). With ``planes``, candidates come from LSH buckets
+    (scale path); without, all-pairs within the frame (test scale
+    only)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if planes is not None:
+        a = a.withColumn("bucket", hyperplane_bucket(F.col("va"), planes))
+        b = b.withColumn("bucket", hyperplane_bucket(F.col("vb"), planes))
+        pairs = a.join(b, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

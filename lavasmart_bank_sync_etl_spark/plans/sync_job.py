@@ -28,6 +28,8 @@ unique per source).
 from __future__ import annotations
 
 import datetime as dt
+import os
+import shutil
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -113,7 +115,25 @@ class SyncJob:
             .when(changed, F.lit(M.ACTION_UPDATE))
             .otherwise(F.lit(M.ACTION_UNCHANGED))
         )
-        classified = joined.withColumn("action", action).persist()
+        # Materialize the staged mutation plan to scratch parquet and
+        # re-read it: a LINEAGE CUT. Phase 2 rewrites the very files the
+        # plan was derived from, so nothing downstream may recompute
+        # from the pre-rewrite targets (persist() is not enough — cache
+        # eviction or refreshByPath would silently recompute against
+        # post-rewrite state). This is the Spark form of the reference's
+        # staged in-memory buffers (Code.gs:680-698).
+        classified_plan = joined.select(
+            F.struct(*[F.col(f"src.{c}").alias(c) for c in winners.columns]).alias("src"),
+            F.struct(*[F.col(f"dst.{c}").alias(c) for c in tagged.columns]).alias("dst"),
+            action.alias("action"),
+        )
+        scratch = os.path.join(wh.root, "_scratch_classified")
+        classified_plan.write.mode("overwrite").parquet(scratch)
+        classified = self.spark.read.parquet(scratch)
+
+        dups_scratch = os.path.join(wh.root, "_scratch_dups")
+        dups.write.mode("overwrite").parquet(dups_scratch)
+        dups = self.spark.read.parquet(dups_scratch)
 
         # ---- derive splits -------------------------------------------
         is_move = F.col("action") == M.ACTION_MOVE
@@ -126,12 +146,16 @@ class SyncJob:
             dest_only.select("dst.*").where(
                 F.col("fecha").between(F.lit(self.start), F.lit(self.end))
             ),
-            winners.select("folio"),
+            classified.where(F.col("src.folio").isNotNull()).select(
+                F.col("src.folio").alias("folio")
+            ),
         )
 
         # ---- phase 2: apply (fixed order) ----------------------------
         summary = self._apply(classified, conflicts, auto_moves, updates, inserts, deletions, dups)
-        classified.unpersist()
+        for p in (scratch, dups_scratch):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
         return summary
 
     # ------------------------------------------------------------------
@@ -162,6 +186,14 @@ class SyncJob:
         wh = self.wh
         now = F.current_timestamp()
 
+        # ⓪ A4 counts — cheap single passes over the scratch-backed plan
+        summary_rows = classified.groupBy("action").count().collect()
+        counts: dict[str, int] = {r["action"]: r["count"] for r in summary_rows}
+        counts["conflicts"] = conflicts.count()
+        counts["auto_moves"] = auto_moves.count()
+        counts["deletions_detected"] = deletions.count()
+        counts["duplicates"] = dups.count()
+
         # ① review-queue append for conflicted moves (S6; Code.gs:1422-1437)
         review_rows = conflicts.select(
             now.alias("ts"),
@@ -186,7 +218,6 @@ class SyncJob:
 
         # ② per-target state rewrite: updates in place, moved-out rows
         #    dropped, inserts + auto-move-ins appended
-        counts: dict[str, int] = {}
         for table in TABLE_ORDER:
             schema, script_cols, human_cols = TARGETS[table]
             dest = wh.read(table).alias("dcur")
@@ -281,13 +312,5 @@ class SyncJob:
         )
         wh.append("audit_log", audit)
 
-        # ④ A4 run summary (Code.gs:846-854)
-        summary_rows = (
-            classified.groupBy("action").count().collect()
-        )
-        counts = {r["action"]: r["count"] for r in summary_rows}
-        counts["conflicts"] = conflicts.count()
-        counts["auto_moves"] = auto_moves.count()
-        counts["deletions_detected"] = deletions.count()
-        counts["duplicates"] = dups.count()
+        # ④ A4 run summary (Code.gs:846-854) — counts taken in ⓪
         return counts

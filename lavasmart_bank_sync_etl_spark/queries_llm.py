@@ -1,1 +1,523 @@
-"""LLM-pipeline operator queries — populated in M6."""
+"""Driver-facing queries for the LLM-data-pipeline operator family
+(BASELINE.json north-star): text analysis, dedup (exact / MinHash+LSH
+/ SimHash / n-gram Jaccard / embedding-cosine), similarity search,
+multimodal plumbing, and the streaming-analog windowed aggregations.
+
+Synthetic duplicates/perturbations are deterministic (modular
+arithmetic + constant factors), constructed identically in the Spark
+plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text as T
+from .operators import dedup as DD
+from .operators.similarity import brute_force_topk, embedding_near_dup, lsh_topk
+from .multimodal.binary_ops import attach_payload, decode_features
+from .queries import query
+from .sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB) mirroring functions/text.py exactly
+# ---------------------------------------------------------------------------
+
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), "
+    "'[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+HASH64_SQL = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+SHINGLES_SQL = f"""
+CASE WHEN len(string_split({NORM_SQL}, ' ')) >= 3
+     THEN list_distinct(list_transform(range(0, len(string_split({NORM_SQL}, ' ')) - 2),
+          i -> array_to_string((string_split({NORM_SQL}, ' '))[i+1:i+3], ' ')))
+     ELSE [{NORM_SQL}] END
+"""
+
+MARKER_SQL = {
+    "en": "['the','a','of','and','is']",
+    "es": "['el','la','de','que','y']",
+    "fr": "['le','la','les','et','une']",
+    "de": "['der','die','das','und','ist']",
+}
+
+
+def _hits_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split({NORM_SQL}, ' '), "
+        f"x -> list_contains({MARKER_SQL[lang]}, x)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "tx1_token_counts",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {NORM_SQL} = '' THEN 0
+                ELSE len(string_split({NORM_SQL}, ' ')) END AS n_ws,
+           len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+    FROM documents
+    """,
+)
+def tx1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenization
+    count (alpha runs / digit runs / single symbols)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws("text").cast("long").alias("n_ws"),
+        T.token_count_bpe_ish("text").cast("long").alias("n_bpe"),
+    )
+
+
+@query(
+    "tx2_language_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_hits_sql('en')} AS h_en, {_hits_sql('es')} AS h_es,
+             {_hits_sql('fr')} AS h_fr, {_hits_sql('de')} AS h_de
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN h_en = 0 AND h_es = 0 AND h_fr = 0 AND h_de = 0 THEN 'und'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+                WHEN h_fr >= h_de THEN 'fr'
+                ELSE 'de' END AS detected_lang
+    FROM h
+    """,
+)
+def tx2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-stopword hit counts per language,
+    max wins (ties by fixed priority en>es>fr>de, zero hits → 'und')."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        T.detect_language("text").alias("detected_lang"),
+    )
+
+
+@query(
+    "tx3_quality_score",
+    f"""
+    WITH q AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             CASE WHEN {NORM_SQL} = '' THEN 0
+                  ELSE len(string_split({NORM_SQL}, ' ')) END AS n_tok,
+             {_hits_sql('en')} AS sw
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND((least(length(t) / 200.0, 1.0)
+                  * (1.0 - least((CASE WHEN length(t) > 0
+                       THEN round(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) / length(t), 4)
+                       ELSE 0.0 END) * 5, 1.0)))
+                 * (0.5 + 0.5 * (CASE WHEN n_tok > 0
+                       THEN least(sw / greatest(n_tok * 0.05, 1.0), 1.0) ELSE 0.0 END)),
+                 4) AS quality
+    FROM q
+    """,
+)
+def tx3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length sweet-spot × punctuation penalty ×
+    stopword presence, the standard cheap pretraining-corpus gate."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+@query(
+    "tx4_fingerprint",
+    f"SELECT doc_id, {HASH64_SQL.format(expr=NORM_SQL)} AS fingerprint FROM documents",
+)
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: 60-bit content hash of normalized
+    text (md5-derived; cross-engine reproducible)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family — synthetic duplicate corpora (deterministic)
+# ---------------------------------------------------------------------------
+
+EXACT_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+NEAR_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text || ' zz yy xx zz yy' AS text
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _exact_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx zz yy")).alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+@query(
+    "dd1_exact_dedup",
+    f"""
+    WITH corpus AS ({EXACT_DUP_SQL})
+    SELECT md5({NORM_SQL}) AS content_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM corpus GROUP BY 1
+    """,
+)
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content, min-id
+    representative; only (hash, id) shuffles, never the text."""
+    return DD.exact_dedup(_exact_dup_corpus(spark, sf_dir))
+
+
+def _minhash_sql(num_hashes: int, corpus_sql: str) -> str:
+    mh_cols = ",\n           ".join(
+        "list_min(list_transform(sh, s -> "
+        + HASH64_SQL.format(expr=f"'{s}|' || s")
+        + f")) AS mh{s}"
+        for s in range(num_hashes)
+    )
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    shingled AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM corpus)
+    SELECT doc_id,
+           {mh_cols}
+    FROM shingled
+    """
+
+
+@query("dd2_minhash_signatures", _minhash_sql(8, "SELECT doc_id, text FROM documents"))
+def dd2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hash functions over word 3-shingles):
+    one explode + one aggregation, a (id, 8×8B) shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.minhash_signatures(d, num_hashes=8)
+
+
+@query(
+    "dd3_minhash_lsh_candidates",
+    f"""
+    WITH sigs AS ({_minhash_sql(8, NEAR_DUP_SQL)}),
+    buckets AS (
+      SELECT doc_id, 0 AS band_id,
+             md5(CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+                 CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)) AS band_hash
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id,
+             md5(CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+                 CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)) AS band_hash
+      FROM sigs
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM buckets l JOIN buckets r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    """,
+)
+def dd3_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 8-hash signature, 2 bands of 4
+    → equi-join on (band, band-hash) buckets. The scale path: no
+    all-pairs comparison ever materializes."""
+    sigs = DD.minhash_signatures(_near_dup_corpus(spark, sf_dir), num_hashes=8)
+    return DD.minhash_lsh_candidates(sigs, num_hashes=8, bands=2)
+
+
+@query(
+    "dd4_ngram_jaccard_pairs",
+    f"""
+    WITH corpus AS ({NEAR_DUP_SQL}),
+    sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM corpus),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.6
+    """,
+)
+def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs ≥ 0.6: shingle equi-join bounds
+    the pair space to docs sharing a shingle (LSH prefilter slots in
+    front of this at 100 TB)."""
+    return DD.ngram_jaccard_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6)
+
+
+def _simhash_sql(bits: int, corpus_sql: str) -> str:
+    tok_hash = HASH64_SQL.format(expr="'0|' || tok")
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN ({tok_hash} & {1 << i}) <> 0 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    toks AS (SELECT doc_id, unnest(string_split({NORM_SQL}, ' ')) AS tok FROM corpus),
+    sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@query("dd5_simhash", _simhash_sql(32, "SELECT doc_id, text FROM documents"))
+def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprints: per-token hash bit votes, one
+    aggregation; near-dups then differ in few bits (Hamming ball
+    lookup via banded prefixes at scale)."""
+    d = read_table(spark, sf_dir, "documents")
+    return DD.simhash(d, bits=32)
+
+
+EMB_DUP_SQL = """
+SELECT vec_id, embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 100000 AS vec_id,
+       list_transform(embedding, x -> CAST(x * 1.01 AS FLOAT)) AS embedding
+FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = DOT_SQL.format(a=a, b=b)
+    na = DOT_SQL.format(a=a, b=a)
+    nb = DOT_SQL.format(a=b, b=b)
+    return f"(CASE WHEN sqrt({na}) * sqrt({nb}) > 0 THEN {d} / (sqrt({na}) * sqrt({nb})) ELSE 0.0 END)"
+
+
+def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: (x * 1.01).cast("float")).alias("embedding"),
+    )
+    return e.unionByName(dups)
+
+
+@query(
+    "dd6_embedding_near_dup",
+    f"""
+    WITH corpus AS ({EMB_DUP_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.999
+    """,
+)
+def dd6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (≥0.999): catches the scaled
+    copies exactly. All-pairs here (test scale); the LSH-bucketed
+    variant in operators/similarity.py is the 100 TB path."""
+    return embedding_near_dup(_emb_dup_corpus(spark, sf_dir), threshold=0.999)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "ss1_brute_force_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({_cos_sql('q.qe', 'c.embedding')}, 4) AS score
+      FROM q CROSS JOIN embeddings c WHERE q.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ss1_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline — exact cosine top-10 for 5 query vectors:
+    broadcast queries × corpus, JVM-side zip_with/aggregate dot
+    product, per-query window for rank."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, e.where(F.col("vec_id") < 5), k=10)
+
+
+def _planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 — identical
+    constants are embedded in the SQL oracle."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"plane-{p}-{j}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+PLANES = _planes()
+
+
+def _plane_sql(p: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x} AS DOUBLE)" for x in p) + "]"
+
+
+def _bucket_sql(vec: str) -> str:
+    parts = []
+    for i, p in enumerate(PLANES):
+        d = (
+            f"list_reduce(list_transform(range(1, len({vec}) + 1), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({_plane_sql(p)})[i]), (x, y) -> x + y)"
+        )
+        parts.append(f"(CASE WHEN (0.0 + {d}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+@query(
+    "ss2_lsh_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                      {_bucket_sql('embedding')} AS bucket
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+                 {_bucket_sql('embedding')} AS bucket
+          FROM embeddings),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             ROUND({_cos_sql('q.qe', 'c.ce')}, 4) AS score
+      FROM q JOIN c USING (bucket) WHERE q.query_id <> c.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def ss2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path — random-hyperplane LSH buckets (4 planes → 16
+    buckets), candidates restricted to the query's bucket via
+    equi-join; no cross join at any scale."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, e.where(F.col("vec_id") < 5), PLANES, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query(
+    "mm1_multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST((octet_length(encode(text)) // 7) % 480 AS INTEGER) AS height,
+           'decoded:' || substr(md5(text), 1, 8) AS caption
+    FROM documents
+    """,
+)
+def mm1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text wrapped as opaque binary payload +
+    mime metadata, then Arrow-batched ``mapInPandas`` decode/feature
+    extraction (deterministic fake codec; real codec is the stubbed
+    ``decode_image``). Verifies schema, batch shape and the Python
+    Arrow round-trip against a pure-SQL oracle."""
+    d = read_table(spark, sf_dir, "documents")
+    return decode_features(attach_payload(d))
+
+
+# ---------------------------------------------------------------------------
+# Streaming-analog windowed aggregations over events
+# ---------------------------------------------------------------------------
+
+@query(
+    "st1_tumbling_window_agg",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st1_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-analog — tumbling 1-hour event-time window aggregation; the
+    exact frame streaming/stream_sync.py runs incrementally with a
+    watermark (this is its batch equivalence check)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@query(
+    "st2_session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 10 MINUTE OR
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    )
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def st2_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute inactivity gap) per user — Spark's
+    native session_window; oracle derives identical sessions via
+    gaps-and-islands."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )

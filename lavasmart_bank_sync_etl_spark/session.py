@@ -32,6 +32,9 @@ def get_spark(app_name: str = "lavasmart-spark", shuffle_partitions: int | None 
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.ts is parquet TIMESTAMP(NANOS); read as long,
+        # converted to a real timestamp in sources.tables.read_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -83,3 +83,5 @@ class Warehouse:
         os.rename(tmp, final)
         if os.path.isdir(old):
             shutil.rmtree(old)
+        # drop any cached file listing for the swapped directory
+        self.spark.catalog.refreshByPath(final)

@@ -1,0 +1,87 @@
+"""M7 — Structured Streaming analog tests (SURVEY §2.9):
+
+1. the streaming windowed aggregation equals its batch twin when fed
+   the same events (rate-limited file stream, availableNow);
+2. the foreachBatch upsert is re-delivery safe: streaming the same
+   source twice leaves the warehouse identical (T3 idempotence).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from lavasmart_bank_sync_etl_spark.plans.sync_job import SyncJob
+from lavasmart_bank_sync_etl_spark.sources.tables import read_table
+from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+from lavasmart_bank_sync_etl_spark.streaming.stream_sync import (
+    stream_upsert,
+    windowed_event_counts,
+)
+from tests.test_sync_job import SRC_SCHEMA, row, src_df
+
+
+def test_stream_window_agg_matches_batch(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events")
+    events_dir = str(tmp_path / "events_in")
+    events.write.parquet(events_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(events_dir)
+    out = windowed_event_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in (
+            events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type", "n", "total_value",
+            )
+            .collect()
+        )
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_stream_upsert_idempotent(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rows = [row("0-1", 2, monto=100.0), row("0-2", 3, metodo="EFECTIVO"),
+            row("0-1", 2, monto=100.0, idx=1)]  # in-stream duplicate
+    src = src_df(spark, rows).withColumn(
+        "sale_ts", F.col("sale_date").cast("timestamp")
+    )
+    src_dir = str(tmp_path / "src")
+    src.write.parquet(src_dir)
+
+    def apply_batch(batch_df, _batch_id):
+        SyncJob(spark, wh, "2025-11-01", "2025-11-10").run(batch_df)
+
+    for i in range(2):  # stream the same data twice = re-delivery
+        stream = spark.readStream.schema(src.schema).parquet(src_dir)
+        q = stream_upsert(
+            spark, stream, apply_batch,
+            checkpoint_dir=str(tmp_path / f"ckpt{i}"),
+            key="folio", ts_col="sale_ts",
+        )
+        q.awaitTermination(180)
+
+    assert wh.read("transfers").count() == 1
+    assert wh.read("cash").count() == 1
+    t = wh.read("transfers").collect()[0]
+    assert t["folio"] == "0-1" and t["monto"] == 100.0
