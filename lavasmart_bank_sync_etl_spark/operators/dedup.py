@@ -69,13 +69,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Word k-shingles of normalized text as an array<string>.
+def shingles_from_words(words: Column, k: int = 3) -> Column:
+    """Word k-shingles from a materialized words array.
 
-    Built with transform over a split — no UDF; stays in codegen.
+    ``words`` MUST be a plain column reference (not a nested expression
+    tree): higher-order-function lambdas re-evaluate every expression
+    they capture once per element, so shingling over an inline
+    ``split(regexp_replace(...))`` re-runs the regex per shingle —
+    O(doc_len²) per document. Materialize the array first, then
+    shingle from the attribute.
     """
-    c = normalized_text(col)
-    words = F.split(c, " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(
@@ -83,7 +86,32 @@ def shingles(col: Column | str, k: int = 3) -> Column:
         F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
         ),
-    ).otherwise(F.array(c))
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles of normalized text as an array<string>.
+
+    Built with transform over a split — no UDF; stays JVM-side.
+    Prefer ``shingles_from_words`` over a materialized array column in
+    hot paths (see its docstring for why).
+    """
+    return shingles_from_words(F.split(normalized_text(col), " "), k)
+
+
+def _shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, shingle) rows: repartition the (narrow) doc projection for
+    parallelism — a single small parquet file otherwise pins the whole
+    explode+hash pipeline to one task — then shingle from a
+    materialized words array."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w"))
+        .repartition(p)
+        .select(F.col(id_col), F.explode(shingles_from_words(F.col("_w"), k)).alias("shingle"))
+    )
 
 
 def _hash64(col: Column, seed: int) -> Column:
@@ -104,7 +132,7 @@ def minhash_signatures(
     """MinHash signatures: explode shingles once, take per-seed mins in
     one aggregation (num_hashes min() columns — a single shuffle of
     (id, 16×8B), not one pass per hash function)."""
-    exploded = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    exploded = _shingle_rows(df, text_col, id_col, k)
     aggs = [F.min(_hash64(F.col("shingle"), s)).alias(f"mh{s}") for s in range(num_hashes)]
     return exploded.groupBy(id_col).agg(*aggs)
 
@@ -129,6 +157,12 @@ def minhash_lsh_candidates(
     buckets = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
         id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
     )
+    # singleton buckets (most of them — unique band-hashes) can't form
+    # a candidate pair; drop before the self-join. Same partitioning as
+    # the join keys, so the window reuses the join's exchange.
+    buckets = buckets.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
+    ).where(F.col("_n") > 1).drop("_n")
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (
@@ -157,13 +191,22 @@ def ngram_jaccard_pairs(
     to count intersections, derive |A∪B| from per-doc sizes.
 
     The shingle equi-join keeps this out of O(n²): only docs sharing a
-    shingle ever meet. At 100 TB, add a band/LSH prefilter
-    (minhash_lsh_candidates) before this exact scorer.
+    shingle ever meet. Shingles with document-frequency 1 (the vast
+    majority of k-shingles in any real corpus) can't form a pair, so
+    they are dropped before the self-join — same results, a fraction
+    of the join input. At 100 TB, add a band/LSH prefilter
+    (minhash_lsh_candidates) before this exact scorer, and cap
+    pathological stop-shingles (df above a skew threshold) with
+    salting or an AQE skew join.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    sh = _shingle_rows(df, text_col, id_col, k)
+    # |A| must count every shingle (union denominator) — before the df>1 filter
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    shared = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).where(F.col("_df") > 1).drop("_df")
+    a = shared.alias("a")
+    b = shared.alias("b")
     inter = (
         a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))

@@ -13,8 +13,13 @@ assignment — same join shape.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StructField, StructType,
+)
 
 from ..functions.vectors import cosine
 
@@ -108,22 +113,93 @@ def embedding_near_dup(
     planes: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold). With ``planes``, candidates come from LSH buckets
-    (scale path); without, all-pairs within the frame (test scale
-    only)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    (scale path); without, exact all-pairs via a **blocked
+    block-nested-loop**: rows are hashed into ``num_blocks`` blocks,
+    each of the B·(B+1)/2 unordered block pairs is co-grouped, and the
+    block×block score matrix is computed with one vectorized numpy
+    matmul per pair (Arrow-batched ``applyInPandas`` cogroup).
+
+    Scale notes: shuffle volume is (B+1)/2 copies of the corpus —
+    tune ``num_blocks`` so a block fits executor memory; work is
+    B·(B+1)/2 independent tasks. All-pairs is inherently O(n²) score
+    work at any engine; beyond memory-feasible n, put the LSH bucketer
+    (``planes``) in front so only same-bucket pairs are scored.
+    """
     if planes is not None:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         a = a.withColumn("bucket", hyperplane_bucket(F.col("va"), planes))
         b = b.withColumn("bucket", hyperplane_bucket(F.col("vb"), planes))
         pairs = a.join(b, on="bucket").where(F.col("id_a") < F.col("id_b"))
-    else:
-        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+        return (
+            pairs.select(
+                "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim")
+            )
+            .where(F.col("cos_sim") >= threshold)
         )
-        .where(F.col("cos_sim") >= threshold)
+
+    spark = corpus.sparkSession
+    B = num_blocks
+    base = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("blk"),
+    )
+    # (i, j) block-pair keys, i <= j — tiny driver-side relation
+    def keys() -> DataFrame:
+        return spark.range(B * B).select(
+            (F.col("id") / B).cast("int").alias("i"), (F.col("id") % B).cast("int").alias("j")
+        ).where(F.col("i") <= F.col("j"))
+
+    left = (
+        base.alias("bl")
+        .join(F.broadcast(keys().alias("kl")), F.col("bl.blk") == F.col("kl.i"))
+        .select(F.col("kl.i").alias("i"), F.col("kl.j").alias("j"),
+                F.col("bl.vid").alias("vid"), F.col("bl.vec").alias("vec"))
+    )
+    right = (
+        base.alias("br")
+        .join(F.broadcast(keys().alias("kr")), F.col("br.blk") == F.col("kr.j"))
+        .select(F.col("kr.i").alias("i"), F.col("kr.j").alias("j"),
+                F.col("br.vid").alias("vid"), F.col("br.vec").alias("vec"))
+    )
+
+    out_schema = StructType([
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ])
+
+    def score_block(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+        la = np.stack(lpdf["vec"].to_numpy())
+        rb = np.stack(rpdf["vec"].to_numpy())
+        lid = lpdf["vid"].to_numpy()
+        rid = rpdf["vid"].to_numpy()
+        ln = np.sqrt(np.einsum("ij,ij->i", la, la))
+        rn = np.sqrt(np.einsum("ij,ij->i", rb, rb))
+        denom = np.outer(ln, rn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (la @ rb.T) / denom, 0.0)
+        cos = np.round(cos, 4)
+        if lpdf["i"].iloc[0] == lpdf["j"].iloc[0]:
+            # diagonal block: both sides are the same rows — order by id
+            ia, ib = np.nonzero((cos >= threshold) & (lid[:, None] < rid[None, :]))
+            id_a, id_b = lid[ia], rid[ib]
+        else:
+            # off-diagonal: each unordered row pair appears exactly once
+            ia, ib = np.nonzero(cos >= threshold)
+            id_a = np.minimum(lid[ia], rid[ib])
+            id_b = np.maximum(lid[ia], rid[ib])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cos_sim": cos[ia, ib]})
+
+    return (
+        left.groupBy("i", "j")
+        .cogroup(right.groupBy("i", "j"))
+        .applyInPandas(score_block, schema=out_schema)
     )
