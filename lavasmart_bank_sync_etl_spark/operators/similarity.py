@@ -107,6 +107,95 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: deterministic seed partition (``id % n_cells``)
+    → element-wise mean centroids (one k-means step) → every vector
+    re-assigned to its nearest centroid by cosine.
+
+    Returns (centroids, assignment): ``centroids(cell, cvec)`` is tiny
+    (n_cells rows — broadcast side), ``assignment(id, vec, cell)`` adds
+    the inverted-list key to the corpus. Centroid coordinates are
+    rounded to 6dp so the downstream plan is reproducible across
+    engines regardless of aggregation order.
+
+    Scale notes: centroid build is two narrow shuffles (posexplode →
+    (cell,pos) agg → n_cells·dim rows); assignment is a broadcast
+    nested-loop over n_cells candidates per row — no corpus shuffle.
+    """
+    seeded = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(n_cells)).alias("cell0"),
+    )
+    by_pos = seeded.select("cell0", F.posexplode("vec").alias("pos", "val"))
+    centroids = (
+        by_pos.groupBy("cell0", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+        .groupBy("cell0")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+            ).alias("cvec")
+        )
+        .select(F.col("cell0").alias("cell"), "cvec")
+    )
+    scored = (
+        seeded.crossJoin(F.broadcast(centroids))
+        .select("vid", "vec", "cell", cosine(F.col("vec"), F.col("cvec")).alias("cscore"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("cscore").desc(), F.col("cell").asc())
+    assignment = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("vid", "vec", "cell")
+    )
+    return centroids, assignment
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their ``nprobe`` nearest
+    cells; only vectors assigned to a probed cell are scored — the
+    inverted-file analog of the LSH bucket join. At 100 TB the
+    assignment is a stored partition/bucket column, so the candidate
+    join prunes to nprobe/n_cells of the corpus."""
+    centroids, assignment = ivf_cells(corpus, n_cells, id_col, vec_col)
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = qs.crossJoin(F.broadcast(centroids)).select(
+        "query_id", "q_vec", "cell", cosine(F.col("q_vec"), F.col("cvec")).alias("cscore")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cell").asc())
+    probes = (
+        q_scored.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(assignment, on="cell")
+        .where(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 4).alias("score"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return cands.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= k)
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,

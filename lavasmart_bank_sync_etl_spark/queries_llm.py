@@ -17,7 +17,9 @@ from pyspark.sql import functions as F
 
 from .functions import text as T
 from .operators import dedup as DD
-from .operators.similarity import brute_force_topk, embedding_near_dup, lsh_topk
+from .operators.similarity import (
+    brute_force_topk, embedding_near_dup, ivf_topk, lsh_topk,
+)
 from .multimodal.binary_ops import attach_payload, decode_features
 from .queries import query
 from .sources.tables import read_table
@@ -432,6 +434,58 @@ def ss2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; no cross join at any scale."""
     e = read_table(spark, sf_dir, "embeddings")
     return lsh_topk(e, e.where(F.col("vec_id") < 5), PLANES, k=10)
+
+
+@query(
+    "ss3_ivf_topk",
+    f"""
+    WITH seeded AS (
+      SELECT vec_id AS vid, embedding AS vec, vec_id % 16 AS cell0 FROM embeddings
+    ),
+    by_pos AS (
+      SELECT cell0, i - 1 AS pos, CAST(vec[i] AS DOUBLE) AS val
+      FROM seeded, UNNEST(range(1, len(vec) + 1)) AS t(i)
+    ),
+    centroids AS (
+      SELECT cell0 AS cell, list(cv ORDER BY pos) AS cvec
+      FROM (SELECT cell0, pos, ROUND(AVG(val), 6) AS cv FROM by_pos GROUP BY cell0, pos)
+      GROUP BY cell0
+    ),
+    assignment AS (
+      SELECT vid, vec, cell FROM (
+        SELECT s.vid, s.vec, c.cell,
+               row_number() OVER (PARTITION BY s.vid
+                                  ORDER BY {_cos_sql('s.vec', 'c.cvec')} DESC, c.cell ASC) AS r
+        FROM seeded s CROSS JOIN centroids c) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, q_vec, cell FROM (
+        SELECT q.query_id, q.q_vec, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql('q.q_vec', 'c.cvec')} DESC, c.cell ASC) AS r
+        FROM q CROSS JOIN centroids c) WHERE r <= 4
+    ),
+    cands AS (
+      SELECT p.query_id, a.vid AS neighbor_id,
+             ROUND({_cos_sql('p.q_vec', 'a.vec')}, 4) AS score
+      FROM probes p JOIN assignment a USING (cell) WHERE p.query_id <> a.vid
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM cands) WHERE rank <= 10
+    """,
+)
+def ss3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2 — IVF (inverted file): deterministic-seeded
+    one-step centroids, nearest-centroid cell assignment (broadcast
+    nested loop over 16 cells), queries probe their 4 nearest cells and
+    score only those inverted lists. At 100 TB the cell id is a stored
+    bucket/partition column — candidate join prunes to nprobe/n_cells
+    of the corpus."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.where(F.col("vec_id") < 5), n_cells=16, nprobe=4, k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -96,7 +96,8 @@ def _src_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH ranked AS (
       SELECT l_orderkey, l_linenumber, l_extendedprice,
-             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_extendedprice) AS rn
       FROM lineitem
     )
     SELECT CAST(l_orderkey AS VARCHAR) AS folio, l_linenumber AS first_line,
@@ -107,13 +108,16 @@ def _src_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d1_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 — first occurrence per key in explicit scan order wins
     (Code.gs:752-765); lineitem lines stand in for repeated folio
-    sightings, l_linenumber is the pinned scan order."""
+    sightings, l_linenumber is the pinned scan order. The synthetic
+    lineitem repeats (orderkey, linenumber) pairs, so the scan order
+    is pinned down to uniqueness with l_extendedprice — a
+    row_number tie would otherwise be engine-dependent."""
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").cast("string").alias("folio"),
         F.col("l_linenumber"),
         F.col("l_extendedprice"),
     )
-    winners, _ = first_wins_dedup(li, "folio", ["l_linenumber"])
+    winners, _ = first_wins_dedup(li, "folio", ["l_linenumber", "l_extendedprice"])
     return winners.select(
         "folio", F.col("l_linenumber").alias("first_line"),
         F.round("l_extendedprice", 2).alias("monto"),
@@ -380,7 +384,10 @@ def j3_deletion_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT * FROM sales WHERE metodo = 'TRANSFERENCIA') t
         JOIN (SELECT folio AS b_folio,
                      sale_date + CAST((CAST(folio AS BIGINT) % 5) - 2 AS INTEGER) AS b_dia,
-                     monto + CASE WHEN CAST(folio AS BIGINT) % 7 = 0 THEN 0.005 ELSE 0.0 END AS abono,
+                     -- 0.004: inside the 0.01 tolerance but NOT a decimal
+                     -- half-tie at 3dp (x.xx5 rounds differently across
+                     -- engines' double-rounding rules)
+                     monto + CASE WHEN CAST(folio AS BIGINT) % 7 = 0 THEN 0.004 ELSE 0.0 END AS abono,
                      'mov ' || folio AS concepto
               FROM sales WHERE CAST(folio AS BIGINT) % 3 = 0) b
           ON ABS(t.monto - b.abono) < 0.01
@@ -401,7 +408,7 @@ def j5_bank_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bank = s.where(k % 3 == 0).select(
         F.date_add(F.col("sale_date"), ((k % 5) - 2).cast("int")).alias("dia"),
         F.concat(F.lit("mov "), F.col("folio")).alias("concepto"),
-        (F.col("monto") + F.when(k % 7 == 0, 0.005).otherwise(0.0)).alias("abono"),
+        (F.col("monto") + F.when(k % 7 == 0, 0.004).otherwise(0.0)).alias("abono"),
     )
     m = bank_match_candidates(transfers, bank, amount_tol=0.01, max_day_gap=3)
     return m.select(

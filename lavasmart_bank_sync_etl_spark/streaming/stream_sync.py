@@ -20,11 +20,16 @@ not history.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType, TimestampType,
+)
 
 
 def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -64,4 +69,80 @@ def stream_upsert(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+#: Output schema of first_seen_registry.
+FIRST_SEEN_SCHEMA = StructType([
+    StructField("folio", StringType()),
+    StructField("first_ts", TimestampType()),
+    StructField("n_dups_dropped", LongType()),
+])
+
+_STATE_SCHEMA = "first_ts timestamp, dups long"
+
+
+def first_seen_registry(
+    stream: DataFrame,
+    key: str = "folio",
+    ts_col: str = "sale_ts",
+    watermark: str = "10 days",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): the
+    reference's in-run folio map (Code.gs:680-698, 752-765) promoted to
+    cross-micro-batch streaming state.
+
+    Emits one row per key on FIRST sighting; every later sighting
+    (within state lifetime) only bumps that key's duplicate counter —
+    the streaming form of D1 first-wins dedup with T3 idempotence
+    across re-deliveries. State per key is (first_ts, dup count) — a
+    few bytes — and is dropped by event-time timeout once the
+    watermark passes ``watermark`` beyond the key's first sighting, so
+    state size is bounded by key cardinality inside the lookback
+    window, not by history (exactly the reference's 10-day contract,
+    Code.gs:22).
+    """
+    qty, unit = watermark.split()
+    unit_ms = {"day": 86_400_000, "hour": 3_600_000, "minute": 60_000, "second": 1_000}[
+        unit.rstrip("s")
+    ]
+    lifetime_ms = int(qty) * unit_ms
+
+    def update(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n_new = 0
+        min_ts = None
+        for pdf in pdfs:
+            n_new += len(pdf)
+            batch_min = pdf[ts_col].min()
+            min_ts = batch_min if min_ts is None else min(min_ts, batch_min)
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            first_ts, dups = state.get
+            state.update((first_ts, dups + n_new))
+            return  # not first — emit nothing
+        state.update((min_ts, n_new - 1))
+        first_ms = int(pd.Timestamp(min_ts).value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(first_ms + lifetime_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {"folio": [key_tuple[0]], "first_ts": [min_ts], "n_dups_dropped": [n_new - 1]}
+        )
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=FIRST_SEEN_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -1,7 +1,9 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 sf0.001, compare row count, column names, and order-insensitive
-values (floats to 6 significant decimals).
+values (floats to 12 significant decimals — queries round their float
+outputs explicitly, so surviving differences are real engine
+divergence, not summation noise).
 
 Catching a mismatch here is 100× cheaper than in CORRECTNESS_r{N}.json.
 """
@@ -30,7 +32,7 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return f"{v:.12g}"
     if isinstance(v, bool):
         return bool(v)
     if hasattr(v, "isoformat"):

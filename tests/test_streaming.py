@@ -17,6 +17,7 @@ from lavasmart_bank_sync_etl_spark.plans.sync_job import SyncJob
 from lavasmart_bank_sync_etl_spark.sources.tables import read_table
 from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
 from lavasmart_bank_sync_etl_spark.streaming.stream_sync import (
+    first_seen_registry,
     stream_upsert,
     windowed_event_counts,
 )
@@ -85,3 +86,43 @@ def test_stream_upsert_idempotent(spark, tmp_path):
     assert wh.read("cash").count() == 1
     t = wh.read("transfers").collect()[0]
     assert t["folio"] == "0-1" and t["monto"] == 100.0
+
+
+def test_first_seen_registry_stateful_dedup(spark, tmp_path):
+    """The custom applyInPandasWithState operator: each folio is
+    emitted exactly once (its first sighting); duplicates across AND
+    within micro-batches only bump the state counter."""
+    rows = [
+        ("0-1", dt.datetime(2025, 11, 3, 10, 0)),
+        ("0-1", dt.datetime(2025, 11, 3, 11, 0)),  # same-batch dup
+        ("0-2", dt.datetime(2025, 11, 4, 9, 0)),
+        ("0-1", dt.datetime(2025, 11, 5, 8, 0)),  # later-file dup
+        ("0-3", dt.datetime(2025, 11, 5, 9, 0)),
+    ]
+    src = spark.createDataFrame(rows, "folio string, sale_ts timestamp")
+    src_dir = str(tmp_path / "src")
+    # two files → at least two input splits for maxFilesPerTrigger
+    src.where(F.col("sale_ts") < "2025-11-05").coalesce(1).write.parquet(src_dir)
+    src.where(F.col("sale_ts") >= "2025-11-05").coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = first_seen_registry(stream, key="folio", ts_col="sale_ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r["folio"]: r for r in spark.sql("select * from first_seen").collect()}
+    assert set(got) == {"0-1", "0-2", "0-3"}
+    assert got["0-1"]["first_ts"] == dt.datetime(2025, 11, 3, 10, 0)
+    assert got["0-1"]["n_dups_dropped"] == 1  # the same-batch dup
+    assert got["0-2"]["n_dups_dropped"] == 0
