@@ -89,3 +89,84 @@ def decode_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("out_width", IntegerType()),
+    StructField("out_height", IntegerType()),
+    StructField("resized", BinaryType()),
+])
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stage: aspect-preserving downscale to ``max_side``.
+
+    Real implementation would decode → resample → re-encode via
+    Pillow inside the same batch loop; here the codec is the
+    deterministic fake (dims from byte length, payload truncated
+    proportionally) so the Spark plumbing — Arrow batch shape, binary
+    output column, bounded memory — is exercised end-to-end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "out_width": [], "out_height": [], "resized": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                _, w, h, _ = _fake_decode(b)
+                scale = min(max_side / max(w, h, 1), 1.0)
+                ow, oh = max(int(w * scale), 1), max(int(h * scale), 1)
+                out["doc_id"].append(doc_id)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["resized"].append(b[: max(int(len(b) * scale), 1)])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "out_width": pd.Series(out["out_width"], dtype="int32"),
+                    "out_height": pd.Series(out["out_height"], dtype="int32"),
+                    "resized": out["resized"],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_offset", LongType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Frame-sampling stage: emit ``n_frames`` evenly-spaced frames per
+    payload — a 1→N ``mapInPandas`` (the video analog of explode).
+
+    Real implementation seeks keyframes via ffmpeg; the fake slices
+    evenly-spaced byte windows. Output fan-out is bounded (N per
+    input), so downstream partition sizing is predictable: rows × N."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                step = max(len(b) // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(b) - 1, 0))
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame"].append(b[off : off + frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_offset": pd.Series(out["frame_offset"], dtype="int64"),
+                    "frame": out["frame"],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

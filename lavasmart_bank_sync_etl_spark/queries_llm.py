@@ -20,7 +20,9 @@ from .operators import dedup as DD
 from .operators.similarity import (
     brute_force_topk, embedding_near_dup, ivf_topk, lsh_topk,
 )
-from .multimodal.binary_ops import attach_payload, decode_features
+from .multimodal.binary_ops import (
+    attach_payload, decode_features, resize_images, sample_frames,
+)
 from .queries import query
 from .sources.tables import read_table
 
@@ -511,6 +513,60 @@ def mm1_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow round-trip against a pure-SQL oracle."""
     d = read_table(spark, sf_dir, "documents")
     return decode_features(attach_payload(d))
+
+
+@query(
+    "mm2_resize",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ), d AS (
+      SELECT doc_id, n, n % 640 AS w, (n // 7) % 480 AS h,
+             least(256.0 / greatest(n % 640, (n // 7) % 480, 1), 1.0) AS scale
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(greatest(floor(w * scale), 1) AS INTEGER) AS out_width,
+           CAST(greatest(floor(h * scale), 1) AS INTEGER) AS out_height,
+           CAST(greatest(floor(n * scale), 1) AS BIGINT) AS resized_bytes
+    FROM d
+    """,
+)
+def mm2_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: aspect-preserving downscale via
+    Arrow-batched ``mapInPandas`` (deterministic fake codec; the real
+    resampler plugs into the same batch loop)."""
+    d = read_table(spark, sf_dir, "documents")
+    return resize_images(attach_payload(d), max_side=256).select(
+        "doc_id", "out_width", "out_height",
+        F.octet_length("resized").cast("long").alias("resized_bytes"),
+    )
+
+
+@query(
+    "mm3_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ), f AS (
+      SELECT doc_id, n, CAST(i AS INTEGER) AS frame_idx,
+             least(i * greatest(n // 4, 1), greatest(n - 1, 0)) AS off
+      FROM m, UNNEST(range(0, 4)) AS t(i)
+    )
+    SELECT doc_id, frame_idx, CAST(off AS BIGINT) AS frame_offset,
+           CAST(least(64, n - off) AS BIGINT) AS frame_bytes
+    FROM f
+    """,
+)
+def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: 1→N evenly-spaced frame extraction
+    per payload (the video analog of explode) — bounded fan-out
+    ``mapInPandas``."""
+    d = read_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(d), n_frames=4, frame_bytes=64).select(
+        "doc_id", "frame_idx", "frame_offset",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    )
 
 
 # ---------------------------------------------------------------------------
