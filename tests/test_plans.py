@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: the scale properties SURVEY §4
+claims (pushdown, pruning, broadcast, partial aggregation, no
+accidental cartesian products) asserted against `.explain` output so
+an optimizer-hostile refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(df: DataFrame) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name: str) -> str:
+        return plan_of(entrymod.queries()[name](spark, sf_dir))
+
+    return run
+
+
+def test_window_predicate_reaches_parquet_scan(q):
+    """S1: the date window must appear in PushedFilters — at 100 TB
+    this is the partition-pruning path."""
+    plan = q("s1_partitioned_scan_window")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_column_pruning_reaches_scan(q):
+    """S1/P1: a 2-column projection must read 2 columns, not ~9."""
+    plan = q("s1_partitioned_scan_window")
+    scan = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "o_totalprice" in scan and "o_orderdate" in scan
+    assert "o_comment" not in scan and "o_custkey" not in scan
+
+
+def test_small_dims_broadcast(q):
+    """J4/J6: supplier-sized dimensions must broadcast, not shuffle
+    the fact side."""
+    for name in ("a2_j4_lot_reconciliation", "j6_broadcast_enrichment_backfill"):
+        assert "BroadcastHashJoin" in q(name), name
+
+
+def test_aggregates_are_partial(q):
+    """A1/A3/dd1: map-side partial aggregation before the exchange —
+    the shuffle carries one row per (partition, key), not per input."""
+    for name in ("a1_sum_by_lot", "a3_daily_totals_by_method", "dd1_exact_dedup"):
+        plan = q(name)
+        assert "partial_" in plan and "Exchange" in plan, name
+
+
+def test_merge_join_is_keyed_not_cartesian(q):
+    """J1: the upsert classification is a keyed full-outer join."""
+    plan = q("j1_upsert_classify")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_unbounded_cartesian_anywhere(q):
+    """Cross joins are only ever bounded-broadcast (query set × corpus,
+    n_cells × corpus, B² block keys) — never a shuffle cartesian of
+    two big relations."""
+    for name in sorted(entrymod.queries()):
+        plan = q(name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_lsh_candidates_join_on_bucket(q):
+    """dd3/ss2: candidate generation must be an equi-join (hash join on
+    band-hash / bucket), never a nested-loop over all pairs."""
+    for name, key in (("dd3_minhash_lsh_candidates", "band_hash"),
+                      ("ss2_lsh_topk", "bucket")):
+        plan = q(name)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, name
+        assert key in plan, name
+
+
+def test_blocked_near_dup_uses_cogroup_kernel(q):
+    """dd6: the exact all-pairs scorer runs as the blocked cogroup
+    numpy kernel, not an expression-interpreted nested loop."""
+    assert "FlatMapCoGroupsInPandas" in q("dd6_embedding_near_dup")
