@@ -96,3 +96,32 @@ def fingerprint(col: Column | str) -> Column:
     (md5-derived, reproducible in DuckDB as
     CAST('0x'||substr(md5(s),1,15) AS BIGINT))."""
     return F.conv(F.substring(F.md5(normalized_text(col)), 1, 15), 16, 10).cast("long")
+
+
+#: modulus for the rolling hash — keeps acc*31 + token_hash < 2^63
+#: under ANSI arithmetic (Spark 4 default) and DuckDB BIGINT alike.
+ROLLING_MOD = 1 << 40
+
+
+def rolling_fingerprint(words: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over a materialized
+    token array: fold((acc·31 + h(tok)) mod 2⁴⁰). Unlike
+    ``fingerprint`` (content hash), token *order* changes the value —
+    the standard shift-register fingerprint for chunk-level dedup.
+
+    ``words`` must be a plain column reference (see
+    operators.dedup.shingles_from_words for why: HOF lambdas
+    re-evaluate captured expression trees per element)."""
+    mod = F.lit(ROLLING_MOD)
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31)
+            + F.pmod(
+                F.conv(F.substring(F.md5(F.concat(F.lit("0|"), t)), 1, 15), 16, 10).cast("long"),
+                mod,
+            ),
+            mod,
+        ),
+    )

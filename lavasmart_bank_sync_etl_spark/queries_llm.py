@@ -151,6 +151,29 @@ def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", T.fingerprint("text").alias("fingerprint"))
 
 
+@query(
+    "tx5_rolling_fingerprint",
+    f"""
+    WITH w AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> {HASH64_SQL.format(expr="'0|' || t")} % 1099511627776)),
+             (acc, h) -> (acc * 31 + h) % 1099511627776
+           ) AS rolling_fp
+    FROM w
+    """,
+)
+def tx5_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint: polynomial fold over
+    the token stream (mod 2⁴⁰) — permuted token order changes the
+    value, unlike the tx4 content hash."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.tokens("text").alias("_w")
+    ).select("doc_id", T.rolling_fingerprint(F.col("_w")).alias("rolling_fp"))
+
+
 # ---------------------------------------------------------------------------
 # Dedup family — synthetic duplicate corpora (deterministic)
 # ---------------------------------------------------------------------------
