@@ -11,6 +11,8 @@ plan and the DuckDB oracle.
 from __future__ import annotations
 
 import hashlib
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -653,4 +655,57 @@ def st2_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             "n_events",
         )
+    )
+
+
+@query(
+    "st3_stateful_first_seen",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS folio,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts_str,
+           COUNT(*) - 1 AS n_dups_dropped
+    FROM events GROUP BY user_id
+    """,
+)
+def st3_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator
+    (``applyInPandasWithState`` first-seen registry) executed with
+    ``Trigger.AvailableNow`` over the events table and compared to its
+    batch equivalent: per key, first event time + later-sighting
+    count. One input file → one micro-batch, so the in-batch counts
+    equal the batch SQL; cross-batch state behavior is covered by
+    tests/test_streaming.py."""
+    import os
+
+    from .streaming.stream_sync import first_seen_registry
+
+    # file-stream sources need a directory; stage the (read-only)
+    # events file into a temp dir via symlink
+    stream_dir = tempfile.mkdtemp(prefix="st3_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet"))
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts")
+    stream = stream.select(
+        F.col("user_id").cast("string").alias("folio"), ts.alias("sale_ts")
+    )
+    out = first_seen_registry(stream, key="folio", ts_col="sale_ts")
+    sink = f"st3_first_seen_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="st3_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).select(
+        "folio",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts_str"),
+        "n_dups_dropped",
     )
