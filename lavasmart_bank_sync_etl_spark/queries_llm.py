@@ -695,15 +695,23 @@ def st3_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = first_seen_registry(stream, key="folio", ts_col="sale_ts")
     sink = f"st3_first_seen_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="st3_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # state-store partition count is pinned from shuffle.partitions at
+    # query start — size it to the (small) key cardinality here; a real
+    # deployment sizes it to keys-in-window / target-partition-size
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="st3_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink).select(
         "folio",
         F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts_str"),

@@ -1,0 +1,100 @@
+"""Degenerate-input behavior of the text/dedup operator family:
+empty, null, whitespace-only, sub-shingle-length, and symbol-only
+documents must flow through every operator without nulls, crashes, or
+surprise rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lavasmart_bank_sync_etl_spark.functions import text as T
+from lavasmart_bank_sync_etl_spark.operators import dedup as DD
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, ""),                       # empty
+    (3, None),                     # null
+    (4, "   \t  "),                # whitespace only
+    (5, "two words"),              # below shingle length k=3
+    (6, "!!! ??? ***"),            # symbols only → normalizes to ''
+    (7, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_counts_degenerate(spark):
+    d = docs_df(spark)
+    got = {r["doc_id"]: (r["ws"], r["bpe"]) for r in d.select(
+        "doc_id",
+        T.token_count_ws("text").alias("ws"),
+        T.token_count_bpe_ish("text").alias("bpe"),
+    ).collect()}
+    assert got[1] == (9, 9)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+    assert got[6][0] == 0 and got[6][1] == 9  # 9 symbol tokens BPE-ish
+
+
+def test_exact_dedup_degenerate(spark):
+    out = {r["keep_id"]: r["n_copies"] for r in DD.exact_dedup(docs_df(spark)).collect()}
+    # doc 1 and 7 collapse; empty-normalizing docs 2,3,4,6 collapse together
+    assert out[1] == 2
+    assert out[2] == 4
+    assert out[5] == 1
+
+
+def test_shingles_fallback_below_k(spark):
+    d = docs_df(spark)
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in d.select(
+            "doc_id", DD.shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got[5] == ["two words"]  # whole normalized text as the one shingle
+    assert got[2] == [""]
+    assert got[1][0] == "the quick brown"
+
+
+def test_minhash_and_simhash_no_nulls(spark):
+    d = docs_df(spark)
+    sigs = DD.minhash_signatures(d, num_hashes=4).collect()
+    assert len(sigs) == len(DOCS)
+    assert all(r[f"mh{i}"] is not None for r in sigs for i in range(4))
+    sh = DD.simhash(d).collect()
+    assert len(sh) == len(DOCS)
+    assert all(r["simhash"] is not None for r in sh)
+
+
+def test_rolling_fp_is_order_sensitive(spark):
+    rows = [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in d.select("doc_id", T.tokens("text").alias("_w"))
+        .select("doc_id", T.rolling_fingerprint(F.col("_w")).alias("fp"))
+        .collect()
+    }
+    assert got[1] == got[3]
+    assert got[1] != got[2]  # same tokens, different order → different fp
+    # content hash (tx4) is also order-sensitive over raw text, but the
+    # 60-bit rolling fp must stay in range
+    assert 0 <= got[1] < (1 << 40)
+
+
+def test_quality_and_language_degenerate(spark):
+    d = docs_df(spark)
+    got = {r["doc_id"]: (r["q"], r["lang"]) for r in d.select(
+        "doc_id",
+        T.quality_score("text").alias("q"),
+        T.detect_language("text").alias("lang"),
+    ).collect()}
+    assert got[2] == (0.0, "und")
+    assert got[3] == (0.0, "und")
+    assert got[1][1] == "en"
+    for q, _ in got.values():
+        assert 0.0 <= q <= 1.0
