@@ -52,7 +52,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
 
@@ -104,7 +104,7 @@ def lsh_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).where(F.col("rank") <= k)
 
 
 def ivf_cells(
@@ -193,7 +193,7 @@ def ivf_topk(
         )
     )
     wk = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return cands.withColumn("rank", F.row_number().over(wk)).where(F.col("rank") <= k)
+    return cands.withColumn("rank", F.row_number().over(wk).cast("long")).where(F.col("rank") <= k)
 
 
 def embedding_near_dup(
