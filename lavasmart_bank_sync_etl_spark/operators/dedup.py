@@ -242,3 +242,57 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         contrib = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         fp = contrib if fp is None else (fp + contrib)
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairing: candidates share at least one of
+    ``bands`` byte-bands of the fingerprint (pigeonhole: any pair with
+    Hamming distance < bands must agree on ≥1 band), then verified
+    with popcount(xor) ≤ ``max_hamming``.
+
+    The band equi-join is the Hamming-ball lookup at scale — no
+    all-pairs comparison; singleton bands are dropped pre-join.
+    """
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col(sim_col), b * band_width).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.col(sim_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        id_col, sim_col, F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val")
+    )
+    banded = banded.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_val"))
+    ).where(F.col("_n") > 1).drop("_n")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_val") == F.col("r.band_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.bit_count(F.col(f"l.{sim_col}").bitwiseXOR(F.col(f"r.{sim_col}"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

@@ -326,6 +326,57 @@ def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(d, bits=32)
 
 
+@query(
+    "dd7_simhash_hamming_pairs",
+    f"""
+    WITH sigs AS ({_simhash_sql(32, NEAR_DUP_SQL)}),
+    banded AS (
+      SELECT doc_id, simhash, CAST(b AS INTEGER) AS band_id,
+             (simhash >> (CAST(b AS INTEGER) * 8)) & 255 AS band_val
+      FROM sigs, UNNEST(range(0, 4)) AS t(b)
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 8
+    """,
+)
+def dd7_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-band equi-join (pigeonhole Hamming
+    ball lookup) + popcount(xor) ≤ 8 verification over the near-dup
+    corpus — completes the SimHash dedup path (dd5 builds the
+    fingerprints, this pairs them)."""
+    sigs = DD.simhash(_near_dup_corpus(spark, sf_dir), bits=32)
+    pairs = DD.simhash_hamming_pairs(sigs, bits=32, bands=4, max_hamming=8)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "ev1_json_props_extract",
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev1_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a field out of the JSON props
+    column (get_json_object — JVM-side JSON path, no UDF) and
+    aggregate over it. At 100 TB prefer from_json with an explicit
+    schema once the shape is known: typed columns prune and push down;
+    JSON strings don't."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
 EMB_DUP_SQL = """
 SELECT vec_id, embedding FROM embeddings
 UNION ALL
