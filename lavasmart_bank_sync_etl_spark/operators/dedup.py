@@ -230,7 +230,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     bit-extraction expressions; no UDF. 32 bits keeps the aggregate
     row narrow (32 longs) while remaining discriminative for dedup.
     """
-    tokens = df.select(F.col(id_col), F.explode(F.split(normalized_text(text_col), " ")).alias("tok"))
+    p = df.sparkSession.sparkContext.defaultParallelism
+    tokens = (
+        df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w"))
+        .repartition(p)
+        .select(F.col(id_col), F.explode(F.col("_w")).alias("tok"))
+    )
     th = _hash64(F.col("tok"), 0)
     aggs = [
         F.sum(F.when(((th.bitwiseAND(F.lit(1 << i))) != 0), 1).otherwise(-1)).alias(f"b{i}")
@@ -250,15 +255,18 @@ def simhash_hamming_pairs(
     sim_col: str = "simhash",
     bits: int = 32,
     bands: int = 4,
-    max_hamming: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
     """SimHash near-dup pairing: candidates share at least one of
-    ``bands`` byte-bands of the fingerprint (pigeonhole: any pair with
-    Hamming distance < bands must agree on ≥1 band), then verified
-    with popcount(xor) ≤ ``max_hamming``.
+    ``bands`` byte-bands of the fingerprint, then verified with
+    popcount(xor) ≤ ``max_hamming``.
 
-    The band equi-join is the Hamming-ball lookup at scale — no
-    all-pairs comparison; singleton bands are dropped pre-join.
+    With ``max_hamming < bands`` the pigeonhole principle makes the
+    band lookup EXACT (any pair within the Hamming ball must agree on
+    ≥1 full band) — the default (3 < 4) returns precisely the
+    Hamming-≤3 pairs with no all-pairs comparison. Raising
+    ``max_hamming`` past ``bands-1`` trades exactness for recall.
+    Singleton bands are dropped pre-join.
     """
     band_width = bits // bands
     mask = (1 << band_width) - 1

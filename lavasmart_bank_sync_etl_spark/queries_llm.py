@@ -339,16 +339,17 @@ def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
     FROM banded l JOIN banded r
       ON l.band_id = r.band_id AND l.band_val = r.band_val AND l.doc_id < r.doc_id
-    WHERE bit_count(xor(l.simhash, r.simhash)) <= 8
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
     """,
 )
 def dd7_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-band equi-join (pigeonhole Hamming
-    ball lookup) + popcount(xor) ≤ 8 verification over the near-dup
-    corpus — completes the SimHash dedup path (dd5 builds the
-    fingerprints, this pairs them)."""
+    """SimHash near-dup pairs: byte-band equi-join + popcount(xor) ≤ 3
+    verification over the near-dup corpus — with 4 bands the
+    pigeonhole bound makes this the EXACT Hamming-≤3 pair set, no
+    all-pairs comparison (dd5 builds the fingerprints, this pairs
+    them)."""
     sigs = DD.simhash(_near_dup_corpus(spark, sf_dir), bits=32)
-    pairs = DD.simhash_hamming_pairs(sigs, bits=32, bands=4, max_hamming=8)
+    pairs = DD.simhash_hamming_pairs(sigs, bits=32, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
