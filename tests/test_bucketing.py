@@ -1,0 +1,47 @@
+"""Evidence for the SCALE.md merge-core claim: destination tables
+bucketed by the merge key join WITHOUT shuffling either side — the
+physical layout that makes the 100 TB keyed upsert co-located."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lavasmart_bank_sync_etl_spark.sources.tables import read_table
+from tests.test_plans import plan_of
+
+
+@pytest.fixture()
+def bucketed_pair(spark, sf_dir):
+    # tables land in ./spark-warehouse (gitignored); DROP TABLE cleans up
+    src = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("folio"),
+        F.col("o_totalprice").alias("monto"),
+    )
+    dst = src.select("folio", (F.col("monto") + 1).alias("monto_dest"))
+    for name, df in [("t_src_bkt", src), ("t_dst_bkt", dst)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, "folio").sortBy("folio").format("parquet").saveAsTable(name))
+    yield "t_src_bkt", "t_dst_bkt"
+    for name in ("t_src_bkt", "t_dst_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_merge_join_has_no_exchange(spark, bucketed_pair):
+    a, b = bucketed_pair
+    joined = spark.table(a).join(spark.table(b), on="folio", how="full_outer")
+    plan = plan_of(joined)
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    # sanity: the join still returns every key
+    assert joined.count() == spark.table(a).count()
+
+
+def test_unbucketed_same_join_shuffles(spark, sf_dir):
+    src = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("folio"),
+        F.col("o_totalprice").alias("monto"),
+    )
+    dst = src.select("folio", (F.col("monto") + 1).alias("monto_dest"))
+    plan = plan_of(src.join(dst, on="folio", how="full_outer"))
+    assert "Exchange" in plan  # the shuffle bucketing removes

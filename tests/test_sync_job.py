@@ -166,3 +166,47 @@ def test_others_keeps_raw_method(spark, wh):
 def test_backfill_range_validation(spark, wh):
     with pytest.raises(ValueError):
         SyncJob(spark, wh, "2025-11-10", "2025-11-01")
+
+
+def test_banco_monitored_only_for_transfers(spark, wh):
+    """C1 vs C2 (Code.gs:1341-1373): banco is a monitored diff field
+    for transfers but not for cards — cards don't even store it."""
+    run(spark, wh, [row("0-1", 2, banco="SANTANDER"),
+                    row("0-2", 3, metodo="tarjeta", banco="SANTANDER")])
+    counts = run(spark, wh, [row("0-1", 2, banco="BBVA"),
+                             row("0-2", 3, metodo="tarjeta", banco="BBVA")])
+    assert counts.get("update") == 1        # the transfer
+    assert counts.get("unchanged") == 1     # the card ignores banco
+    assert folios(wh, "transfers")["0-1"]["banco"] == "BBVA"
+
+
+def test_banco_change_in_audit_narrative(spark, wh):
+    """C4 (Code.gs:2078-2116): the update audit names the changed
+    field and carries old/new values."""
+    run(spark, wh, [row("0-1", 2, banco="SANTANDER")])
+    run(spark, wh, [row("0-1", 2, banco="BBVA")])
+    entries = [r.asDict() for r in wh.read("audit_log").collect()
+               if r["folio"] == "0-1" and r["accion"] == ACTION_UPDATE]
+    assert len(entries) == 1
+    assert "Banco" in entries[0]["detalle"]
+    assert "SANTANDER" in entries[0]["valores_anteriores"]
+    assert "BBVA" in entries[0]["valores_nuevos"]
+
+
+def test_rerun_after_conflict_reinserts_clean(spark, wh):
+    """Reference semantics after a conflict parks a row: the old-table
+    copy is gone and the review queue is NOT probed by the sync
+    (Code.gs:1101-1212 probes only the 4 targets), so a rerun inserts
+    the row fresh into its new target — without the old human work,
+    which lives on in the review-queue snapshot."""
+    run(spark, wh, [row("0-1", 2)])
+    t = wh.read("transfers").withColumn("concepto_banco", F.lit("SPEI 123"))
+    wh.rewrite("transfers", t)
+    run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])   # → review queue
+    counts = run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])  # rerun
+    assert counts.get("insert") == 1
+    got = folios(wh, "cash")["0-1"]
+    assert got["verificado"] is None or got["verificado"] is False
+    # review snapshot still holds the parked human context
+    rq = {r["folio"]: r.asDict() for r in wh.read("review_queue").collect()}
+    assert rq["0-1"]["estado"] == "Pendiente"
