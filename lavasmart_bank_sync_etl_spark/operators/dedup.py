@@ -190,26 +190,41 @@ def ngram_jaccard_pairs(
     """n-gram Jaccard near-dup: explode shingles, self-join on shingle
     to count intersections, derive |A∪B| from per-doc sizes.
 
-    The shingle equi-join keeps this out of O(n²): only docs sharing a
-    shingle ever meet. Shingles with document-frequency 1 (the vast
-    majority of k-shingles in any real corpus) can't form a pair, so
-    they are dropped before the self-join — same results, a fraction
-    of the join input. At 100 TB, add a band/LSH prefilter
+    Pair generation is grouped, not self-joined: group by shingle,
+    collect the (sorted) posting list, emit each within-list pair via
+    an array expression, then count pairs — one shuffle of the shingle
+    rows instead of a join that re-shuffles both sides, and only docs
+    sharing a shingle ever meet (singleton shingles — the majority —
+    drop out at ``size > 1``). At 100 TB, add a band/LSH prefilter
     (minhash_lsh_candidates) before this exact scorer, and cap
-    pathological stop-shingles (df above a skew threshold) with
-    salting or an AQE skew join.
+    pathological stop-shingles (posting lists past a skew threshold
+    explode quadratically — truncate or salt them).
     """
     sh = _shingle_rows(df, text_col, id_col, k)
-    # |A| must count every shingle (union denominator) — before the df>1 filter
+    # |A| must count every shingle (union denominator) — before any filter
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    shared = sh.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).where(F.col("_df") > 1).drop("_df")
-    a = shared.alias("a")
-    b = shared.alias("b")
+    ids = F.col("ids")
+    groups = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size(ids) > 1)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     inter = (
-        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
