@@ -320,6 +320,100 @@ def a3_daily_totals_by_method(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Free-from-Spark analytics the reference lacks (SURVEY §2.7 note):
+# rollup subtotals, exact percentiles, running windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "a5_rollup_subtotals",
+    sales_cte(
+        """
+        SELECT metodo, strftime(sale_date, '%Y-%m') AS month,
+               ROUND(SUM(monto), 2) AS total, COUNT(*) AS n
+        FROM sales
+        GROUP BY ROLLUP (metodo, strftime(sale_date, '%Y-%m'))
+        """
+    ),
+)
+def a5_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (method → month → grand total) — the
+    multi-level SUMIFS dashboards the reference builds by hand, one
+    aggregate with grouping sets (partial-aggregated like any hash
+    agg)."""
+    s = sales_view(spark, sf_dir)
+    return (
+        s.rollup("metodo", F.date_format("sale_date", "yyyy-MM").alias("month"))
+        .agg(F.round(F.sum("monto"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "a6_quality_percentiles",
+    """
+    WITH q AS (
+      SELECT lang,
+             (least(length(coalesce(text, '')) / 200.0, 1.0)) AS len_score
+      FROM documents
+    )
+    SELECT lang,
+           ROUND(quantile_cont(len_score, 0.5), 4) AS p50,
+           ROUND(quantile_cont(len_score, 0.9), 4) AS p90,
+           ROUND(AVG(len_score), 4) AS mean
+    FROM q GROUP BY lang
+    """,
+)
+def a6_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (corpus quality profiling): Spark's
+    exact ``percentile`` matches DuckDB's ``quantile_cont`` (both
+    linear interpolation). At 100 TB swap to ``approx_percentile``
+    (t-digest sketch, mergeable, one pass) and accept the epsilon —
+    documented trade, not silent."""
+    d = read_table(spark, sf_dir, "documents")
+    len_score = F.least(F.length(F.coalesce(F.col("text"), F.lit(""))) / 200.0, F.lit(1.0))
+    return (
+        d.select("lang", len_score.alias("len_score"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.percentile("len_score", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("len_score", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.avg("len_score"), 4).alias("mean"),
+        )
+    )
+
+
+@query(
+    "w1_running_total",
+    sales_cte(
+        """
+        SELECT folio, cliente, CAST(sale_date AS VARCHAR) AS sale_date_iso,
+               ROUND(SUM(monto) OVER (PARTITION BY cliente
+                                      ORDER BY sale_date, folio
+                                      ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        FROM sales WHERE CAST(folio AS BIGINT) < 5000
+        """
+    ),
+)
+def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer balance — the cumulative-window shape of
+    the reference's bank sheet `Saldo` column (xlsx Banco!E), as one
+    window over (cliente) ordered by (date, key). The frame is pinned
+    to uniqueness so the cumulative sum is deterministic."""
+    from pyspark.sql import Window
+
+    s = sales_view(spark, sf_dir).where(F.col("folio").cast("long") < 5000)
+    w = (
+        Window.partitionBy("cliente")
+        .orderBy(F.col("sale_date").asc(), F.col("folio").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return s.select(
+        "folio", "cliente",
+        F.col("sale_date").cast("string").alias("sale_date_iso"),
+        F.round(F.sum("monto").over(w), 2).alias("running_total"),
+    )
+
+
 # Import side-effect registrations from operator-specific query modules.
 from . import queries_merge  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
