@@ -1,0 +1,110 @@
+"""Command-line entry points — the reference's two triggers as one
+parameterized CLI (SURVEY.md §3.1/§3.2):
+
+    # daily incremental run (window = [today−10, today], Code.gs:649-860)
+    python -m lavasmart_bank_sync_etl_spark.cli sync \
+        --source /data/sales.parquet --warehouse /data/wh
+
+    # arbitrary-range backfill, d/M/yyyy args (Code.gs:873-1093)
+    python -m lavasmart_bank_sync_etl_spark.cli sync \
+        --source /data/sales.csv --format csv --warehouse /data/wh \
+        --start 1/11/2025 --end 30/11/2025
+
+Prints the A4 run summary as one JSON line. Source formats: parquet
+(canonical columns), csv / jsonl (raw spreadsheet-shaped export run
+through the F1-F3 cleaning + P4 quarantine of sources.ingest; reject
+rows are appended to the warehouse ``rejects`` table rather than
+failing the run — requerimientos.md:170 error tolerance).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_LOOKBACK_DAYS = 10  # DIAS_LOOKBACK, Code.gs:22
+
+
+def _parse_dmy(s: str) -> dt.date:
+    """d/M/yyyy, no leading zeros (F1, Code.gs:124-154)."""
+    day, month, year = s.split("/")
+    return dt.date(int(year), int(month), int(day))
+
+
+def load_source(spark: SparkSession, path: str, fmt: str) -> tuple[DataFrame, DataFrame | None]:
+    """(canonical source frame, rejects-or-None). Parquet is assumed
+    already canonical; csv/jsonl go through the cleaning pipeline."""
+    from .sources.ingest import read_sales_csv, read_sales_jsonl, split_rejects
+
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+        rejects = None
+    else:
+        reader = read_sales_csv if fmt == "csv" else read_sales_jsonl
+        good, rejects = split_rejects(reader(spark, path))
+        df = good.withColumnRenamed("metodo_raw", "metodo_pago_raw")
+    if "metodo" not in df.columns:
+        from .operators.classify import classify_method
+
+        raw = "metodo_raw" if "metodo_raw" in df.columns else "metodo_pago_raw"
+        df = df.withColumn("metodo", classify_method(F.col(raw)))
+    if "metodo_raw" not in df.columns:
+        df = df.withColumn("metodo_raw", F.col("metodo_pago_raw"))
+    if "src_row_idx" not in df.columns:
+        # pin D1 scan order explicitly (SURVEY §4): file order within a day
+        df = df.withColumn("src_row_idx", F.monotonically_increasing_id())
+    return df, rejects
+
+
+def cmd_sync(args: argparse.Namespace) -> int:
+    from .plans.sync_job import SyncJob
+    from .session import get_spark
+    from .sources.warehouse import Warehouse
+
+    spark = get_spark("lavasmart-sync")
+    if args.start:
+        start, end = _parse_dmy(args.start), _parse_dmy(args.end or args.start)
+    else:
+        today = dt.date.today()
+        start, end = today - dt.timedelta(days=args.lookback), today
+
+    src, rejects = load_source(spark, args.source, args.format)
+    wh = Warehouse(spark, args.warehouse)
+    n_rejects = 0
+    if rejects is not None:
+        n_rejects = rejects.count()
+        if n_rejects:  # quarantine table: plain append-only parquet
+            rejects.withColumn("rejected_at", F.current_timestamp()).write.mode(
+                "append"
+            ).parquet(f"{args.warehouse}/rejects")
+
+    summary = SyncJob(spark, wh, start, end).run(src)
+    summary["rejects"] = n_rejects
+    summary["window"] = [start.isoformat(), end.isoformat()]
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lavasmart-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    s = sub.add_parser("sync", help="incremental sync / backfill")
+    s.add_argument("--source", required=True, help="source table path")
+    s.add_argument("--format", choices=["parquet", "csv", "jsonl"], default="parquet")
+    s.add_argument("--warehouse", required=True, help="destination warehouse dir")
+    s.add_argument("--start", help="d/M/yyyy backfill start (default: today-lookback)")
+    s.add_argument("--end", help="d/M/yyyy backfill end (default: start or today)")
+    s.add_argument("--lookback", type=int, default=DEFAULT_LOOKBACK_DAYS,
+                   help="daily-run lookback days (DIAS_LOOKBACK)")
+    s.set_defaults(fn=cmd_sync)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

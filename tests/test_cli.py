@@ -1,0 +1,55 @@
+"""CLI entry point: the reference's daily-sync / backfill triggers as
+`python -m lavasmart_bank_sync_etl_spark.cli sync` (function-level —
+no second JVM)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lavasmart_bank_sync_etl_spark.cli import main
+from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+CSV = """folio,fecha,cliente,servicio,monto,metodo_pago,banco
+0-1,2/11/2025,Ana,Sala,"$1,200.50",Transferencia bancaria,SANTANDER
+0-2,3/11/2025,Juan,Secado,$550.00,tarjeta de credito,
+0-3,,SinFecha,Lavado,10,efectivo,
+"""
+
+
+def test_cli_backfill_csv(spark, tmp_path, capsys):
+    src = tmp_path / "sales.csv"
+    src.write_text(CSV)
+    wh_dir = str(tmp_path / "wh")
+
+    rc = main([
+        "sync", "--source", str(src), "--format", "csv",
+        "--warehouse", wh_dir, "--start", "1/11/2025", "--end", "10/11/2025",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["insert"] == 2
+    assert summary["rejects"] == 1
+    assert summary["window"] == ["2025-11-01", "2025-11-10"]
+
+    wh = Warehouse(spark, wh_dir)
+    t = {r["folio"]: r for r in wh.read("transfers").collect()}
+    assert t["0-1"]["monto"] == pytest.approx(1200.50)
+    assert wh.read("cards").count() == 1
+    # quarantined row landed in the rejects table
+    assert spark.read.parquet(f"{wh_dir}/rejects").count() == 1
+
+
+def test_cli_rerun_idempotent(spark, tmp_path, capsys):
+    src = tmp_path / "sales.csv"
+    src.write_text(CSV)
+    wh_dir = str(tmp_path / "wh")
+    args = ["sync", "--source", str(src), "--format", "csv",
+            "--warehouse", wh_dir, "--start", "1/11/2025", "--end", "10/11/2025"]
+    main(args)
+    capsys.readouterr()
+    main(args)
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary.get("insert") is None
+    assert summary["unchanged"] == 2
