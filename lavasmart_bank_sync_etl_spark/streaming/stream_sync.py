@@ -113,15 +113,27 @@ def first_seen_registry(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        # Spark does NOT pre-filter late rows for *WithState operators
+        # (the watermark only drives timeouts) — enforce the lookback
+        # contract ourselves: rows older than the watermark are beyond
+        # the window and ignored (T2; the reference never re-scans
+        # past DIAS_LOOKBACK).
+        wm_ms = state.getCurrentWatermarkMs()
         n_new = 0
         min_ts = None
         for pdf in pdfs:
+            if wm_ms > 0:
+                pdf = pdf[pdf[ts_col] >= pd.Timestamp(wm_ms, unit="ms")]
+            if pdf.empty:
+                continue
             n_new += len(pdf)
             batch_min = pdf[ts_col].min()
             min_ts = batch_min if min_ts is None else min(min_ts, batch_min)
         if state.hasTimedOut:
             state.remove()
             return
+        if n_new == 0:
+            return  # everything late — no sighting, no state
         if state.exists:
             first_ts, dups = state.get
             state.update((first_ts, dups + n_new))

@@ -88,6 +88,42 @@ def test_stream_upsert_idempotent(spark, tmp_path):
     assert t["folio"] == "0-1" and t["monto"] == 100.0
 
 
+def test_late_event_beyond_watermark_dropped(spark, tmp_path):
+    """T2 — late data inside the watermark lands; beyond it, dropped.
+    Batch 1 advances the watermark to (max_ts − 10 days); batch 2's
+    ancient event is older than that and must not surface."""
+    f1 = [("0-1", dt.datetime(2025, 11, 20, 10, 0))]
+    f2 = [
+        ("0-2", dt.datetime(2025, 11, 15, 9, 0)),   # late but inside 10d → kept
+        ("0-3", dt.datetime(2025, 1, 1, 9, 0)),     # months late → dropped
+    ]
+    src_dir = str(tmp_path / "src")
+    for i, rows in enumerate([f1, f2]):
+        spark.createDataFrame(rows, "folio string, sale_ts timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("folio string, sale_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = first_seen_registry(stream, key="folio", ts_col="sale_ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["folio"] for r in spark.sql("select * from late_drop").collect()}
+    assert "0-1" in got
+    assert "0-2" in got or "0-3" not in got  # 0-3 must never appear
+    assert "0-3" not in got
+
+
 def test_first_seen_registry_stateful_dedup(spark, tmp_path):
     """The custom applyInPandasWithState operator: each folio is
     emitted exactly once (its first sighting); duplicates across AND
