@@ -37,6 +37,34 @@ def test_bucketed_merge_join_has_no_exchange(spark, bucketed_pair):
     assert joined.count() == spark.table(a).count()
 
 
+def test_month_partition_pruning(spark, sf_dir, tmp_path):
+    """S1: a month-partitioned source + window predicate prunes
+    partitions at planning time — the reference's 'open only the
+    month tabs in the window' (Code.gs:701-714) done by Catalyst."""
+    src = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("folio"),
+        F.col("o_orderdate").cast("date").alias("sale_date"),
+        F.col("o_totalprice").alias("monto"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("month"),
+    )
+    part_dir = str(tmp_path / "sales_by_month")
+    src.write.partitionBy("month").parquet(part_dir)
+
+    from lavasmart_bank_sync_etl_spark.operators.classify import window_filter
+
+    windowed = window_filter(
+        spark.read.parquet(part_dir).where(
+            F.col("month").between("1998-01", "1998-12")
+        ),
+        "1998-01-01", "1998-12-31",
+    )
+    plan = plan_of(windowed.groupBy("month").count())
+    assert "PartitionFilters" in plan
+    assert "1998" in plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    got_months = {r["month"] for r in windowed.select("month").distinct().collect()}
+    assert got_months and all(m.startswith("1998") for m in got_months)
+
+
 def test_unbucketed_same_join_shuffles(spark, sf_dir):
     src = read_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("folio"),
