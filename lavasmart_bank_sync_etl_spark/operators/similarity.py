@@ -148,12 +148,13 @@ def ivf_cells(
         seeded.crossJoin(F.broadcast(centroids))
         .select("vid", "vec", "cell", cosine(F.col("vec"), F.col("cvec")).alias("cscore"))
     )
-    w = Window.partitionBy("vid").orderBy(F.col("cscore").desc(), F.col("cell").asc())
-    assignment = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .select("vid", "vec", "cell")
-    )
+    # argmax as a hash aggregate, not a window: max over the ordering
+    # struct (cscore asc-major, -cell minor) == (score desc, cell asc)
+    # tie-break, with map-side partials instead of a corpus-wide sort
+    assignment = scored.groupBy("vid").agg(
+        F.first("vec").alias("vec"),  # identical within the group
+        F.max_by("cell", F.struct(F.col("cscore"), (-F.col("cell")).alias("nc"))).alias("cell"),
+    ).select("vid", "vec", "cell")
     return centroids, assignment
 
 
