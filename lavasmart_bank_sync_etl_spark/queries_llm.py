@@ -736,7 +736,9 @@ def st3_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream_dir = tempfile.mkdtemp(prefix="st3_src_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet"))
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from .sources.tables import read_parquet_robust
+
+    raw_schema = read_parquet_robust(spark, f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
         ts = F.timestamp_micros(F.expr("ts div 1000"))

@@ -22,8 +22,27 @@ TABLE_NAMES = [
 ]
 
 
+def read_parquet_robust(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that survives TIMESTAMP(NANOS) columns in a session
+    that wasn't configured for them. Our own session sets
+    ``spark.sql.legacy.parquet.nanosAsLong`` up front, but the driver
+    invokes ``queries()`` with ITS session — which fails on the events
+    table with PARQUET_TYPE_ILLEGAL unless the (runtime-settable)
+    legacy conf is flipped. Self-heal instead of assuming the caller's
+    session."""
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force footer/schema resolution now
+        return df
+    except Exception as ex:  # noqa: BLE001 — match on the Spark error class
+        if "PARQUET_TYPE_ILLEGAL" not in str(ex) and "Illegal Parquet type" not in str(ex):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = read_parquet_robust(spark, f"{sf_dir}/{name}.parquet")
     # events.ts arrives as TIMESTAMP(NANOS) → long (nanosAsLong); convert
     # via integer division so the ~1.7e18 values never pass through a double
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
