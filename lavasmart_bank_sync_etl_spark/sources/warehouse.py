@@ -1,10 +1,29 @@
 """Warehouse storage (SURVEY.md §2.1 S3-S9): parquet-backed logical
-tables with create-if-missing DDL, append sinks, and atomic-enough
-rewrite (write tmp → swap) for the merge targets.
+tables with create-if-missing DDL, append sinks, and a **versioned
+commit protocol** for the merge-target rewrites.
 
-Plain parquet keeps the engine dependency-free; on a cluster with
-Delta/Iceberg available, ``rewrite_target`` becomes a single
-``MERGE INTO`` and this module shrinks to table registration.
+Layout per table::
+
+    root/<table>/
+        v_00000001/        immutable parquet snapshot
+        v_00000002/
+        _CURRENT           text pointer → the live snapshot name
+
+A rewrite writes the next ``v_*`` snapshot in full, then atomically
+replaces ``_CURRENT`` (``os.replace`` of a one-line file — POSIX
+rename atomicity). Readers resolve the pointer first, so a crashed
+write leaves a dangling snapshot dir but NEVER a truncated or
+half-visible table — the poor-man's Delta/Iceberg commit. Retained
+snapshots give time travel (``read_version``/``history``) until
+``vacuum`` prunes them; ``compact`` rewrites the current state into a
+target file count as a new version (small-file management).
+
+Append-only tables (audit log, review queue) append into the current
+snapshot dir: appends are monotone additions, and their durability
+story is the sink write itself, matching the reference's append-only
+sheets. Single-writer by design (the reference is one daily trigger);
+a multi-writer deployment should swap this module for Delta/Iceberg —
+the SyncJob semantics (MERGE with protected columns) are unchanged.
 """
 
 from __future__ import annotations
@@ -28,10 +47,12 @@ ALL_TABLES: dict[str, StructType] = {
 #: S9 — legacy rename migration (Code.gs:247-258).
 LEGACY_RENAMES = {"conciliacion_bancaria": "transfers"}
 
+_CURRENT = "_CURRENT"
+
 
 class Warehouse:
-    """A directory of parquet tables with the reference's DDL
-    semantics."""
+    """A directory of versioned parquet tables with the reference's
+    DDL semantics."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -43,6 +64,42 @@ class Warehouse:
     def exists(self, table: str) -> bool:
         return os.path.isdir(self.path(table))
 
+    # -- version bookkeeping ------------------------------------------
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self.path(table), _CURRENT)
+
+    def current_version(self, table: str) -> str | None:
+        try:
+            with open(self._pointer(table)) as f:
+                return f.read().strip()
+        except FileNotFoundError:
+            return None
+
+    def history(self, table: str) -> list[str]:
+        """All retained snapshot names, oldest first."""
+        if not self.exists(table):
+            return []
+        return sorted(v for v in os.listdir(self.path(table)) if v.startswith("v_"))
+
+    def _next_version(self, table: str) -> str:
+        hist = self.history(table)
+        n = int(hist[-1][2:]) + 1 if hist else 1
+        return f"v_{n:08d}"
+
+    def _data_path(self, table: str) -> str:
+        cur = self.current_version(table)
+        if cur is None:
+            return self.path(table)  # pre-versioning layout fallback
+        return os.path.join(self.path(table), cur)
+
+    def _commit(self, table: str, version: str) -> None:
+        """Atomically repoint ``_CURRENT`` at ``version``."""
+        tmp = self._pointer(table) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer(table))
+
+    # -- DDL -----------------------------------------------------------
     def migrate_legacy(self) -> None:
         """S9 — one-shot rename of legacy table directories."""
         for old, new in LEGACY_RENAMES.items():
@@ -53,35 +110,56 @@ class Warehouse:
         """S7 — create-if-missing with the canonical schema
         (Code.gs:289-329 et al.)."""
         if not self.exists(table):
+            v = "v_00000001"
             empty = self.spark.createDataFrame([], ALL_TABLES[table])
-            empty.write.mode("overwrite").parquet(self.path(table))
+            empty.write.mode("overwrite").parquet(os.path.join(self.path(table), v))
+            self._commit(table, v)
 
+    # -- IO ------------------------------------------------------------
     def read(self, table: str) -> DataFrame:
-        """S2 — destination scan. S8's header validation becomes schema
-        enforcement: read under the canonical schema."""
+        """S2 — destination scan of the CURRENT snapshot. S8's header
+        validation becomes schema enforcement: read under the
+        canonical schema."""
         self.ensure(table)
-        return self.spark.read.schema(ALL_TABLES[table]).parquet(self.path(table))
+        return self.spark.read.schema(ALL_TABLES[table]).parquet(self._data_path(table))
 
-    def append(self, table: str, df: DataFrame) -> None:
-        """S3/S5/S6 — batch append sink."""
-        self.ensure(table)
-        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode("append").parquet(
-            self.path(table)
+    def read_version(self, table: str, version: str) -> DataFrame:
+        """Time travel: read a retained snapshot by name."""
+        return self.spark.read.schema(ALL_TABLES[table]).parquet(
+            os.path.join(self.path(table), version)
         )
 
+    def append(self, table: str, df: DataFrame) -> None:
+        """S3/S5/S6 — batch append sink into the current snapshot."""
+        self.ensure(table)
+        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode("append").parquet(
+            self._data_path(table)
+        )
+        self.spark.catalog.refreshByPath(self._data_path(table))
+
     def rewrite(self, table: str, df: DataFrame) -> None:
-        """S4 — full-state rewrite via tmp-dir swap, so a failed write
-        never truncates the target (SURVEY §7.3 risk note)."""
-        tmp = self.path(table) + ".tmp"
-        final = self.path(table)
-        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode("overwrite").parquet(tmp)
-        old = final + ".old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        if os.path.isdir(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        # drop any cached file listing for the swapped directory
-        self.spark.catalog.refreshByPath(final)
+        """S4 — full-state rewrite as a NEW snapshot + atomic pointer
+        commit; a failed write never truncates or half-exposes the
+        target (SURVEY §7.3 risk note)."""
+        self.ensure(table)
+        v = self._next_version(table)
+        dest = os.path.join(self.path(table), v)
+        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
+            "overwrite"
+        ).parquet(dest)
+        self._commit(table, v)
+        self.spark.catalog.refreshByPath(dest)
+
+    # -- maintenance ---------------------------------------------------
+    def compact(self, table: str, num_files: int = 1) -> None:
+        """Small-file management: rewrite the current state into
+        ``num_files`` files as a new snapshot (the OPTIMIZE analog)."""
+        self.rewrite(table, self.read(table).coalesce(num_files))
+
+    def vacuum(self, table: str, keep: int = 2) -> None:
+        """Prune old snapshots, retaining the latest ``keep`` (the
+        current snapshot is always retained)."""
+        cur = self.current_version(table)
+        candidates = [v for v in self.history(table) if v != cur]
+        for v in candidates[: max(0, len(candidates) - (keep - 1))]:
+            shutil.rmtree(os.path.join(self.path(table), v))

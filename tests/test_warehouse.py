@@ -1,0 +1,84 @@
+"""Versioned warehouse commit protocol: atomic pointer swap, time
+travel, crash safety, compaction, vacuum."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+
+def _folio_rows(wh, table="transfers", version=None):
+    df = wh.read(table) if version is None else wh.read_version(table, version)
+    return {r["folio"]: r["monto"] for r in df.collect()}
+
+
+def _seed(wh, monto):
+    base = wh.read("transfers").sparkSession.createDataFrame(
+        [("0-1", monto)], "folio string, monto double"
+    )
+    full = base.select(
+        "folio",
+        F.lit("2025-11-02").cast("date").alias("fecha"),
+        F.lit("Ana").alias("cliente"), F.lit("Sala").alias("servicio"),
+        F.lit("SANTANDER").alias("banco"), "monto",
+        F.lit(None).cast("boolean").alias("conciliado"),
+        F.lit(None).cast("string").alias("concepto_banco"),
+        F.lit(None).cast("string").alias("observaciones"),
+    )
+    wh.rewrite("transfers", full)
+
+
+def test_rewrite_creates_versions_and_time_travel(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed(wh, 100.0)
+    v1 = wh.current_version("transfers")
+    _seed(wh, 200.0)
+    v2 = wh.current_version("transfers")
+    assert v1 != v2
+    assert _folio_rows(wh)["0-1"] == 200.0
+    assert _folio_rows(wh, version=v1)["0-1"] == 100.0  # time travel
+
+
+def test_crashed_write_leaves_current_intact(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed(wh, 100.0)
+    cur = wh.current_version("transfers")
+    # simulate a crashed writer: orphan snapshot dir, no pointer commit
+    orphan = os.path.join(wh.path("transfers"), wh._next_version("transfers"))
+    os.makedirs(orphan)
+    assert wh.current_version("transfers") == cur
+    assert _folio_rows(wh)["0-1"] == 100.0
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed(wh, 100.0)
+    _seed(wh, 200.0)
+    _seed(wh, 300.0)
+    wh.compact("transfers", num_files=1)
+    assert _folio_rows(wh)["0-1"] == 300.0
+    data = [f for f in os.listdir(wh._data_path("transfers")) if f.endswith(".parquet")]
+    assert len(data) == 1
+    n_before = len(wh.history("transfers"))
+    wh.vacuum("transfers", keep=2)
+    hist = wh.history("transfers")
+    assert len(hist) == 2 < n_before
+    assert wh.current_version("transfers") in hist
+    assert _folio_rows(wh)["0-1"] == 300.0  # current unaffected
+
+
+def test_append_visible_in_current(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.ensure("audit_log")
+    ts = F.current_timestamp()
+    entry = spark.range(1).select(
+        ts.alias("ts"), F.lit("0-1").alias("folio"), F.lit("NUEVO").alias("accion"),
+        F.lit("d").alias("detalle"),
+        F.lit("").alias("valores_anteriores"), F.lit("").alias("valores_nuevos"),
+    )
+    wh.append("audit_log", entry)
+    wh.append("audit_log", entry)
+    assert wh.read("audit_log").count() == 2
