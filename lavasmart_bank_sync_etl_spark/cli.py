@@ -90,6 +90,24 @@ def cmd_sync(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_maintain(args: argparse.Namespace) -> int:
+    from .session import get_spark
+    from .sources.warehouse import ALL_TABLES, Warehouse
+
+    spark = get_spark("lavasmart-maintain")
+    wh = Warehouse(spark, args.warehouse)
+    tables = args.tables or [t for t in ALL_TABLES if wh.exists(t)]
+    report = {}
+    for t in tables:
+        if args.compact:
+            wh.compact(t, num_files=args.num_files)
+        if args.vacuum:
+            wh.vacuum(t, keep=args.keep)
+        report[t] = {"current": wh.current_version(t), "versions": len(wh.history(t))}
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lavasmart-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -102,6 +120,16 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--lookback", type=int, default=DEFAULT_LOOKBACK_DAYS,
                    help="daily-run lookback days (DIAS_LOOKBACK)")
     s.set_defaults(fn=cmd_sync)
+
+    m = sub.add_parser("maintain", help="compact small files / vacuum old snapshots")
+    m.add_argument("--warehouse", required=True)
+    m.add_argument("--tables", nargs="*", help="default: every existing table")
+    m.add_argument("--compact", action="store_true")
+    m.add_argument("--num-files", type=int, default=1)
+    m.add_argument("--vacuum", action="store_true")
+    m.add_argument("--keep", type=int, default=2)
+    m.set_defaults(fn=cmd_maintain)
+
     args = p.parse_args(argv)
     return args.fn(args)
 

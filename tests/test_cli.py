@@ -41,6 +41,27 @@ def test_cli_backfill_csv(spark, tmp_path, capsys):
     assert spark.read.parquet(f"{wh_dir}/rejects").count() == 1
 
 
+def test_cli_maintain(spark, tmp_path, capsys):
+    src = tmp_path / "sales.csv"
+    src.write_text(CSV)
+    wh_dir = str(tmp_path / "wh")
+    args = ["sync", "--source", str(src), "--format", "csv",
+            "--warehouse", wh_dir, "--start", "1/11/2025", "--end", "10/11/2025"]
+    main(args)
+    # a second sync with a change creates another transfers snapshot
+    src.write_text(CSV.replace("$1,200.50", "$1,300.00"))
+    main(args)
+    capsys.readouterr()
+    rc = main(["maintain", "--warehouse", wh_dir, "--tables", "transfers",
+               "--compact", "--vacuum", "--keep", "2"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["transfers"]["versions"] == 2
+    wh = Warehouse(spark, wh_dir)
+    assert {r["folio"]: r["monto"] for r in wh.read("transfers").collect()}["0-1"] == \
+        pytest.approx(1300.00)
+
+
 def test_cli_rerun_idempotent(spark, tmp_path, capsys):
     src = tmp_path / "sales.csv"
     src.write_text(CSV)
