@@ -98,6 +98,26 @@ def fingerprint(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(normalized_text(col)), 1, 15), 16, 10).cast("long")
 
 
+def chunk_starts(words: Column, chunk_size: int, stride: int) -> Column:
+    """0-based token offsets of each chunk window: 0, stride, 2·stride…
+    while the start is inside the document."""
+    n = F.size(words)
+    last = F.floor((F.greatest(n, F.lit(1)) - 1) / stride).cast("int")
+    return F.transform(F.sequence(F.lit(0), last), lambda i: i * stride)
+
+
+def chunk_texts(words: Column, chunk_size: int = 50, stride: int = 40) -> Column:
+    """Sliding token-window chunks (size ``chunk_size``, overlap
+    ``chunk_size − stride``) as array<string> — the standard context-
+    window split for embedding/pretraining pipelines. Pure array
+    expressions over a MATERIALIZED words column (HOF capture rule,
+    see operators.dedup.shingles_from_words)."""
+    return F.transform(
+        chunk_starts(words, chunk_size, stride),
+        lambda s: F.concat_ws(" ", F.slice(words, s + 1, chunk_size)),
+    )
+
+
 #: modulus for the rolling hash — keeps acc*31 + token_hash < 2^63
 #: under ANSI arithmetic (Spark 4 default) and DuckDB BIGINT alike.
 ROLLING_MOD = 1 << 40

@@ -327,6 +327,75 @@ def dd5_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tx6_chunking",
+    f"""
+    WITH w AS (SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             array_to_string(toks[CAST(i AS INTEGER) * 40 + 1 :
+                                  CAST(i AS INTEGER) * 40 + 50], ' ') AS chunk
+      FROM w, UNNEST(range(0, CAST(floor((greatest(len(toks), 1) - 1) / 40.0) AS BIGINT) + 1)) AS t(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CASE WHEN chunk = '' THEN 0 ELSE len(string_split(chunk, ' ')) END AS n_tokens,
+           md5(chunk) AS chunk_hash
+    FROM c
+    """,
+)
+def tx6_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: sliding 50-token windows with stride 40
+    (10-token overlap) — the context-window split every embedding /
+    pretraining pipeline runs. 1→N explode with bounded fan-out;
+    chunks are hashed so only (id, idx, count, md5) leave the stage."""
+    d = read_table(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id", F.split(DD.normalized_text("text"), " ").alias("_w")
+    ).select(
+        "doc_id", F.posexplode(T.chunk_texts(F.col("_w"), 50, 40)).alias("chunk_idx", "chunk")
+    )
+    n_tok = F.when(F.col("chunk") == "", F.lit(0)).otherwise(F.size(F.split(F.col("chunk"), " ")))
+    return chunks.select(
+        "doc_id", "chunk_idx",
+        n_tok.cast("long").alias("n_tokens"),
+        F.md5(F.col("chunk")).alias("chunk_hash"),
+    )
+
+
+SPLIT_HASH_SQL = HASH64_SQL.format(expr="'split|' || CAST(doc_id AS VARCHAR)") + " % 100"
+
+
+@query(
+    "tx7_deterministic_split",
+    f"""
+    SELECT doc_id, lang, CAST({SPLIT_HASH_SQL} AS BIGINT) AS bucket,
+           CASE WHEN {SPLIT_HASH_SQL} < 80 THEN 'train'
+                WHEN {SPLIT_HASH_SQL} < 90 THEN 'val' ELSE 'test' END AS split,
+           ({SPLIT_HASH_SQL}) < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END) AS sampled
+    FROM documents
+    """,
+)
+def tx7_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus curation: content-stable hash bucket per
+    doc drives (a) train/val/test assignment (80/10/10) and (b) a
+    language-stratified sample (50% en, 10% others) — reproducible
+    across engines and runs, no RNG, no shuffle; the split survives
+    re-partitioning and incremental appends (same id → same split)."""
+    d = read_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return d.select(
+        "doc_id", "lang", bucket.alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+        (bucket < F.when(F.col("lang") == "en", 50).otherwise(10)).alias("sampled"),
+    )
+
+
+@query(
     "dd7_simhash_hamming_pairs",
     f"""
     WITH sigs AS ({_simhash_sql(32, NEAR_DUP_SQL)}),
