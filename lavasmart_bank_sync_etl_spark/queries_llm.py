@@ -361,6 +361,51 @@ def tx6_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tx8_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             CASE WHEN {NORM_SQL} = '' THEN 0
+                  ELSE len(string_split({NORM_SQL}, ' ')) END AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tok, CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id
+    FROM packed
+    """,
+)
+def tx8_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs are packed into ~2048-token training
+    sequences by cumulative token count within deterministic shards —
+    the contiguous pack that turns a ragged corpus into fixed-budget
+    batches. The cumsum window is PARTITIONED by shard so it
+    parallelizes (a global ORDER BY would single-partition the corpus
+    — the anti-pattern at 100 TB); sequences are (shard, pack_id)."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("shard"),
+        T.token_count_ws("text").cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return packed.select(
+        "doc_id", "shard", "n_tok",
+        F.floor(F.col("cum_before") / 2048.0).cast("long").alias("pack_id"),
+    )
+
+
 SPLIT_HASH_SQL = HASH64_SQL.format(expr="'split|' || CAST(doc_id AS VARCHAR)") + " % 100"
 
 
