@@ -417,3 +417,4 @@ def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Import side-effect registrations from operator-specific query modules.
 from . import queries_merge  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
+from . import queries_pipeline  # noqa: E402,F401

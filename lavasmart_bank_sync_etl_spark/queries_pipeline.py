@@ -1,0 +1,303 @@
+"""Driver-facing queries: second wave of large-scale pipeline
+operators — event-time as-of join, benchmark decontamination, PII
+redaction, repetition-based quality signals (Gopher-style), and
+TF-IDF distinctive terms.
+
+Same conventions as queries.py: every computed column aliased
+identically on both sides, floats rounded (2dp money, 4dp ratios)
+before hashing, all synthetic inputs built deterministically from the
+driver's parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.asof import asof_join
+from .operators.dedup import _shingle_rows, normalized_text
+from .queries import query
+from .queries_llm import NORM_SQL, SHINGLES_SQL
+from .sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# J7 — event-time as-of join
+# ---------------------------------------------------------------------------
+
+@query(
+    "j7_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, ROUND(MAX(value), 2) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           ROUND(p.value, 2) AS amount,
+           c.click_value AS last_click_value
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 — as-of join (the engine analog of the reference's
+    human bank-statement matching, SURVEY J5 generalized to event
+    time): each purchase picks up the latest at-or-before click value
+    for the same user. Implemented as the union-window as-of (one
+    shuffle on the key, no inequality join, no cross product): tag
+    both sides, sort (ts, side) within the key, carry the last
+    non-null right value forward. Right side is pre-aggregated per
+    (key, ts) so ties are deterministic in both engines."""
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("amount")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", ts="ts", value_col="click_value"
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "amount",
+        F.col("click_value").alias("last_click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd8 — benchmark decontamination (n-gram containment)
+# ---------------------------------------------------------------------------
+
+BENCH_SQL = "SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 23 = 0"
+
+
+@query(
+    "dd8_decontamination",
+    f"""
+    WITH bench AS ({BENCH_SQL}),
+    bsh AS (SELECT bench_id, unnest({SHINGLES_SQL}) AS shingle FROM bench),
+    bsz AS (SELECT bench_id, COUNT(*) AS bench_sz FROM bsh GROUP BY bench_id),
+    csh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents),
+    hits AS (
+      SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+      FROM csh c JOIN bsh b ON c.shingle = b.shingle
+      GROUP BY c.doc_id, b.bench_id
+    )
+    SELECT h.doc_id, h.bench_id, h.n_shared,
+           ROUND(h.n_shared / s.bench_sz, 4) AS containment
+    FROM hits h JOIN bsz s USING (bench_id)
+    WHERE h.n_shared / s.bench_sz >= 0.8
+    """,
+)
+def dd8_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus documents whose distinct
+    word-3-gram overlap *contains* ≥80% of a benchmark document's
+    shingles (the standard n-gram containment check run before
+    training). The benchmark posting list is tiny relative to the
+    corpus, so it broadcasts — the 100 TB corpus never shuffles; each
+    scan task probes the broadcast shingle set map-side and only the
+    (doc, bench, count) hits move."""
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    bsh = _shingle_rows(bench, "text", "bench_id", 3)
+    bsz = bsh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_sz"))
+    csh = _shingle_rows(docs, "text", "doc_id", 3)
+    hits = (
+        csh.join(F.broadcast(bsh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(F.broadcast(bsz), "bench_id")
+        .where(F.col("n_shared") / F.col("bench_sz") >= 0.8)
+        .select(
+            "doc_id", "bench_id", "n_shared",
+            F.round(F.col("n_shared") / F.col("bench_sz"), 4).alias("containment"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx9 — PII detection & redaction
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+PII_TEXT_SQL = (
+    "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com call 555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "tx9_pii_redaction",
+    f"""
+    WITH p AS (SELECT doc_id, {PII_TEXT_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM p
+    """,
+)
+def tx9_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction: count and mask email addresses and
+    phone-shaped numbers with vectorized regex (no UDF — the whole
+    redaction runs inside the scan stage). PII is planted
+    deterministically from doc_id so both engines see identical
+    inputs; output carries the md5 of the redacted text so the full
+    redacted payload never leaves the stage."""
+    d = read_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx10 — repetition quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tx10_repetition_metrics",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN {NORM_SQL} = '' THEN []::VARCHAR[]
+                  ELSE string_split({NORM_SQL}, ' ') END AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(0, len(toks) - 1),
+                       i -> toks[i+1] || ' ' || toks[i+2])
+                  ELSE []::VARCHAR[] END AS bigrams
+      FROM w
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+           CASE WHEN n > 0
+                THEN ROUND(1.0 - len(list_distinct(toks)) / n, 4)
+                ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN len(bigrams) > 0
+                THEN ROUND(1.0 - len(list_distinct(bigrams)) / len(bigrams), 4)
+                ELSE 0.0 END AS dup_bigram_frac
+    FROM g
+    """,
+)
+def tx10_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 rules):
+    duplicate-word fraction and duplicate-bigram fraction per
+    document. Pure array expressions over one materialized token array
+    — zero shuffle, zero UDF; at 100 TB this is a free rider on the
+    ingest scan alongside tx1-tx4."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    w = d.select(
+        "doc_id",
+        F.when(norm == "", F.array().cast("array<string>"))
+        .otherwise(F.split(norm, " "))
+        .alias("toks"),
+    )
+    n = F.size(F.col("toks"))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("toks"), i + 1),
+                                  F.element_at(F.col("toks"), i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = w.select("doc_id", "toks", n.alias("n"), bigrams.alias("bigrams"))
+    nb = F.size(F.col("bigrams"))
+    return g.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tok"),
+        F.when(F.col("n") > 0,
+               F.round(1.0 - F.size(F.array_distinct("toks")) / F.col("n"), 4))
+        .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(nb > 0, F.round(1.0 - F.size(F.array_distinct("bigrams")) / nb, 4))
+        .otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx11 — TF-IDF distinctive terms per language
+# ---------------------------------------------------------------------------
+
+@query(
+    "tx11_tfidf_top_terms",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, lang, unnest(string_split({NORM_SQL}, ' ')) AS token
+      FROM documents WHERE {NORM_SQL} <> ''
+    ), tfl AS (
+      SELECT lang, token, COUNT(*) AS tf FROM ex GROUP BY lang, token
+    ), dfc AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df_docs FROM ex GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, token, tf, df_docs,
+             ROUND(tf * ln((n_docs + 1.0) / (df_docs + 1.0)), 4) AS tfidf
+      FROM tfl JOIN dfc USING (token) CROSS JOIN n
+    )
+    SELECT lang, token, tf, df_docs, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY tfidf DESC, token ASC) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def tx11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF distinctive terms: top-5 tokens per language by
+    tf·ln((N+1)/(df+1)). Two hash aggregates over the exploded token
+    stream (both partial-aggregated map-side) + one broadcast of the
+    1-row corpus count; the per-language top-k window ranks on the
+    ROUNDED score with a token tie-break so the cutoff is
+    deterministic across engines."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = normalized_text("text")
+    ex = (
+        d.select("doc_id", "lang", norm.alias("_n"))
+        .where(F.col("_n") != "")
+        .select("doc_id", "lang", F.explode(F.split("_n", " ")).alias("token"))
+    )
+    tfl = ex.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = ex.groupBy("token").agg(F.count_distinct("doc_id").alias("df_docs"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tfl.join(dfc, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "lang", "token", "tf", "df_docs",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df_docs") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "token", "tf", "df_docs", "tfidf", "rank")
+    )
