@@ -418,3 +418,5 @@ def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_merge  # noqa: E402,F401
 from . import queries_llm  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
+from . import queries_warehouse  # noqa: E402,F401
+from . import queries_curation  # noqa: E402,F401

@@ -1,0 +1,238 @@
+"""Driver-facing queries: warehouse/reporting wave — pivoted method
+reports, CUBE subtotal lattices, sliding event-time windows, SCD2
+validity intervals built from a change stream, and an
+order-insensitive table fingerprint for sync verification.
+
+These extend the reference's reporting surface (the `totales` sheet
+and per-method tables, SURVEY.md §2.7) with the standard warehouse
+shapes Spark gives us natively; same oracle conventions as
+queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query, sales_cte
+from .sources.tables import read_table, sales_view
+
+# ---------------------------------------------------------------------------
+# A7 — pivoted per-day method report (the `totales` sheet, widened)
+# ---------------------------------------------------------------------------
+
+_METHODS = ["TRANSFERENCIA", "TARJETA", "EFECTIVO", "OTROS"]
+
+
+@query(
+    "a7_method_pivot",
+    sales_cte(
+        """
+        SELECT CAST(sale_date AS VARCHAR) AS sale_date_iso,
+               ROUND(SUM(CASE WHEN metodo = 'TRANSFERENCIA' THEN monto END), 2) AS transferencia,
+               ROUND(SUM(CASE WHEN metodo = 'TARJETA' THEN monto END), 2) AS tarjeta,
+               ROUND(SUM(CASE WHEN metodo = 'EFECTIVO' THEN monto END), 2) AS efectivo,
+               ROUND(SUM(CASE WHEN metodo = 'OTROS' THEN monto END), 2) AS otros
+        FROM sales
+        WHERE sale_date BETWEEN DATE '1998-01-01' AND DATE '1998-12-31'
+        GROUP BY 1
+        """
+    ),
+)
+def a7_method_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — the reference's `totales` sheet as a *wide* report: one row
+    per day, one column per payment method (the xlsx keeps separate
+    per-method sheets; SURVEY A3). ``pivot`` with an explicit value
+    list so the plan is a single hash aggregate — no second pass to
+    discover pivot values, which at 100 TB would be a full extra
+    scan."""
+    s = sales_view(spark, sf_dir).where(
+        F.col("sale_date").between("1998-01-01", "1998-12-31")
+    )
+    wide = (
+        s.groupBy(F.col("sale_date").cast("string").alias("sale_date_iso"))
+        .pivot("metodo", _METHODS)
+        .agg(F.round(F.sum("monto"), 2))
+    )
+    return wide.select(
+        "sale_date_iso",
+        *[F.col(m).alias(m.lower()) for m in _METHODS],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — CUBE subtotal lattice (method × year)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a8_cube_totals",
+    sales_cte(
+        """
+        SELECT CAST(GROUPING(metodo) * 2 + GROUPING(year(sale_date)) AS BIGINT) AS gid,
+               COALESCE(metodo, '(all)') AS metodo_g,
+               CAST(COALESCE(year(sale_date), -1) AS BIGINT) AS yr,
+               COUNT(*) AS n,
+               ROUND(SUM(monto), 2) AS total
+        FROM sales
+        GROUP BY CUBE (metodo, year(sale_date))
+        """
+    ),
+)
+def a8_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — full subtotal lattice over (method, year) via CUBE: grand
+    total, per-method, per-year, and per-cell in ONE aggregation pass
+    (Catalyst expands the grouping sets; partial aggregation still
+    happens map-side, so the 100 TB scan is read once, not four
+    times). The reference computes only the finest cell (A3) and
+    leaves subtotals to spreadsheet formulas; the lattice replaces
+    those formulas. Null grouping keys are disambiguated from real
+    nulls with grouping()."""
+    s = sales_view(spark, sf_dir).withColumn("yr0", F.year("sale_date"))
+    return (
+        s.cube("metodo", "yr0")
+        .agg(
+            (F.grouping("metodo") * 2 + F.grouping("yr0")).cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("monto"), 2).alias("total"),
+        )
+        .select(
+            "gid",
+            F.coalesce(F.col("metodo"), F.lit("(all)")).alias("metodo_g"),
+            F.coalesce(F.col("yr0"), F.lit(-1)).cast("long").alias("yr"),
+            "n",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST4 — sliding (hopping) event-time windows
+# ---------------------------------------------------------------------------
+
+@query(
+    "st4_sliding_window",
+    """
+    WITH ex AS (
+      SELECT ts, value, unnest([0, 1, 2]) AS k FROM events
+    )
+    SELECT strftime(make_timestamp(
+             (CAST(floor(epoch(ts) / 300) AS BIGINT) - k) * 300 * 1000000),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total
+    FROM ex
+    GROUP BY 1
+    """,
+)
+def st4_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 — sliding windows (15-minute size, 5-minute slide) over
+    event time: each event lands in exactly 3 overlapping windows.
+    Spark's ``window()`` does the 1→3 expansion inside the aggregate
+    (epoch-aligned starts); the same query under ``readStream`` with a
+    watermark is the streaming rollup (the tumbling twin is ST1). The
+    oracle expands windows arithmetically — both engines align buckets
+    to the epoch, so starts agree exactly."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — SCD2 validity intervals from a change stream
+# ---------------------------------------------------------------------------
+
+@query(
+    "j8_scd2_intervals",
+    """
+    WITH ch AS (
+      SELECT user_id, ts, ROUND(MAX(value), 2) AS attr_value
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id, ts
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           attr_value,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL) AS is_current
+    FROM ch
+    """,
+)
+def j8_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 — slowly-changing-dimension (type 2) build: turn a keyed
+    change stream into validity intervals ``[valid_from, valid_to)``
+    with an ``is_current`` flag — the dimension-table twin of the
+    reference's audit log (SURVEY S5 records the changes; this
+    reconstructs historical state from them). One window per key
+    (lead), parallel across keys; ties collapsed by a pre-aggregate
+    per (key, ts) so interval edges are deterministic."""
+    e = read_table(spark, sf_dir, "events")
+    ch = (
+        e.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("attr_value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = F.lead("ts").over(w)
+    return ch.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "attr_value",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CH1 — order-insensitive table fingerprint (sync verification)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ch1_sync_fingerprint",
+    sales_cte(
+        """
+        SELECT strftime(sale_date, '%Y-%m') AS month,
+               COUNT(*) AS n_rows,
+               bit_xor(CAST(('0x' || substr(md5(
+                 folio || '|' || CAST(sale_date AS VARCHAR) || '|' ||
+                 CAST(CAST(round(monto * 100) AS BIGINT) AS VARCHAR) || '|' || metodo
+               ), 1, 15)) AS BIGINT)) AS xor_fingerprint,
+               SUM(CAST(round(monto * 100) AS BIGINT)) AS total_cents
+        FROM sales
+        GROUP BY 1
+        """
+    ),
+)
+def ch1_sync_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH1 — per-partition sync fingerprint: row count, XOR of a
+    60-bit row digest, and an exact cents total per month. This is how
+    a source↔destination sync (the reference's whole purpose) is
+    *verified* at 100 TB without moving data: both sides compute the
+    same commutative digest independently and compare 1 row per
+    partition. XOR makes the digest order-insensitive and
+    overflow-free; money is digested in integer cents so float
+    formatting can never skew it. Fully map-side partial-aggregated."""
+    s = sales_view(spark, sf_dir)
+    cents = F.round(F.col("monto") * 100).cast("long")
+    row_repr = F.concat_ws(
+        "|", F.col("folio"), F.col("sale_date").cast("string"),
+        cents.cast("string"), F.col("metodo"),
+    )
+    h60 = F.conv(F.substring(F.md5(row_repr), 1, 15), 16, 10).cast("long")
+    prepped = s.select(
+        F.date_format("sale_date", "yyyy-MM").alias("month"),
+        cents.alias("cents"),
+        h60.alias("h60"),
+    )
+    return prepped.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h60)").alias("xor_fingerprint"),
+        F.sum("cents").alias("total_cents"),
+    )
