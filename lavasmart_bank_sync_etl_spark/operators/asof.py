@@ -66,3 +66,35 @@ def asof_join(
         value_col, F.last(value_col, ignorenulls=True).over(w)
     )
     return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+) -> DataFrame:
+    """Interval (range) join: all right rows with
+    ``left.ts - lookback <= right.ts <= left.ts`` per key — the
+    one-to-many sibling of :func:`asof_join` (that one keeps only the
+    latest match; this keeps the whole window).
+
+    The join condition is an equi-key plus a *bounded* time range, so
+    Spark executes it as a hash join on ``key`` with the range as a
+    residual filter — never a cross product — and, critically, the
+    SAME expression is a valid **stream-stream join**: with watermarks
+    on both sides the two-sided bound lets Spark age out join state
+    (unbounded-side stream-stream joins retain state forever). Batch
+    and streaming share this code path.
+
+    ``left_ts`` and ``right_ts`` must be distinct column names (the
+    output carries both).
+    """
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (right[right_ts] <= left[left_ts])
+    )
+    return left.join(right, cond, "inner").drop(right[key])

@@ -301,3 +301,59 @@ def tx11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("lang", "token", "tf", "df_docs", "tfidf", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST5 / J9 — interval (range) join, the stream-stream join shape
+# ---------------------------------------------------------------------------
+
+@query(
+    "st5_interval_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts, ROUND(value, 2) AS amount
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS click_ts, ROUND(MAX(value), 2) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_str,
+           strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts_str,
+           p.amount, c.click_value
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.click_ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.click_ts <= p.ts
+    """,
+)
+def st5_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 — interval (range) join: every click within the 30 minutes
+    before a purchase, per user (attribution window). Where J7 keeps
+    only the *latest* prior click, this keeps the full window — the
+    one-to-many range-join shape. Executed as a hash join on user_id
+    with the time range as a residual filter (no cross product); the
+    identical expression runs as a watermarked stream-stream join
+    (tests/test_streaming.py::test_stream_stream_interval_join), the
+    bounded range being what lets Spark expire join state."""
+    from .operators.asof import interval_join
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("amount")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.round(F.max("value"), 2).alias("click_value"))
+    )
+    joined = interval_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="click_ts",
+        lookback="30 minutes",
+    )
+    return joined.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_str"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_str"),
+        "amount", "click_value",
+    )

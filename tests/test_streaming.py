@@ -162,3 +162,56 @@ def test_first_seen_registry_stateful_dedup(spark, tmp_path):
     assert got["0-1"]["first_ts"] == dt.datetime(2025, 11, 3, 10, 0)
     assert got["0-1"]["n_dups_dropped"] == 1  # the same-batch dup
     assert got["0-2"]["n_dups_dropped"] == 0
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """The st5 interval join, run as a watermarked stream-stream join:
+    both sides file streams, two-sided time bound so join state can be
+    aged out; availableNow output must equal the batch join."""
+    from lavasmart_bank_sync_etl_spark.operators.asof import interval_join
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("amount")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    p_dir, c_dir = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.write.parquet(p_dir)
+    clicks.write.parquet(c_dir)
+
+    p_stream = (
+        spark.readStream.schema(purchases.schema).parquet(p_dir)
+        .withWatermark("ts", "1 hour")
+    )
+    c_stream = (
+        spark.readStream.schema(clicks.schema).parquet(c_dir)
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = interval_join(
+        p_stream, c_stream, key="user_id", left_ts="ts", right_ts="click_ts",
+        lookback="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["event_id"], r["click_ts"].isoformat())
+        for r in spark.sql("select event_id, click_ts from ssj").collect()
+    )
+    expected = sorted(
+        (r["event_id"], r["click_ts"].isoformat())
+        for r in interval_join(
+            purchases, clicks, key="user_id", left_ts="ts", right_ts="click_ts",
+            lookback="30 minutes",
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
