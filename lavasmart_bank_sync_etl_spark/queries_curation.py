@@ -274,3 +274,186 @@ def tx13_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("url").contains("utm_"), 1)).alias("n_utm"),
         F.count_distinct("path").alias("n_paths"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ss4 — int8 scalar quantization of embeddings
+# ---------------------------------------------------------------------------
+
+@query(
+    "ss4_scalar_quantization",
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    mm AS (
+      SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax,
+             (list_max(v) - list_min(v)) / 255.0 AS scale
+      FROM e
+    )
+    SELECT vec_id, vmin, vmax,
+           CASE WHEN scale = 0 THEN 0.0 ELSE
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(v, x ->
+                   (x - (vmin + floor((x - vmin) / scale) * scale)) ^ 2)),
+               (acc, d) -> acc + d)
+           END AS sse
+    FROM mm
+    """,
+)
+def ss4_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss4 — int8 scalar quantization of the embedding column: map
+    each dimension onto a per-vector [vmin, vmax] 256-level grid and
+    report the squared reconstruction error — the memory-bandwidth
+    play behind every large-scale ANN index (4× smaller vectors →
+    4× more candidates per second). Pure array expressions (no UDF,
+    no shuffle — a free rider on the scan); the error fold is a left
+    fold in both engines so the doubles match bitwise. floor() codes
+    (not round) keep tie behavior engine-independent."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    mm = e.select(
+        "vec_id", "v",
+        F.array_min("v").alias("vmin"),
+        F.array_max("v").alias("vmax"),
+        ((F.array_max("v") - F.array_min("v")) / 255.0).alias("scale"),
+    )
+    err = F.aggregate(
+        F.transform(
+            F.col("v"),
+            lambda x: F.pow(
+                x - (F.col("vmin") + F.floor((x - F.col("vmin")) / F.col("scale")) * F.col("scale")),
+                F.lit(2),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    return mm.select(
+        "vec_id", "vmin", "vmax",
+        F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(err).alias("sse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ss5 — per-label embedding centroids (long format)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ss5_label_centroids",
+    """
+    WITH x AS (
+      SELECT label, i AS dim,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           ROUND(SUM(fx) / 10000000.0 / COUNT(*), 4) + 0.0 AS centroid,
+           COUNT(*) AS n
+    FROM x GROUP BY label, dim
+    """,
+)
+def ss5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ss5 — per-label centroid vectors in long (label, dim, value)
+    form: the class prototypes used for centroid classifiers, IVF
+    coarse training seeds, and embedding-drift monitoring. posexplode
+    + one hash aggregate — partial aggregation happens map-side, so
+    the shuffle is |labels|×|dims| rows regardless of corpus size
+    (the wide-format alternative — collect_list per label — would
+    funnel whole vectors through one reducer per label). Values are
+    aggregated in integer fixed-point (×1e7): the integer sum is
+    order-independent, so Spark's partial-agg order and DuckDB's
+    sequential order produce the identical double before rounding —
+    centroids near 0 would otherwise straddle the 4dp boundary (and
+    `+ 0.0` canonicalizes -0.0)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).select(
+        "label", (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("val").cast("double") * 10000000).cast("long").alias("fx"),
+    )
+    return x.groupBy("label", "dim").agg(
+        (F.round(F.sum("fx") / 10000000.0 / F.count(F.lit(1)), 4) + 0.0).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx14 — quality deciles (curriculum bucketing)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tx14_quality_deciles",
+    None,  # placeholder replaced below with the tx3-derived oracle
+)
+def tx14_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx14 — curriculum bucketing: ntile(10) over the tx3 quality
+    score (ties broken by doc_id so the decile cut is deterministic).
+    Data-curation pipelines sample training mixes by these buckets
+    (e.g. upsample the top deciles); one window over a global order —
+    at 100 TB the same bucketing is done per-shard or via
+    approx-quantile cutoffs instead of a global sort, which is why the
+    decile boundaries, not row ranks, are the contract."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", T.quality_score("text").alias("quality"))
+    w = W.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id", "quality",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tx15 — per-domain cap sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "tx15_domain_cap_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5('cap|' || CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS pick_rank
+      FROM documents
+    )
+    SELECT doc_id, source, pick_rank FROM r WHERE pick_rank <= 20
+    """,
+)
+def tx15_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx15 — per-domain sampling cap: keep at most 20 documents per
+    source, chosen by a deterministic hash order (md5 of a salted
+    doc_id) — the anti-domination rule that stops one crawl domain
+    from flooding the training mix, reproducible across runs and
+    engines (no rand()). One window partitioned by domain; at 100 TB
+    the same hash order makes the cap embarrassingly parallel."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("cap|"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= 20)
+    )
+
+
+# tx14's oracle reuses tx3's quality expression verbatim (single
+# source of truth: the registered tx3 oracle).
+from .queries import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["tx14_quality_deciles"] = f"""
+    WITH scored AS ({_ORACLES["tx3_quality_score"]})
+    SELECT doc_id, quality,
+           CAST(ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS decile
+    FROM scored
+"""

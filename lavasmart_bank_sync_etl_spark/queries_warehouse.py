@@ -236,3 +236,43 @@ def ch1_sync_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h60)").alias("xor_fingerprint"),
         F.sum("cents").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SK1 — salted aggregation over a hot key
+# ---------------------------------------------------------------------------
+
+@query(
+    "sk1_salted_hot_key_agg",
+    """
+    SELECT event_type, COUNT(*) AS value_count, ROUND(SUM(value), 2) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def sk1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK1 — two-phase salted aggregation on a pathologically-hot key
+    (event_type has a handful of values, so a plain groupBy funnels
+    the whole table into ≤|types| reducers). The salted form
+    (operators/skew.py) pre-aggregates on (key, salt) across 16
+    reducers per key, then combines partials — same algebra, even
+    load. The oracle is the plain GROUP BY: salting must be
+    semantics-free. The reference's analog is its per-method routing:
+    4 payment methods = 4 hot keys at 100 TB."""
+    from .operators.skew import salted_agg
+
+    e = read_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e.select("event_type", "value"),
+        key_cols=["event_type"],
+        aggs={"value": "sum"},
+        num_salts=16,
+    )
+    # salted_agg emits value_sum; counts need their own pass through the
+    # same machinery (count is sum of per-salt counts)
+    counts = salted_agg(
+        e.select("event_type"), key_cols=["event_type"], aggs={"event_type": "count"},
+        num_salts=16,
+    ).withColumnRenamed("event_type_count", "value_count")
+    return counts.join(out, "event_type").select(
+        "event_type", "value_count", F.round("value_sum", 2).alias("value_sum")
+    )
