@@ -43,37 +43,39 @@ def connected_components(
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .unionByName(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # Each node offers its current label to every neighbor; a node
         # keeps the minimum of its own label and all offered labels.
-        offered = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), F.col("comp")
+        # The changed flag rides along in the same pass, so one job per
+        # sweep both advances the labels (materializing the lazy
+        # checkpoint, which truncates lineage) and tests convergence.
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("nbr_min"))
         )
         new_labels = (
-            labels.select("node", "comp")
-            .unionByName(offered)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nbr_min", "comp")).alias("comp"),
+                (F.coalesce("nbr_min", "comp") < F.col("comp")).alias("_chg"),
+            )
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_chg").limit(1).count()
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

@@ -457,3 +457,71 @@ _ORACLES["tx14_quality_deciles"] = f"""
            CAST(ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS decile
     FROM scored
 """
+
+
+# ---------------------------------------------------------------------------
+# ml1 — deterministic Lloyd k-means (IVF coarse-quantizer training)
+# ---------------------------------------------------------------------------
+
+_DIST_SQL = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len(v) + 1), "
+    "i -> (v[i] - c[i]) * (v[i] - c[i]))), (acc, x) -> acc + x)"
+)
+
+@query(
+    "ml1_kmeans_assign",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v AS c
+      FROM vecs ORDER BY vid LIMIT 8
+    ),
+    d0 AS (SELECT vid, v, cid, {_DIST_SQL} AS d FROM vecs, c0),
+    a0 AS (
+      SELECT vid, v, cid FROM (
+        SELECT vid, v, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
+        FROM d0) WHERE rn = 1
+    ),
+    ex AS (
+      SELECT cid AS cluster, i - 1 AS dim,
+             CAST(round(v[CAST(i AS INTEGER)] * 10000000) AS BIGINT) AS fx
+      FROM a0, UNNEST(range(1, len(v) + 1)) AS t(i)
+    ),
+    m AS (
+      SELECT cluster, dim, SUM(fx) / 10000000.0 / COUNT(*) AS m
+      FROM ex GROUP BY cluster, dim
+    ),
+    c1 AS (SELECT cluster AS cid, list(m ORDER BY dim) AS c FROM m GROUP BY cluster),
+    d1 AS (SELECT vid, cid, {_DIST_SQL} AS d FROM vecs, c1),
+    a1 AS (
+      SELECT vid, cid AS cluster FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    sz AS (SELECT cluster, COUNT(*) AS n_members FROM a1 GROUP BY cluster)
+    SELECT a1.vid AS vec_id, CAST(a1.cluster AS BIGINT) AS cluster, sz.n_members
+    FROM a1 JOIN sz USING (cluster)
+    """,
+)
+def ml1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml1 — Lloyd k-means (k=8, 2 iterations) over the embedding
+    column: the iterative-ML training loop (IVF coarse quantizers,
+    topic bucketing) as pure DataFrame ops, oracle-checked EXACTLY
+    across engines. Determinism engineering (operators/clustering.py):
+    fixed seed rows, left-fold distances (bitwise-equal doubles),
+    integer fixed-point centroid averaging (shuffle-order-proof), id
+    tie-breaks. Per iteration: one broadcast join (k centroid rows)
+    against the never-collected vector table + one k·dims hash
+    aggregate — corpus size only affects the scan."""
+    from .operators.clustering import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = kmeans_assign(emb, k=8, iters=2)
+    return out.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster"), "n_members"
+    )
