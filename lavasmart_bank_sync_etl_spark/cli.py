@@ -108,6 +108,28 @@ def cmd_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_verify(args: argparse.Namespace) -> int:
+    """Sync verification: order-insensitive fingerprints per table —
+    run against source and destination warehouses and diff the JSON
+    (the CH1 primitive, operators/aggregates.py::table_fingerprint)."""
+    from .operators.aggregates import table_fingerprint
+    from .session import get_spark
+    from .sources.warehouse import ALL_TABLES, Warehouse
+
+    spark = get_spark("lavasmart-verify")
+    wh = Warehouse(spark, args.warehouse)
+    tables = args.tables or [t for t in ALL_TABLES if wh.exists(t)]
+    report = {}
+    for t in tables:
+        fp = table_fingerprint(wh.read(t), month_col=args.month_col)
+        report[t] = {
+            r["month"]: {"n_rows": r["n_rows"], "xor_fingerprint": r["xor_fingerprint"]}
+            for r in fp.collect()
+        }
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lavasmart-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -129,6 +151,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--vacuum", action="store_true")
     m.add_argument("--keep", type=int, default=2)
     m.set_defaults(fn=cmd_maintain)
+
+    v = sub.add_parser(
+        "verify", help="order-insensitive table fingerprints for sync verification"
+    )
+    v.add_argument("--warehouse", required=True)
+    v.add_argument("--tables", nargs="*", help="default: every existing table")
+    v.add_argument("--month-col", default="fecha",
+                   help="date column for per-month grouping")
+    v.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
     return args.fn(args)

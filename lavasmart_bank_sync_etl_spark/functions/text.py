@@ -9,6 +9,7 @@ cheapest possible per-document features: one pass, no shuffle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -145,3 +146,30 @@ def rolling_fingerprint(words: Column) -> Column:
             mod,
         ),
     )
+
+
+def compression_ratio(col: Column | str) -> Column:
+    """zlib compression ratio of the UTF-8 text (compressed/original,
+    4dp; empty -> 1.0) — the cheap entropy proxy quality filters use
+    to catch boilerplate and degenerate repetition (highly compressible
+    => low-information text).
+
+    This is the repo's one scalar ``pandas_udf``: zlib has no SQL
+    equivalent, so it rides the Arrow batch path — columnar transfer,
+    one Python call per batch, never per row. At 100 TB it remains
+    scan-local (no shuffle) and scales with executor Python workers."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None or t == "":
+                return 1.0
+            b = t.encode("utf-8")
+            return round(len(zlib.compress(b, 6)) / len(b), 4)
+
+        return s.map(one).astype("float64")
+
+    return _ratio(F.col(col) if isinstance(col, str) else col)

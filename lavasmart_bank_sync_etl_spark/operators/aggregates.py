@@ -57,3 +57,27 @@ def run_summary(plan: DataFrame, category_col: str = "category", action_col: str
     """A4 — per-(category, action) counts over a staged mutation plan
     (Code.gs:846-854)."""
     return plan.groupBy(category_col, action_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def table_fingerprint(df: DataFrame, month_col: str | None = None) -> DataFrame:
+    """Order-insensitive content fingerprint (the CH1 primitive,
+    generalized): per group - row count plus XOR of a 60-bit md5 row
+    digest over every column; one row per month (or one row total).
+
+    This is how a 100 TB source-destination sync is *verified*: both
+    sides reduce independently to a handful of rows and compare those.
+    XOR is commutative/associative (shuffle-order-proof) and cannot
+    overflow; the row digest covers all columns cast to string with
+    a NULL sentinel so column slips can't cancel out."""
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in df.columns]
+    h60 = F.conv(F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10).cast("long")
+    if month_col is not None and month_col in df.columns:
+        grouped = df.select(
+            F.date_format(F.col(month_col), "yyyy-MM").alias("month"), h60.alias("_h")
+        ).groupBy("month")
+    else:
+        grouped = df.select(F.lit("*").alias("month"), h60.alias("_h")).groupBy("month")
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("xor_fingerprint"),
+    )

@@ -525,3 +525,26 @@ def ml1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.col("cluster").cast("long").alias("cluster"), "n_members"
     )
+
+
+# ---------------------------------------------------------------------------
+# tx16 — zlib compression ratio (Arrow-batched pandas UDF; rows-only check)
+# ---------------------------------------------------------------------------
+
+@query("tx16_compression_ratio", None)
+def tx16_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx16 — compression-ratio quality signal: zlib(text)/len(text)
+    per document, the entropy proxy that catches boilerplate and
+    degenerate repetition (quality filters drop the tails on both
+    ends). zlib has no SQL expression, so this is the repo's one
+    scalar ``pandas_udf`` (Arrow-batched — the sanctioned shape for
+    genuinely non-SQL per-row logic; never a row-at-a-time Python
+    UDF). No DuckDB oracle exists for zlib, hence the driver's
+    rows-only check; exact values are pinned by unit test instead
+    (tests/test_text_ops.py)."""
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.coalesce("text", F.lit(""))).cast("long").alias("n_chars"),
+        T.compression_ratio("text").alias("zlib_ratio"),
+    )

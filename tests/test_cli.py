@@ -74,3 +74,35 @@ def test_cli_rerun_idempotent(spark, tmp_path, capsys):
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary.get("insert") is None
     assert summary["unchanged"] == 2
+
+
+def test_cli_verify_fingerprints(spark, tmp_path, capsys):
+    """verify: identical warehouse -> identical fingerprints on rerun;
+    a source change flips exactly the affected table's fingerprint."""
+    src = tmp_path / "sales.csv"
+    src.write_text(CSV)
+    wh_dir = str(tmp_path / "wh")
+    assert main([
+        "sync", "--source", str(src), "--format", "csv",
+        "--warehouse", wh_dir, "--start", "1/11/2025", "--end", "10/11/2025",
+    ]) == 0
+    capsys.readouterr()
+
+    assert main(["verify", "--warehouse", wh_dir]) == 0
+    fp1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["verify", "--warehouse", wh_dir]) == 0
+    fp2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fp1 == fp2 and "transfers" in fp1
+    assert fp1["transfers"]["2025-11"]["n_rows"] == 1
+
+    # amount change on the transfer row -> transfers fingerprint moves
+    src.write_text(CSV.replace("$1,200.50", "$999.99"))
+    assert main([
+        "sync", "--source", str(src), "--format", "csv",
+        "--warehouse", wh_dir, "--start", "1/11/2025", "--end", "10/11/2025",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["verify", "--warehouse", wh_dir]) == 0
+    fp3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fp3["transfers"]["2025-11"]["xor_fingerprint"] != fp1["transfers"]["2025-11"]["xor_fingerprint"]
+    assert fp3["cards"] == fp1["cards"]

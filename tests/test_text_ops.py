@@ -98,3 +98,28 @@ def test_quality_and_language_degenerate(spark):
     assert got[1][1] == "en"
     for q, _ in got.values():
         assert 0.0 <= q <= 1.0
+
+
+def test_compression_ratio_values(spark):
+    """Pin exact zlib ratios (no SQL oracle exists for tx16): repeated
+    text compresses far below distinct text; empty -> 1.0."""
+    import zlib
+
+    from lavasmart_bank_sync_etl_spark.functions.text import compression_ratio
+
+    rows = [
+        (0, "abc " * 200),
+        (1, " ".join(f"w{i}" for i in range(200))),
+        (2, ""),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["r"] for r in df.select(
+        "doc_id", compression_ratio("text").alias("r")).collect()}
+    for doc_id, text in rows:
+        if not text:
+            assert got[doc_id] == 1.0
+        else:
+            b = text.encode()
+            assert got[doc_id] == round(len(zlib.compress(b, 6)) / len(b), 4)
+    assert got[0] < 0.05 < got[1]
