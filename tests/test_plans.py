@@ -88,3 +88,51 @@ def test_blocked_near_dup_uses_cogroup_kernel(q):
     """dd6: the exact all-pairs scorer runs as the blocked cogroup
     numpy kernel, not an expression-interpreted nested loop."""
     assert "FlatMapCoGroupsInPandas" in q("dd6_embedding_near_dup")
+
+
+def n_scans(plan: str) -> int:
+    """Distinct parquet-scan nodes (formatted explain repeats each node
+    in the tree and the details section)."""
+    import re
+
+    return len(set(re.findall(r"\((\d+)\) Scan parquet", plan)))
+
+
+def test_interval_join_is_equi_with_range_residual(q):
+    """ST5: the interval join must hash-join on user_id with the time
+    range as residual — a pure-inequality encoding would fall back to
+    BroadcastNestedLoopJoin and explode at scale."""
+    plan = q("st5_interval_join")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fingerprint_aggregates_partially(q):
+    """CH1: the XOR digest must partial-aggregate map-side — at 100 TB
+    only one row per (task, month) may reach the exchange."""
+    plan = q("ch1_sync_fingerprint")
+    assert "partial_" in plan and "Exchange" in plan
+
+
+def test_pivot_is_single_pass(q):
+    """A7: explicit pivot values = exactly one scan of the source (the
+    implicit form runs a second values-discovery scan)."""
+    plan = q("a7_method_pivot")
+    assert n_scans(plan) == 1
+
+
+def test_cube_uses_expand_one_scan(q):
+    """A8: CUBE expands grouping sets inside one pass — Expand node,
+    one scan, still partially aggregated."""
+    plan = q("a8_cube_totals")
+    assert "Expand" in plan
+    assert n_scans(plan) == 1
+    assert "partial_" in plan
+
+
+def test_kmeans_broadcasts_centroids(q):
+    """ml1: the per-iteration join must broadcast the k centroid rows
+    against the never-collected vector table."""
+    plan = q("ml1_kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -215,3 +215,41 @@ def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup with bounded state: duplicate folios arriving
+    within the watermark horizon collapse to one row, and dedup state
+    is evicted past it (the D1 first-wins rule under streaming
+    delivery, without the unbounded-state trap of plain
+    dropDuplicates)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("folio", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("monto", T.DoubleType()),
+    ])
+    rows = [
+        ("0-1", dt.datetime(2025, 11, 1, 10, 0), 100.0),
+        ("0-1", dt.datetime(2025, 11, 1, 10, 5), 100.0),   # dup within horizon
+        ("0-2", dt.datetime(2025, 11, 1, 10, 1), 50.0),
+        ("0-2", dt.datetime(2025, 11, 1, 10, 2), 50.0),    # dup within horizon
+        ("0-3", dt.datetime(2025, 11, 1, 11, 0), 75.0),
+    ]
+    src_dir = str(tmp_path / "dedup_in")
+    spark.createDataFrame(rows, schema).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    deduped = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["folio"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["folio"] for r in spark.sql("select folio from wm_dedup").collect())
+    assert got == ["0-1", "0-2", "0-3"]
