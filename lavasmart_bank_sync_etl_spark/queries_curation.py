@@ -548,3 +548,79 @@ def tx16_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.coalesce("text", F.lit(""))).cast("long").alias("n_chars"),
         T.compression_ratio("text").alias("zlib_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tx17 — bigram LM scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tx17_bigram_lm_score",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({NORM_SQL}, ' ') AS toks FROM documents
+      WHERE {NORM_SQL} <> ''
+    ),
+    bg AS (
+      SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i AS INTEGER) + 1] AS w2
+      FROM w, UNNEST(range(1, len(toks))) AS t(i)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM c1),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(round(round(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)), 4) * 10000)
+                  AS BIGINT) AS fx
+      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(SUM(fx) / 10000.0 / COUNT(*), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx17 — bigram language-model scoring: train add-one-smoothed
+    bigram stats ON the corpus itself, then score each document by its
+    mean bigram log-probability — the cheap perplexity-style filter
+    (KenLM-shaped) that flags token salad and degenerate text. Two
+    hash aggregates build the LM; scoring joins the bigram stream
+    against it on (w1, w2) — at 100 TB the LM for a capped vocab
+    broadcasts and scoring stays map-side. Cross-engine determinism:
+    each log-prob is rounded to 4dp, then summed in integer
+    fixed-point, so shuffle order cannot move the mean."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = DD.normalized_text("text")
+    w = d.select("doc_id", norm.alias("_n")).where(F.col("_n") != "").select(
+        "doc_id", F.split("_n", " ").alias("toks")
+    )
+    bg = w.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("_i", "p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    v = c1.agg(F.count_distinct("w1").alias("vocab"))
+    scored = (
+        bg.join(c2, ["w1", "w2"]).join(c1, "w1").crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.round(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("vocab"))), 4)
+                * 10000
+            ).cast("long").alias("fx"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("fx") / 10000.0 / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )

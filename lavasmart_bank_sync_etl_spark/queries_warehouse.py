@@ -276,3 +276,43 @@ def sk1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(out, "event_type").select(
         "event_type", "value_count", F.round("value_sum", 2).alias("value_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# EV2 — retention cohorts
+# ---------------------------------------------------------------------------
+
+@query(
+    "ev2_retention_cohorts",
+    """
+    WITH fm AS (
+      SELECT user_id, strftime(MIN(ts), '%Y-%m-%d') AS cohort_day FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS activity_day FROM events
+    )
+    SELECT fm.cohort_day, act.activity_day, COUNT(*) AS n_users
+    FROM act JOIN fm USING (user_id)
+    GROUP BY fm.cohort_day, act.activity_day
+    """,
+)
+def ev2_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV2 — retention cohort matrix: users bucketed by first-seen
+    day, counted in every day they remain active — the classic
+    warehouse triangle report. Two hash aggregates + one join on
+    user_id; the cohort dimension (1 row/user) broadcasts against the
+    distinct-activity set, and both aggregates partial map-side. The
+    reference's analog is its per-client first-appearance in the
+    folio maps (SURVEY S2)."""
+    e = read_table(spark, sf_dir, "events")
+    fm = e.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort_day")
+    )
+    act = e.select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("activity_day")
+    ).distinct()
+    return (
+        act.join(fm, "user_id")
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
