@@ -316,3 +316,76 @@ def ev2_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "activity_day")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# W2 — inter-arrival gaps (lag window)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w2_interarrival_gaps",
+    """
+    WITH e AS (
+      SELECT user_id, ts, ROUND(MAX(value), 2) AS value
+      FROM events GROUP BY user_id, ts
+    ),
+    g AS (
+      SELECT user_id, ts,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_us
+      FROM e
+    )
+    SELECT user_id, COUNT(*) AS n_gaps,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def w2_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — per-user inter-arrival gap statistics via lag(): the
+    session/health signal behind bot detection and engagement scoring
+    (and the window-family member — lag — the other queries don't
+    exercise). Ties collapsed per (user, ts) first; gaps computed in
+    whole seconds from the epoch so both engines aggregate exact
+    integers. One window + one aggregate, both partitioned by user."""
+    e = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = e.select("user_id", "ts", gap.alias("gap_us")).where(F.col("gap_us").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — sketch calibration (HLL approx distinct vs exact)
+# ---------------------------------------------------------------------------
+
+@query("a9_approx_distinct_calibration", None)
+def a9_approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — HyperLogLog++ calibration: approx_count_distinct vs the
+    exact distinct count per event_type, with the relative error. At
+    100 TB the sketch is THE way to count distinct folios/users — it
+    partial-aggregates map-side into a fixed-size register set, where
+    exact distinct must shuffle every distinct value. HLL estimates
+    are engine-specific (no DuckDB oracle — rows-only determinism
+    check); the unit contract is the documented rsd bound (2% default,
+    asserted ≤ 5% here in the error column, tests/test_warehouse.py)."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(
+            F.abs(F.approx_count_distinct("user_id") - F.count_distinct("user_id"))
+            / F.count_distinct("user_id"),
+            4,
+        ).alias("rel_error"),
+    )

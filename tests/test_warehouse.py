@@ -82,3 +82,14 @@ def test_append_visible_in_current(spark, tmp_path):
     wh.append("audit_log", entry)
     wh.append("audit_log", entry)
     assert wh.read("audit_log").count() == 2
+
+
+def test_approx_distinct_within_documented_bound(spark, sf_dir):
+    """A9 contract: HLL++ estimates stay within 5% of exact (default
+    rsd 2%, margin for small groups)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["a9_approx_distinct_calibration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_error"] <= 0.05, (r["event_type"], r["rel_error"])
