@@ -17,7 +17,13 @@ from .functions import text as T
 from .operators import dedup as DD
 from .operators.graph import dedup_clusters
 from .queries import query
-from .queries_llm import NEAR_DUP_SQL, NORM_SQL, _minhash_sql, _near_dup_corpus
+from .queries_llm import (
+    NEAR_DUP_SQL,
+    NORM_SQL,
+    SHINGLES_SQL,
+    _minhash_sql,
+    _near_dup_corpus,
+)
 from .sources.tables import read_table
 
 # ---------------------------------------------------------------------------
@@ -623,4 +629,105 @@ def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("fx") / 10000.0 / F.count(F.lit(1)), 4).alias("avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd11 — MinHash estimate vs exact Jaccard (sketch calibration)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dd11_minhash_calibration",
+    f"""
+    WITH sigs AS ({_minhash_sql(8, NEAR_DUP_SQL)}),
+    buckets AS (
+      SELECT doc_id, 0 AS band_id,
+             md5(CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+                 CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)) AS band_hash
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id,
+             md5(CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+                 CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)) AS band_hash
+      FROM sigs
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    ),
+    corpus AS ({NEAR_DUP_SQL}),
+    sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM corpus),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.id_a
+      JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+      GROUP BY p.id_a, p.id_b
+    ),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             ((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END) +
+              (CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END)) / 8.0 AS est_jaccard
+      FROM pairs p JOIN sigs sa ON sa.doc_id = p.id_a JOIN sigs sb ON sb.doc_id = p.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           ROUND(e.est_jaccard, 4) AS est_jaccard,
+           ROUND(i.n_inter / (za.sz + zb.sz - i.n_inter), 4) AS exact_jaccard,
+           ROUND(ABS(e.est_jaccard - i.n_inter / (za.sz + zb.sz - i.n_inter)), 4) AS abs_err
+    FROM est e
+    JOIN inter i USING (id_a, id_b)
+    JOIN sizes za ON za.doc_id = e.id_a
+    JOIN sizes zb ON zb.doc_id = e.id_b
+    """,
+)
+def dd11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd11 — sketch calibration: for every LSH candidate pair, the
+    MinHash agreement estimate (matching components / 8) next to the
+    EXACT shingle Jaccard and the absolute error — the measurement
+    that justifies replacing the exact quadratic scorer with the
+    sketch at 100 TB (and tunes num_hashes/bands against a recall
+    target). The exact side runs only on candidate pairs — a few
+    hundred rows — never all pairs; candidate generation stays the
+    equi-join LSH path."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sigs = DD.minhash_signatures(corpus, num_hashes=8).persist()
+    pairs = DD.minhash_lsh_candidates(sigs, num_hashes=8, bands=2)
+    sh = DD._shingle_rows(corpus, "text", "doc_id", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)])
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(8)
+    )
+    est = pairs.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a", "id_b", (agree / 8.0).alias("est_jaccard")
+    )
+    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    exact = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        est.join(inter, ["id_a", "id_b"])
+        .join(za, "id_a").join(zb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round("est_jaccard", 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 4).alias("abs_err"),
+        )
     )
