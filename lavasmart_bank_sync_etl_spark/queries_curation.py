@@ -731,3 +731,96 @@ def dd11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 4).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cu1 — composed curation gate (the end-to-end keep/drop decision)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cu1_curation_pipeline",
+    f"""
+    WITH q AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             CASE WHEN {NORM_SQL} = '' THEN 0
+                  ELSE len(string_split({NORM_SQL}, ' ')) END AS n_tok,
+             CASE WHEN {NORM_SQL} = '' THEN []::VARCHAR[]
+                  ELSE string_split({NORM_SQL}, ' ') END AS toks,
+             CAST(('0x' || substr(md5({NORM_SQL}), 1, 15)) AS BIGINT) AS fp
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tok, fp,
+             ROUND((least(length(t) / 200.0, 1.0)
+                    * (1.0 - least((CASE WHEN length(t) > 0
+                         THEN round(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) / length(t), 4)
+                         ELSE 0.0 END) * 5, 1.0)))
+                   * (0.5 + 0.5 * (CASE WHEN n_tok > 0
+                         THEN least(len(list_filter(toks, x -> list_contains(['the','a','of','and','is'], x)))
+                                    / greatest(n_tok * 0.05, 1.0), 1.0) ELSE 0.0 END)),
+                   4) AS quality,
+             CASE WHEN n_tok > 0
+                  THEN ROUND(1.0 - len(list_distinct(toks)) / n_tok, 4)
+                  ELSE 0.0 END AS dup_word_frac
+      FROM q
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM scored
+    )
+    SELECT doc_id,
+           concat_ws(',',
+             CASE WHEN rn > 1 THEN 'exact_dup' END,
+             CASE WHEN n_tok < 10 OR n_tok > 2048 THEN 'length' END,
+             CASE WHEN quality < 0.3 THEN 'low_quality' END,
+             CASE WHEN dup_word_frac > 0.6 THEN 'repetitive' END) AS reject_reasons,
+           (rn = 1 AND n_tok BETWEEN 10 AND 2048
+            AND quality >= 0.3 AND dup_word_frac <= 0.6) AS keep
+    FROM ranked
+    """,
+)
+def cu1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cu1 — the composed curation gate (Dolma/RefinedWeb shape): one
+    pass emits each document's keep/drop decision plus every reject
+    reason — exact-dup first-wins (D1's rule on the content
+    fingerprint), token-length band, tx3 quality floor, tx10
+    repetition ceiling. Composition matters at 100 TB: all signals
+    derive from ONE materialized token array in the scan stage, the
+    only shuffle is the fingerprint first-wins window (partitioned by
+    hash), and reasons stay attached so downstream can audit the drop
+    rate per rule (the reference's audit-log ethos applied to
+    curation)."""
+    d = read_table(spark, sf_dir, "documents")
+    norm = DD.normalized_text("text")
+    q = d.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("t"),
+        F.when(norm == "", F.array().cast("array<string>"))
+        .otherwise(F.split(norm, " ")).alias("toks"),
+        T.fingerprint("text").alias("fp"),
+    ).withColumn("n_tok", F.when(F.col("toks") == F.array().cast("array<string>"), 0)
+                 .otherwise(F.size("toks")))
+    scored = q.select(
+        "doc_id", "n_tok", "fp",
+        T.quality_score("t").alias("quality"),
+        F.when(F.col("n_tok") > 0,
+               F.round(1.0 - F.size(F.array_distinct("toks")) / F.col("n_tok"), 4))
+        .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return ranked.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.when(F.col("rn") > 1, F.lit("exact_dup")),
+            F.when((F.col("n_tok") < 10) | (F.col("n_tok") > 2048), F.lit("length")),
+            F.when(F.col("quality") < 0.3, F.lit("low_quality")),
+            F.when(F.col("dup_word_frac") > 0.6, F.lit("repetitive")),
+        ).alias("reject_reasons"),
+        (
+            (F.col("rn") == 1)
+            & F.col("n_tok").between(10, 2048)
+            & (F.col("quality") >= 0.3)
+            & (F.col("dup_word_frac") <= 0.6)
+        ).alias("keep"),
+    )
