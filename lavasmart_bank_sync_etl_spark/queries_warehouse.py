@@ -389,3 +389,30 @@ def a9_approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             4,
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A10 — quantile-sketch calibration (approx_percentile vs exact)
+# ---------------------------------------------------------------------------
+
+@query("a10_approx_percentile_calibration", None)
+def a10_approx_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — quantile-sketch calibration, the companion of A9 for the
+    other sketch every 100 TB pipeline needs: approx_percentile
+    (Greenwald-Khanna, mergeable partials — fixed-size state map-side)
+    next to the exact per-group median/p95 and the relative error.
+    Exact percentiles need a full sort per group; the sketch reads the
+    same scan once and ships bounded state. Sketch output is
+    engine-specific (rows-only check); the ≤5% error contract is
+    asserted in tests/test_warehouse.py."""
+    e = read_table(spark, sf_dir, "events")
+    exact = F.expr("percentile(value, array(0.5, 0.95))")
+    approx = F.expr("approx_percentile(value, array(0.5, 0.95), 1000)")
+    return e.groupBy("event_type").agg(
+        F.round(exact[0], 2).alias("exact_p50"),
+        F.round(approx[0], 2).alias("approx_p50"),
+        F.round(exact[1], 2).alias("exact_p95"),
+        F.round(approx[1], 2).alias("approx_p95"),
+        F.round(F.abs(approx[0] - exact[0]) / F.abs(exact[0]), 4).alias("rel_err_p50"),
+        F.round(F.abs(approx[1] - exact[1]) / F.abs(exact[1]), 4).alias("rel_err_p95"),
+    )

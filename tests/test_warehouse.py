@@ -93,3 +93,13 @@ def test_approx_distinct_within_documented_bound(spark, sf_dir):
     assert rows
     for r in rows:
         assert r["rel_error"] <= 0.05, (r["event_type"], r["rel_error"])
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """A10 contract: GK-sketch percentiles within 5% of exact."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["a10_approx_percentile_calibration"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["rel_err_p50"] <= 0.05 and r["rel_err_p95"] <= 0.05, tuple(r)
