@@ -39,13 +39,16 @@ def _parse_dmy(s: str) -> dt.date:
 def load_source(spark: SparkSession, path: str, fmt: str) -> tuple[DataFrame, DataFrame | None]:
     """(canonical source frame, rejects-or-None). Parquet is assumed
     already canonical; csv/jsonl go through the cleaning pipeline."""
-    from .sources.ingest import read_sales_csv, read_sales_jsonl, split_rejects
+    from .sources.ingest import (
+        read_sales_csv, read_sales_jsonl, read_sales_orc, split_rejects,
+    )
 
     if fmt == "parquet":
         df = spark.read.parquet(path)
         rejects = None
     else:
-        reader = read_sales_csv if fmt == "csv" else read_sales_jsonl
+        reader = {"csv": read_sales_csv, "jsonl": read_sales_jsonl,
+                  "orc": read_sales_orc}[fmt]
         good, rejects = split_rejects(reader(spark, path))
         df = good.withColumnRenamed("metodo_raw", "metodo_pago_raw")
     if "metodo" not in df.columns:
@@ -130,12 +133,32 @@ def cmd_verify(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    """Ad-hoc SQL over the warehouse: every existing table registered
+    as a temp view, the query planned by Catalyst like any engine
+    query (pushdown/pruning/broadcast apply), results printed as JSON
+    lines (driver-side rows capped by --limit; at scale route results
+    to a table with CREATE TABLE AS instead)."""
+    from .session import get_spark
+    from .sources.warehouse import ALL_TABLES, Warehouse
+
+    spark = get_spark("lavasmart-sql")
+    wh = Warehouse(spark, args.warehouse)
+    for t in ALL_TABLES:
+        if wh.exists(t):
+            wh.read(t).createOrReplaceTempView(t)
+    df = spark.sql(args.query).limit(args.limit)
+    for row in df.toJSON().collect():
+        print(row)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lavasmart-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
     s = sub.add_parser("sync", help="incremental sync / backfill")
     s.add_argument("--source", required=True, help="source table path")
-    s.add_argument("--format", choices=["parquet", "csv", "jsonl"], default="parquet")
+    s.add_argument("--format", choices=["parquet", "csv", "jsonl", "orc"], default="parquet")
     s.add_argument("--warehouse", required=True, help="destination warehouse dir")
     s.add_argument("--start", help="d/M/yyyy backfill start (default: today-lookback)")
     s.add_argument("--end", help="d/M/yyyy backfill end (default: start or today)")
@@ -160,6 +183,12 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--month-col", default="fecha",
                    help="date column for per-month grouping")
     v.set_defaults(fn=cmd_verify)
+
+    ql = sub.add_parser("sql", help="ad-hoc SQL over the warehouse tables")
+    ql.add_argument("--warehouse", required=True)
+    ql.add_argument("--limit", type=int, default=1000, help="max rows printed")
+    ql.add_argument("query", help="SQL over the registered table views")
+    ql.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -80,3 +80,19 @@ def read_sales_jsonl(spark: SparkSession, path: str) -> DataFrame:
     read_sales_csv."""
     raw = spark.read.schema(" ".join(f"{c} string," for c in RAW_COLUMNS).rstrip(",")).json(path)
     return _canonicalize(raw)
+
+
+def read_sales_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC export -> canonical sales frame; same contract as
+    read_sales_csv (all columns as string, explicit cleaning). ORC is
+    Spark-native (predicate pushdown + column pruning work the same as
+    parquet), so warehouse exports from Hive-era stacks ingest without
+    conversion."""
+    raw = spark.read.orc(path)
+    for c in RAW_COLUMNS:
+        raw = (
+            raw.withColumn(c, F.col(c).cast("string"))
+            if c in raw.columns
+            else raw.withColumn(c, F.lit(None).cast("string"))
+        )
+    return _canonicalize(raw.select(*RAW_COLUMNS))

@@ -106,3 +106,39 @@ def test_cli_verify_fingerprints(spark, tmp_path, capsys):
     fp3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert fp3["transfers"]["2025-11"]["xor_fingerprint"] != fp1["transfers"]["2025-11"]["xor_fingerprint"]
     assert fp3["cards"] == fp1["cards"]
+
+
+def test_cli_sync_orc_source(spark, tmp_path, capsys):
+    """ORC export ingests through the same cleaning/quarantine path."""
+    src_csv = tmp_path / "sales.csv"
+    src_csv.write_text(CSV)
+    orc_dir = str(tmp_path / "sales_orc")
+    (
+        spark.read.option("header", "true").csv(str(src_csv))
+        .write.orc(orc_dir)
+    )
+    wh_dir = str(tmp_path / "wh_orc")
+    rc = main([
+        "sync", "--source", orc_dir, "--format", "orc",
+        "--warehouse", wh_dir, "--start", "1/11/2025", "--end", "10/11/2025",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["insert"] >= 2 and summary["rejects"] == 1  # no-date row quarantined
+
+
+def test_cli_sql_over_warehouse(spark, tmp_path, capsys):
+    src = tmp_path / "sales.csv"
+    src.write_text(CSV)
+    wh_dir = str(tmp_path / "wh_sql")
+    assert main([
+        "sync", "--source", str(src), "--format", "csv",
+        "--warehouse", wh_dir, "--start", "1/11/2025", "--end", "10/11/2025",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "sql", "--warehouse", wh_dir,
+        "SELECT folio, monto FROM transfers ORDER BY folio",
+    ]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines and lines[0]["folio"] == "0-1" and lines[0]["monto"] == 1200.5
