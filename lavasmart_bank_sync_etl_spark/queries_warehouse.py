@@ -416,3 +416,65 @@ def a10_approx_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.abs(approx[0] - exact[0]) / F.abs(exact[0]), 4).alias("rel_err_p50"),
         F.round(F.abs(approx[1] - exact[1]) / F.abs(exact[1]), 4).alias("rel_err_p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EV3 — daily conversion funnel
+# ---------------------------------------------------------------------------
+
+@query(
+    "ev3_conversion_funnel",
+    """
+    WITH c AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, MIN(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, MAX(ts) AS last_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.d AS day,
+           COUNT(*) AS n_clicked,
+           COUNT(p.user_id) AS n_purchased,
+           COUNT(CASE WHEN p.user_id IS NOT NULL
+                       AND c.first_click <= p.last_purchase THEN 1 END) AS n_converted,
+           ROUND(COUNT(CASE WHEN p.user_id IS NOT NULL
+                             AND c.first_click <= p.last_purchase THEN 1 END)
+                 / COUNT(*), 4) AS conv_rate
+    FROM c LEFT JOIN p ON c.user_id = p.user_id AND c.d = p.d
+    GROUP BY c.d
+    """,
+)
+def ev3_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV3 — daily click→purchase funnel: per day, users who clicked,
+    users who purchased, and users who converted (first click at or
+    before their last purchase that day), with the conversion rate.
+    Both step tables pre-aggregate per (user, day) — so the funnel
+    join is keyed on already-reduced rows (|users|·|days|, not
+    |events|) and every aggregate partial-applies map-side."""
+    e = read_table(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    c = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", day.alias("d"))
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", day.alias("d"))
+        .agg(F.max("ts").alias("last_purchase"))
+    )
+    j = c.join(p, ["user_id", "d"], "left")
+    converted = F.count(
+        F.when(
+            F.col("last_purchase").isNotNull()
+            & (F.col("first_click") <= F.col("last_purchase")),
+            1,
+        )
+    )
+    return j.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_clicked"),
+        F.count("last_purchase").alias("n_purchased"),
+        converted.alias("n_converted"),
+        F.round(converted / F.count(F.lit(1)), 4).alias("conv_rate"),
+    )

@@ -253,3 +253,35 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["folio"] for r in spark.sql("select folio from wm_dedup").collect())
     assert got == ["0-1", "0-2", "0-3"]
+
+
+def test_stream_static_broadcast_join(spark, sf_dir, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension (the J6 broadcast-enrichment shape under readStream) —
+    no watermark needed on the static side, and the result equals the
+    batch join."""
+    e = read_table(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.min("ts").alias("first_seen"))  # static user dim
+    facts = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    facts_dir = str(tmp_path / "facts")
+    facts.write.parquet(facts_dir)
+
+    stream = spark.readStream.schema(facts.schema).parquet(facts_dir)
+    joined = stream.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", (F.col("ts") >= F.col("first_seen")).alias("sane")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_static")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_static"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["sane"] for r in spark.sql("select * from ssj_static").collect()}
+    expected = {
+        r["event_id"]: r["ts"] >= r["first_seen"]
+        for r in facts.join(dim, "user_id").collect()
+    }
+    assert got == expected and all(got.values()) and len(got) > 0
