@@ -59,3 +59,27 @@ def test_unclustered_write_overlaps_everywhere(spark, sf_dir, tmp_path):
     lo = max(s0 for s0, _ in spans)
     hi = min(s1 for _, s1 in spans)
     assert lo < hi  # every pair of files overlaps
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Long-lived tables grow columns over the years; old files must
+    stay readable next to new ones. mergeSchema unions the file
+    schemas; rows from pre-evolution files surface NULL for the added
+    column (never a read failure)."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [("0-1", 100.0)], "folio string, monto double"
+    ).write.mode("overwrite").parquet(out)
+    spark.createDataFrame(
+        [("0-2", 200.0, "SANTANDER")], "folio string, monto double, banco string"
+    ).write.mode("append").parquet(out)
+
+    df = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(df.columns) == {"folio", "monto", "banco"}
+    rows = {r["folio"]: r["banco"] for r in df.collect()}
+    assert rows == {"0-1": None, "0-2": "SANTANDER"}
+
+    # default read (no mergeSchema) picks one footer — documents WHY the
+    # engine's warehouse pins explicit StructTypes at read (sources/warehouse.py)
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import ALL_TABLES
+    assert all(len(s.fields) > 0 for s in ALL_TABLES.values())
