@@ -824,3 +824,82 @@ def cu1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_word_frac") <= 0.6)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ml2 — PageRank (2 power iterations, integer fixed-point)
+# ---------------------------------------------------------------------------
+
+_EDGES_SQL = """
+    SELECT doc_id AS src, (doc_id * 7 + 3) % n AS dst FROM documents, nn
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 13 + 5) % n AS dst FROM documents, nn
+"""
+
+
+@query(
+    "ml2_pagerank",
+    f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS ({_EDGES_SQL}),
+    r0 AS (SELECT doc_id AS node, 1000000000000 // n AS r FROM documents, nn),
+    c1 AS (
+      SELECT e.dst AS node, SUM((r0.r * 85) // 200) AS inflow
+      FROM edges e JOIN r0 ON r0.node = e.src GROUP BY e.dst
+    ),
+    r1 AS (
+      SELECT r0.node, (150000000000 // n) + COALESCE(c1.inflow, 0) AS r
+      FROM r0 CROSS JOIN nn LEFT JOIN c1 ON c1.node = r0.node
+    ),
+    c2 AS (
+      SELECT e.dst AS node, SUM((r1.r * 85) // 200) AS inflow
+      FROM edges e JOIN r1 ON r1.node = e.src GROUP BY e.dst
+    ),
+    r2 AS (
+      SELECT r1.node, (150000000000 // n) + COALESCE(c2.inflow, 0) AS r
+      FROM r1 CROSS JOIN nn LEFT JOIN c2 ON c2.node = r1.node
+    )
+    SELECT node AS doc_id, r AS pr_fixed, ROUND(r / 1000000000000.0, 8) AS pr
+    FROM r2
+    """,
+)
+def ml2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml2 — PageRank, two power iterations at damping 0.85 over a
+    deterministic synthetic citation graph (each doc cites
+    (7i+3) mod N and (13i+5) mod N — out-degree exactly 2). The third
+    iterative-algorithm shape (weighted propagation; CC is min-label,
+    k-means is centroid refit), EXACT across engines: all mass lives
+    in integer 1e-12 units, per-edge contribution is integer
+    ``(r*85) div 200``, and integer sums are shuffle-order-proof. Each
+    iteration is one join on src + one hash aggregate on dst — the
+    same shuffle pair GraphX/Pregel would run; N-scaling touches only
+    the edge table."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()  # graph order; a literal in both plans (oracle's nn CTE)
+    edges = d.select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 3) % n).alias("dst")
+    ).unionByName(
+        d.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 5) % n).alias("dst"))
+    )
+    base = F.lit(150000000000 // n).cast("long")
+    ranks = d.select(
+        F.col("doc_id").alias("node"),
+        F.lit(1000000000000 // n).cast("long").alias("r"),
+    )
+    for _ in range(2):
+        inflow = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select("dst", F.expr("(cast(r as bigint) * 85) div 200").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(inflow, ranks["node"] == inflow["dst"], "left")
+            .select("node", (base + F.coalesce(F.col("inflow"), F.lit(0))).alias("r"))
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"),
+        F.col("r").alias("pr_fixed"),
+        F.round(F.col("r") / 1000000000000.0, 8).alias("pr"),
+    )
