@@ -36,9 +36,35 @@ def has_manual_work(table: str, prefix: str = "") -> Column:
     return cond
 
 
+def human_context(table: str) -> tuple[Column, Column, Column]:
+    """Normalize a target's human columns to the common review-queue
+    shape, mirroring verificarTrabajoManualGenerico
+    (Code.gs:1501-1548): (conciliado boolean, concepto_banco string,
+    observaciones string). Cards fold afiliación+lote into the
+    concepto field exactly as the reference does (Code.gs:1523)."""
+    checkbox, _texts = HUMAN_WORK_COLS[table]
+
+    def trimmed(c: str) -> Column:
+        return F.trim(F.coalesce(F.col(c).cast("string"), F.lit("")))
+
+    conciliado = coerce_checkbox(F.col(checkbox))
+    if table == "transfers":
+        concepto = trimmed("concepto_banco")
+    elif table == "cards":
+        concepto = F.concat(
+            F.lit("Afiliación: "), trimmed("afiliacion"),
+            F.lit("; Lote: "), trimmed("lote"),
+        )
+    else:  # cash / others carry no bank-concept column (Code.gs:1533,1544)
+        concepto = F.lit("")
+    return conciliado, concepto, trimmed("observaciones")
+
+
 def union_targets_tagged(targets: dict[str, DataFrame]) -> DataFrame:
-    """J2 prep — union all destination targets with a ``table_tag`` and
-    a precomputed ``dest_has_work`` flag, normalized to the common
+    """J2 prep — union all destination targets with a ``table_tag``, a
+    precomputed ``dest_has_work`` flag, and the normalized human
+    context (so conflict routing can park the ACTUAL human values in
+    the review queue, Code.gs:1425-1437), normalized to the common
     probe schema. Tag ordering column pins the reference's fixed
     first-match order T→C→E→O (Code.gs:1229-1240)."""
     parts = []
@@ -46,6 +72,7 @@ def union_targets_tagged(targets: dict[str, DataFrame]) -> DataFrame:
         if name not in targets:
             continue
         df = targets[name]
+        conciliado, concepto, obs = human_context(name)
         parts.append(
             df.select(
                 "folio",
@@ -57,6 +84,9 @@ def union_targets_tagged(targets: dict[str, DataFrame]) -> DataFrame:
                 F.lit(name).alias("table_tag"),
                 F.lit(TABLE_ORDER.index(name)).alias("table_order"),
                 has_manual_work(name).alias("dest_has_work"),
+                conciliado.alias("dest_conciliado"),
+                concepto.alias("dest_concepto_banco"),
+                obs.alias("dest_observaciones"),
             )
         )
     out = parts[0]

@@ -194,7 +194,11 @@ class SyncJob:
         counts["deletions_detected"] = deletions.count()
         counts["duplicates"] = dups.count()
 
-        # ① review-queue append for conflicted moves (S6; Code.gs:1422-1437)
+        # ① review-queue append for conflicted moves (S6; Code.gs:1422-1437).
+        #    The parked row carries the destination's ACTUAL human work —
+        #    checkbox state as Sí/No plus the normalized concepto/observa-
+        #    ciones (routing.human_context) — because step ② drops the row
+        #    from its old table, so this snapshot is the only live copy.
         review_rows = conflicts.select(
             now.alias("ts"),
             F.col("src.folio").alias("folio"),
@@ -209,9 +213,9 @@ class SyncJob:
             F.col("src.servicio").alias("servicio"),
             F.col("src.monto").alias("monto"),
             F.col("src.banco").alias("banco"),
-            F.when(F.col("dst.dest_has_work"), F.lit("Sí")).otherwise(F.lit("No")).alias("conciliado"),
-            F.lit("").alias("concepto_banco"),
-            F.lit("").alias("observaciones"),
+            F.when(F.col("dst.dest_conciliado"), F.lit("Sí")).otherwise(F.lit("No")).alias("conciliado"),
+            F.col("dst.dest_concepto_banco").alias("concepto_banco"),
+            F.col("dst.dest_observaciones").alias("observaciones"),
             F.lit("Pendiente").alias("estado"),
         )
         wh.append("review_queue", review_rows)
@@ -282,6 +286,8 @@ class SyncJob:
             F.col("dst.table_tag").alias("valores_anteriores"),
             F.col("src.target_table").alias("valores_nuevos"),
         )
+        # Conflict audit rows carry the parked human context, mirroring
+        # registrarEnBitacora for the conflict branch (Code.gs:1441-1446).
         audit_conflicts = conflicts.select(
             now.alias("ts"), F.col("src.folio").alias("folio"),
             F.lit(ACTION_CONFLICT).alias("accion"),
@@ -289,8 +295,12 @@ class SyncJob:
                 F.lit("Trabajo manual protegido; enviado a revisión ("),
                 F.col("dst.table_tag"), F.lit(" → "), F.col("src.target_table"), F.lit(")"),
             ).alias("detalle"),
-            F.col("dst.table_tag").alias("valores_anteriores"),
-            F.col("src.target_table").alias("valores_nuevos"),
+            F.concat(
+                F.lit("Conciliado: "),
+                F.when(F.col("dst.dest_conciliado"), F.lit("Sí")).otherwise(F.lit("No")),
+                F.lit("; "), F.col("dst.dest_concepto_banco"),
+            ).alias("valores_anteriores"),
+            F.concat(F.lit("Movido a revisión: "), F.col("src.target_table")).alias("valores_nuevos"),
         )
         audit_deletions = deletions.select(
             now.alias("ts"), F.col("folio"),

@@ -118,7 +118,32 @@ def test_method_change_with_work_goes_to_review(spark, wh):
     assert rq["0-1"]["estado"] == "Pendiente"
     assert rq["0-1"]["hoja_origen"] == "transfers"
     assert rq["0-1"]["hoja_destino"] == "cash"
+    # The parked row carries the ACTUAL human values (Code.gs:1425-1437):
+    # checkbox state as Sí/No plus the destination's concepto/observaciones
+    # — the only live copy once the old-table row is dropped.
+    assert rq["0-1"]["conciliado"] == "No"
+    assert rq["0-1"]["concepto_banco"] == "SPEI RECIBIDO 123"
+    assert rq["0-1"]["observaciones"] == ""
     assert ("0-1", ACTION_CONFLICT) in audit_actions(wh)
+
+
+def test_review_queue_carries_checkbox_and_cards_context(spark, wh):
+    """Conflicts out of cards fold afiliación+lote into concepto_banco
+    and report the recibo checkbox as conciliado (Code.gs:1513-1524)."""
+    run(spark, wh, [row("0-1", 2, metodo="TARJETA")])
+    c = (wh.read("cards")
+         .withColumn("recibo", F.lit(True))
+         .withColumn("afiliacion", F.lit("AF-77"))
+         .withColumn("lote", F.lit("L-9")))
+    wh.rewrite("cards", c)
+    counts = run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])
+    assert counts.get("conflicts") == 1
+    rq = {r["folio"]: r.asDict() for r in wh.read("review_queue").collect()}
+    assert rq["0-1"]["conciliado"] == "Sí"
+    assert rq["0-1"]["concepto_banco"] == "Afiliación: AF-77; Lote: L-9"
+    audit = {(r["folio"], r["accion"]): r.asDict() for r in wh.read("audit_log").collect()}
+    prev = audit[("0-1", ACTION_CONFLICT)]["valores_anteriores"]
+    assert "Conciliado: Sí" in prev and "AF-77" in prev
 
 
 def test_deletion_detected_but_never_deleted(spark, wh):
@@ -207,6 +232,8 @@ def test_rerun_after_conflict_reinserts_clean(spark, wh):
     assert counts.get("insert") == 1
     got = folios(wh, "cash")["0-1"]
     assert got["verificado"] is None or got["verificado"] is False
-    # review snapshot still holds the parked human context
+    # review snapshot still holds the parked human context — the real
+    # values, not placeholders (Code.gs:1425-1437)
     rq = {r["folio"]: r.asDict() for r in wh.read("review_queue").collect()}
     assert rq["0-1"]["estado"] == "Pendiente"
+    assert rq["0-1"]["concepto_banco"] == "SPEI 123"
