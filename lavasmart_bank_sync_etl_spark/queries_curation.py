@@ -397,22 +397,47 @@ def ss5_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # placeholder replaced below with the tx3-derived oracle
 )
 def tx14_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tx14 — curriculum bucketing: ntile(10) over the tx3 quality
-    score (ties broken by doc_id so the decile cut is deterministic).
-    Data-curation pipelines sample training mixes by these buckets
-    (e.g. upsample the top deciles); one window over a global order —
-    at 100 TB the same bucketing is done per-shard or via
-    approx-quantile cutoffs instead of a global sort, which is why the
-    decile boundaries, not row ranks, are the contract."""
+    """tx14 — curriculum bucketing: exact ntile(10) semantics over the
+    tx3 quality score (ties broken by doc_id), WITHOUT a corpus-wide
+    single-partition sort. The 4dp score domain has ≤10001 distinct
+    values, so the global rank decomposes into
+      rank = (#docs with higher quality) + (rank of doc_id within its
+      quality group),
+    computed as (a) a tiny quality histogram (map-side partial agg →
+    ≤10001 rows; its cumulative window is single-partition but bounded
+    by score cardinality, never corpus size), broadcast back, plus
+    (b) a row_number window HASH-PARTITIONED by quality — fully
+    parallel at 100 TB. The ntile bucket is then pure arithmetic on
+    (rank, n). Data-curation pipelines sample training mixes by these
+    buckets (e.g. upsample the top deciles)."""
     from pyspark.sql import Window as W
 
     d = read_table(spark, sf_dir, "documents")
     scored = d.select("doc_id", T.quality_score("text").alias("quality"))
-    w = W.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
-    return scored.select(
-        "doc_id", "quality",
-        F.ntile(10).over(w).cast("long").alias("decile"),
+
+    wq = W.orderBy(F.col("quality").desc())
+    hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = hist.select(
+        "quality",
+        (F.sum("cnt").over(wq.rowsBetween(W.unboundedPreceding, W.currentRow))
+         - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(
+            wq.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n_total"),
     )
+
+    wg = W.partitionBy("quality").orderBy(F.col("doc_id").asc())
+    ranked = scored.withColumn("rk_in_q", F.row_number().over(wg))
+    j = ranked.join(F.broadcast(offsets), "quality")
+
+    rank = F.col("cum_before") + F.col("rk_in_q")
+    n, b = F.col("n_total"), F.lit(10)
+    base, rem = F.floor(n / b), n % b
+    cut = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    decile = F.when(rank <= cut, F.ceil(rank / (base + 1))).otherwise(
+        rem + F.ceil((rank - cut) / F.greatest(base, F.lit(1)))
+    )
+    return j.select("doc_id", "quality", decile.cast("long").alias("decile"))
 
 
 # ---------------------------------------------------------------------------

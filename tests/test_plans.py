@@ -136,3 +136,14 @@ def test_kmeans_broadcasts_centroids(q):
     plan = q("ml1_kmeans_assign")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_deciles_have_no_global_sort(q):
+    """tx14: exact-ntile bucketing must not globally sort the corpus.
+    The only single-partition exchange allowed is the one over the
+    ≤10001-row quality histogram; the per-document window must be
+    hash-partitioned by quality."""
+    plan = q("tx14_quality_deciles")
+    assert "ntile" not in plan
+    assert "hashpartitioning(quality" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
