@@ -20,12 +20,16 @@ from pyspark.sql import functions as F
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],
-    aggs: dict[str, str],
+    aggs: dict[str, str] | list[tuple[str, str]],
     num_salts: int = 16,
 ) -> DataFrame:
     """Two-phase algebraic aggregation: pre-aggregate on
     (key, salt) — spreading a hot key over ``num_salts`` reducers —
-    then combine per key. ``aggs`` maps column → 'sum'|'count'|'min'|'max'.
+    then combine per key. ``aggs`` is column → 'sum'|'count'|'min'|'max'
+    (a dict, or a list of (column, how) pairs when one column needs
+    several aggregates); every aggregate shares the single (key, salt)
+    pre-aggregation pass, so sum+count over one column costs one scan
+    and one shuffle, not two.
 
     Spark's hash aggregate already does map-side partials, so this
     only matters when a single key's *partial* rows still overwhelm
@@ -33,8 +37,9 @@ def salted_agg(
     narrow shuffle for an even first stage.
     """
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(num_salts)).alias("_salt")
+    pairs = list(aggs.items()) if isinstance(aggs, dict) else list(aggs)
     phase1_aggs, phase2_aggs = [], []
-    for col, how in aggs.items():
+    for col, how in pairs:
         a = f"_{how}_{col}"
         if how == "count":
             phase1_aggs.append(F.count(F.lit(1)).alias(a))

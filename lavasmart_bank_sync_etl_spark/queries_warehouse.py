@@ -264,16 +264,10 @@ def sk1_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_agg(
         e.select("event_type", "value"),
         key_cols=["event_type"],
-        aggs={"value": "sum"},
+        aggs=[("value", "count"), ("value", "sum")],
         num_salts=16,
     )
-    # salted_agg emits value_sum; counts need their own pass through the
-    # same machinery (count is sum of per-salt counts)
-    counts = salted_agg(
-        e.select("event_type"), key_cols=["event_type"], aggs={"event_type": "count"},
-        num_salts=16,
-    ).withColumnRenamed("event_type_count", "value_count")
-    return counts.join(out, "event_type").select(
+    return out.select(
         "event_type", "value_count", F.round("value_sum", 2).alias("value_sum")
     )
 

@@ -138,6 +138,14 @@ def test_kmeans_broadcasts_centroids(q):
     assert "CartesianProduct" not in plan
 
 
+def test_salted_agg_is_single_pass(q):
+    """SK1: sum+count share one (key, salt) pre-aggregation — one scan
+    of events, no self-join of two aggregate passes."""
+    plan = q("sk1_salted_hot_key_agg")
+    assert n_scans(plan) == 1
+    assert "Join" not in plan
+
+
 def test_quality_deciles_have_no_global_sort(q):
     """tx14: exact-ntile bucketing must not globally sort the corpus.
     The only single-partition exchange allowed is the one over the

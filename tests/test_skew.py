@@ -48,3 +48,25 @@ def test_salted_join_equals_plain(spark, sf_dir):
         for r in salted_join(li, sup, "k", num_salts=8).collect()
     )
     assert salted == plain and len(salted) > 0
+
+
+def test_salted_agg_multi_agg_single_pass(spark, sf_dir):
+    """sum+count over ONE column share a single (key, salt)
+    pre-aggregation — one scan in the plan, results equal the plain
+    two-agg groupBy."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    plain = {
+        r["l_suppkey"]: (r["n"], round(r["s"], 2))
+        for r in li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    out = salted_agg(
+        li, ["l_suppkey"], [("l_quantity", "count"), ("l_quantity", "sum")],
+        num_salts=16,
+    )
+    salted = {
+        r["l_suppkey"]: (r["l_quantity_count"], round(r["l_quantity_sum"], 2))
+        for r in out.collect()
+    }
+    assert salted == plain
