@@ -77,9 +77,11 @@ def dd9_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum doc_id elected canonical survivor. Pairs alone can't drive
     dedup (A~B, B~C must drop only two of {A,B,C}); components make
     the keep/drop decision transitive and deterministic. Spark side is
-    iterative min-label propagation — joins + hash aggregates with
-    per-sweep lineage truncation (operators/graph.py); the oracle is
-    the same fixpoint via a recursive CTE."""
+    alternating large-star/small-star contraction (Kiveris et al.;
+    operators/graph.py) — joins + hash aggregates with per-round
+    lineage truncation, converging in O(log² n) rounds regardless of
+    graph diameter; the oracle is the same fixpoint via a recursive
+    CTE."""
     sigs = DD.minhash_signatures(_near_dup_corpus(spark, sf_dir), num_hashes=8)
     pairs = DD.minhash_lsh_candidates(sigs, num_hashes=8, bands=2)
     return dedup_clusters(pairs)
