@@ -23,6 +23,8 @@ from .queries_llm import (
     SHINGLES_SQL,
     _minhash_sql,
     _near_dup_corpus,
+    near_dup_lsh_pairs,
+    near_dup_minhash_sigs,
 )
 from .sources.tables import read_table
 
@@ -82,9 +84,7 @@ def dd9_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage truncation, converging in O(log² n) rounds regardless of
     graph diameter; the oracle is the same fixpoint via a recursive
     CTE."""
-    sigs = DD.minhash_signatures(_near_dup_corpus(spark, sf_dir), num_hashes=8)
-    pairs = DD.minhash_lsh_candidates(sigs, num_hashes=8, bands=2)
-    return dedup_clusters(pairs)
+    return dedup_clusters(near_dup_lsh_pairs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -725,8 +725,8 @@ def dd11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundred rows — never all pairs; candidate generation stays the
     equi-join LSH path."""
     corpus = _near_dup_corpus(spark, sf_dir)
-    sigs = DD.minhash_signatures(corpus, num_hashes=8).persist()
-    pairs = DD.minhash_lsh_candidates(sigs, num_hashes=8, bands=2)
+    sigs = near_dup_minhash_sigs(spark, sf_dir)
+    pairs = near_dup_lsh_pairs(spark, sf_dir)
     sh = DD._shingle_rows(corpus, "text", "doc_id", 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
