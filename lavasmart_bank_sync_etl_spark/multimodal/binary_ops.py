@@ -42,12 +42,28 @@ MEDIA_SCHEMA = StructType([
 ])
 
 
-def decode_image(payload: bytes) -> object:
-    """Real codec entry point — STUB: the container ships no media
-    libraries. On a real cluster, plug Pillow/torchaudio/ffmpeg here;
-    everything around this call (batching, schema, partitioning) is
-    production-shaped."""
-    raise NotImplementedError("media codecs not available in this environment")
+try:  # real codec is optional — this container ships no media libs
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_REAL_CODEC = True
+except ImportError:  # pragma: no cover - exercised in PIL-less containers
+    _PILImage = None
+    HAS_REAL_CODEC = False
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, str]:
+    """Real codec entry point: Pillow when importable (same signature
+    as the deterministic fake — (byte_len, width, height, caption)),
+    NotImplementedError otherwise. Audio/video analogs would plug
+    torchaudio/ffmpeg here; everything around this call (batching,
+    schema, partitioning) is production-shaped either way."""
+    if not HAS_REAL_CODEC:
+        raise NotImplementedError("media codecs not available in this environment")
+    import io
+
+    with _PILImage.open(io.BytesIO(payload)) as img:
+        w, h = img.size
+        return len(payload), int(w), int(h), f"decoded:{img.format or ''}:{img.mode}"
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
@@ -69,15 +85,23 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads via
     ``mapInPandas`` — the one justified Python stage (codecs are
     Python-side by nature). Batch-at-a-time iterator keeps memory
-    bounded."""
+    bounded.
+
+    ``codec``: 'fake' (deterministic, oracle-reproducible — the
+    default test/driver surface) or 'real' (Pillow, when importable;
+    same batch loop and schema, so swapping codecs changes zero
+    plumbing)."""
+    if codec == "real" and not HAS_REAL_CODEC:
+        raise NotImplementedError("codec='real' requires Pillow in the executor env")
+    decode = decode_image if codec == "real" else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
