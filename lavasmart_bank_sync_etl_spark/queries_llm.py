@@ -922,3 +922,76 @@ def st3_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts_str"),
         "n_dups_dropped",
     )
+
+
+@query(
+    "st6_streaming_upsert",
+    """
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) AS folio,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           ROUND(value, 2) AS value
+    FROM events
+    """,
+)
+def st6_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming MERGE end-to-end (streaming/stream_sync.py
+    ``stream_upsert``): watermark + streaming key-dedup +
+    ``foreachBatch`` keyed upsert into a gold table, run with
+    ``Trigger.AvailableNow`` over an events copy salted with exact
+    duplicate rows. The stream dedup drops in-batch re-deliveries; the
+    anti-join MERGE makes cross-batch re-delivery a no-op (T3) — so
+    the gold table must equal the plain distinct event set, which is
+    the batch oracle. Same harness pattern as st3 (batch equivalence
+    under a one-file → one-micro-batch source)."""
+    import os
+    import shutil
+
+    from .streaming.stream_sync import stream_upsert
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("folio"),
+        F.col("ts").alias("sale_ts"),
+        F.round("value", 2).alias("value"),
+    )
+    # Salt with exact duplicates (every 13th event re-delivered) — the
+    # streaming dedup + idempotent MERGE must erase them.
+    staged = e.unionByName(e.where(F.col("event_id") % 13 == 0))
+    src_dir = tempfile.mkdtemp(prefix="st6_src_")
+    work_dir = tempfile.mkdtemp(prefix="st6_gold_")
+    staged.coalesce(4).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(staged.schema).parquet(src_dir)
+    gold = {"path": None}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        out = os.path.join(work_dir, f"v{batch_id}")
+        if gold["path"] is None:
+            batch.write.mode("overwrite").parquet(out)
+        else:
+            cur = spark.read.parquet(gold["path"])
+            fresh = batch.join(cur.select("event_id"), "event_id", "left_anti")
+            cur.unionByName(fresh).write.mode("overwrite").parquet(out)
+        gold["path"] = out
+
+    # state-store partition count is pinned from shuffle.partitions at
+    # query start — size it to the key cardinality here (same note as st3)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = stream_upsert(
+            spark, stream, apply_batch,
+            checkpoint_dir=tempfile.mkdtemp(prefix="st6_ckpt_"),
+            key="event_id", ts_col="sale_ts",
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    result = spark.read.parquet(gold["path"]).select(
+        "event_id", "folio",
+        F.date_format("sale_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "value",
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return result
