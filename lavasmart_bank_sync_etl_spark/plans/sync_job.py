@@ -30,6 +30,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 import shutil
+import uuid
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -60,13 +61,29 @@ def _target_table_expr(metodo: Column) -> Column:
 
 
 class SyncJob:
-    """Run one sync over ``[start, end]`` (inclusive — T1/T4)."""
+    """Run one sync over ``[start, end]`` (inclusive — T1/T4).
 
-    def __init__(self, spark, warehouse: Warehouse, start: dt.date | str, end: dt.date | str):
+    ``run_id`` stamps the run's review/audit appends so a crashed-then-
+    retried run (same run_id) replaces rather than duplicates them;
+    the default fresh id preserves the reference's append-every-run
+    behavior. Recovery contract: phase 2 is review-append → target
+    rewrites → audit-append; the rewrites are keyed (idempotent), the
+    appends run_id-guarded and snapshot-atomic (``append_once``), so
+    retrying a partially-applied run with its run_id converges."""
+
+    def __init__(
+        self,
+        spark,
+        warehouse: Warehouse,
+        start: dt.date | str,
+        end: dt.date | str,
+        run_id: str | None = None,
+    ):
         self.spark = spark
         self.wh = warehouse
         self.start = dt.date.fromisoformat(start) if isinstance(start, str) else start
         self.end = dt.date.fromisoformat(end) if isinstance(end, str) else end
+        self.run_id = run_id or uuid.uuid4().hex
         if self.start > self.end:
             raise ValueError(f"start {self.start} > end {self.end}")  # Code.gs:876-889
 
@@ -217,8 +234,9 @@ class SyncJob:
             F.col("dst.dest_concepto_banco").alias("concepto_banco"),
             F.col("dst.dest_observaciones").alias("observaciones"),
             F.lit("Pendiente").alias("estado"),
+            F.lit(self.run_id).alias("run_id"),
         )
-        wh.append("review_queue", review_rows)
+        wh.append_once("review_queue", review_rows, self.run_id)
 
         # ② per-target state rewrite: updates in place, moved-out rows
         #    dropped, inserts + auto-move-ins appended
@@ -319,8 +337,8 @@ class SyncJob:
         audit = (
             audit_updates.unionByName(audit_inserts).unionByName(audit_moves)
             .unionByName(audit_conflicts).unionByName(audit_deletions).unionByName(audit_dups)
-        )
-        wh.append("audit_log", audit)
+        ).withColumn("run_id", F.lit(self.run_id))
+        wh.append_once("audit_log", audit, self.run_id)
 
         # ④ A4 run summary (Code.gs:846-854) — counts taken in ⓪
         return counts

@@ -71,6 +71,7 @@ AUDIT_LOG = StructType([
     StructField("detalle", StringType()),
     StructField("valores_anteriores", StringType()),
     StructField("valores_nuevos", StringType()),
+    StructField("run_id", StringType()),            # idempotent-retry stamp
 ])
 
 REVIEW_QUEUE = StructType([
@@ -88,6 +89,7 @@ REVIEW_QUEUE = StructType([
     StructField("concepto_banco", StringType()),
     StructField("observaciones", StringType()),
     StructField("estado", StringType()),            # Pendiente/Resuelto
+    StructField("run_id", StringType()),            # idempotent-retry stamp
 ])
 
 BATCH_CLOSURES = StructType([

@@ -21,9 +21,20 @@ target file count as a new version (small-file management).
 Append-only tables (audit log, review queue) append into the current
 snapshot dir: appends are monotone additions, and their durability
 story is the sink write itself, matching the reference's append-only
-sheets. Single-writer by design (the reference is one daily trigger);
-a multi-writer deployment should swap this module for Delta/Iceberg —
-the SyncJob semantics (MERGE with protected columns) are unchanged.
+sheets. ``append_once`` upgrades that to effectively-once for retried
+runs: rows carry a ``run_id`` stamp and the run's rows are folded in
+via the atomic snapshot commit, so a crashed-then-retried run never
+torn-writes or double-appends (recovery story: SyncJob phases are
+review-append → target rewrites → audit-append, every step keyed or
+run_id-guarded, so a rerun of the same run_id converges to the same
+state).
+
+Single-writer by design (the reference is one daily trigger); a
+multi-writer deployment swaps this module for a Delta/Iceberg
+implementation of the ``sources.store.TableStore`` protocol — the
+SyncJob semantics (MERGE with protected columns) are unchanged, and
+tests/test_store_contract.py pins the behavior any replacement must
+match.
 """
 
 from __future__ import annotations
@@ -136,6 +147,21 @@ class Warehouse:
             self._data_path(table)
         )
         self.spark.catalog.refreshByPath(self._data_path(table))
+
+    def append_once(self, table: str, df: DataFrame, run_id: str, run_id_col: str = "run_id") -> None:
+        """Idempotent append: fold ``df`` (whose rows are stamped
+        ``run_id``) into a NEW snapshot after dropping any rows a
+        previous attempt of the same run already wrote. The atomic
+        pointer commit makes the append all-or-nothing, so a retry
+        can neither tear nor duplicate.
+
+        Costs one rewrite of the table per call — the right trade for
+        the reference-sized audit/review tables; an engine with real
+        transactions (see sources/store.py) does it as a guarded
+        append instead."""
+        self.ensure(table)
+        cur = self.read(table).where(f"{run_id_col} IS NULL OR {run_id_col} <> '{run_id}'")
+        self.rewrite(table, cur.unionByName(df.select(*[f.name for f in ALL_TABLES[table].fields])))
 
     def rewrite(self, table: str, df: DataFrame) -> None:
         """S4 — full-state rewrite as a NEW snapshot + atomic pointer

@@ -1,0 +1,72 @@
+"""TableStore contract suite (sources/store.py): the behavior ANY
+storage implementation must match before swapping in for Warehouse
+(e.g. a Delta/Iceberg backend). Parameterized over implementations;
+Warehouse is the shipped one.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lavasmart_bank_sync_etl_spark.sources.store import TableStore
+from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+IMPLEMENTATIONS = [Warehouse]
+
+
+@pytest.fixture(params=IMPLEMENTATIONS)
+def store(request, spark, tmp_path):
+    return request.param(spark, str(tmp_path / "store"))
+
+
+def _audit_row(spark, store, run_id, n=1):
+    df = store.read("audit_log").limit(0)
+    rows = [(None, f"F-{i}", "ALTA", "d", "", "", run_id) for i in range(n)]
+    return spark.createDataFrame(rows, df.schema)
+
+
+def test_conforms_to_protocol(store):
+    assert isinstance(store, TableStore)
+
+
+def test_ensure_is_idempotent_and_typed(store):
+    store.ensure("audit_log")
+    store.ensure("audit_log")
+    df = store.read("audit_log")
+    assert df.count() == 0
+    assert "run_id" in df.columns
+
+
+def test_append_accumulates(spark, store):
+    store.append("audit_log", _audit_row(spark, store, "r1", 2))
+    store.append("audit_log", _audit_row(spark, store, "r2", 3))
+    assert store.read("audit_log").count() == 5
+
+
+def test_rewrite_replaces_state(spark, store):
+    store.append("audit_log", _audit_row(spark, store, "r1", 4))
+    store.rewrite("audit_log", _audit_row(spark, store, "r9", 1))
+    out = store.read("audit_log").collect()
+    assert len(out) == 1 and out[0]["run_id"] == "r9"
+
+
+def test_append_once_retry_replaces_not_duplicates(spark, store):
+    """The effectively-once contract: re-appending under the same
+    run_id replaces that run's rows; a different run_id accumulates."""
+    store.append_once("audit_log", _audit_row(spark, store, "runA", 3), "runA")
+    store.append_once("audit_log", _audit_row(spark, store, "runA", 3), "runA")
+    assert store.read("audit_log").count() == 3
+    store.append_once("audit_log", _audit_row(spark, store, "runB", 2), "runB")
+    got = store.read("audit_log").groupBy("run_id").count().collect()
+    assert {r["run_id"]: r["count"] for r in got} == {"runA": 3, "runB": 2}
+
+
+def test_append_once_preserves_unstamped_rows(spark, store):
+    """Rows without a run_id (legacy appends) survive append_once."""
+    legacy = _audit_row(spark, store, None, 2)
+    store.append("audit_log", legacy)
+    store.append_once("audit_log", _audit_row(spark, store, "runC", 1), "runC")
+    store.append_once("audit_log", _audit_row(spark, store, "runC", 1), "runC")
+    counts = store.read("audit_log").groupBy("run_id").count().collect()
+    assert {r["run_id"]: r["count"] for r in counts} == {None: 2, "runC": 1}

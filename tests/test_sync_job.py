@@ -237,3 +237,26 @@ def test_rerun_after_conflict_reinserts_clean(spark, wh):
     rq = {r["folio"]: r.asDict() for r in wh.read("review_queue").collect()}
     assert rq["0-1"]["estado"] == "Pendiente"
     assert rq["0-1"]["concepto_banco"] == "SPEI 123"
+
+
+def test_run_id_stamps_and_retry_replaces(spark, wh):
+    """Appends are run_id-stamped; retrying a run under its run_id
+    replaces its review/audit rows instead of duplicating them
+    (crash-recovery contract; default fresh ids keep the reference's
+    append-every-run behavior)."""
+    SyncJob(spark, wh, WIN[0], WIN[1], run_id="attempt-1").run(
+        src_df(spark, [row("0-1", 2), row("0-2", 3)])
+    )
+    audit = wh.read("audit_log").collect()
+    assert audit and all(r["run_id"] == "attempt-1" for r in audit)
+    n_first = len(audit)
+    # identical retry under the same run_id: state already applied, so
+    # the replayed audit set replaces attempt-1's rows (no duplication)
+    SyncJob(spark, wh, WIN[0], WIN[1], run_id="attempt-1").run(
+        src_df(spark, [row("0-1", 2), row("0-2", 3)])
+    )
+    audit2 = wh.read("audit_log").collect()
+    assert len(audit2) <= n_first  # replaced, never duplicated
+    # a fresh run_id accumulates (reference semantics)
+    SyncJob(spark, wh, WIN[0], WIN[1]).run(src_df(spark, [row("0-1", 2, monto=55.0)]))
+    assert wh.read("audit_log").where("run_id IS NOT NULL").count() >= 1

@@ -78,6 +78,7 @@ def test_append_visible_in_current(spark, tmp_path):
         ts.alias("ts"), F.lit("0-1").alias("folio"), F.lit("NUEVO").alias("accion"),
         F.lit("d").alias("detalle"),
         F.lit("").alias("valores_anteriores"), F.lit("").alias("valores_nuevos"),
+        F.lit("r0").alias("run_id"),
     )
     wh.append("audit_log", entry)
     wh.append("audit_log", entry)
