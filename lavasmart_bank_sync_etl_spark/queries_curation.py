@@ -14,13 +14,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
+from .functions.vectors import cosine
 from .operators import dedup as DD
+from .operators.clustering import kmeans_assign
 from .operators.graph import dedup_clusters
 from .queries import query
 from .queries_llm import (
+    EMB_DUP_SQL,
+    HASH64_SQL,
     NEAR_DUP_SQL,
     NORM_SQL,
     SHINGLES_SQL,
+    _cos_sql,
+    _emb_dup_corpus,
     _minhash_sql,
     _near_dup_corpus,
     near_dup_lsh_pairs,
@@ -501,12 +507,13 @@ _DIST_SQL = (
     "i -> (v[i] - c[i]) * (v[i] - c[i]))), (acc, x) -> acc + x)"
 )
 
-@query(
-    "ml1_kmeans_assign",
-    f"""
-    WITH vecs AS (
+def _kmeans_sql(src: str) -> str:
+    """CTE chain ``vecs … a1`` (vid, cluster): k=8, 2 deterministic
+    Lloyd iterations over ``src`` — the SQL twin of
+    operators/clustering.kmeans_assign, shared by ml1 and dd12."""
+    return f"""vecs AS (
       SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      FROM ({src})
     ),
     c0 AS (
       SELECT row_number() OVER (ORDER BY vid) - 1 AS cid, v AS c
@@ -535,7 +542,13 @@ _DIST_SQL = (
         SELECT vid, cid,
                row_number() OVER (PARTITION BY vid ORDER BY d ASC, cid ASC) AS rn
         FROM d1) WHERE rn = 1
-    ),
+    )"""
+
+
+@query(
+    "ml1_kmeans_assign",
+    f"""
+    WITH {_kmeans_sql("SELECT vec_id, embedding FROM embeddings")},
     sz AS (SELECT cluster, COUNT(*) AS n_members FROM a1 GROUP BY cluster)
     SELECT a1.vid AS vec_id, CAST(a1.cluster AS BIGINT) AS cluster, sz.n_members
     FROM a1 JOIN sz USING (cluster)
@@ -929,4 +942,173 @@ def ml2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("r").alias("pr_fixed"),
         F.round(F.col("r") / 1000000000000.0, 8).alias("pr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dd12 — semantic dedup (k-means partition + within-cluster cosine)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dd12_semantic_dedup",
+    f"""
+    WITH corpus AS ({EMB_DUP_SQL}),
+    {_kmeans_sql("SELECT vec_id, embedding FROM corpus")},
+    cl AS (
+      SELECT a1.vid, a1.cluster, c.embedding
+      FROM a1 JOIN corpus c ON c.vec_id = a1.vid
+    ),
+    hits AS (
+      SELECT b.vid AS vec_id, a.vid AS dup_of, a.cluster,
+             ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim,
+             row_number() OVER (PARTITION BY b.vid ORDER BY a.vid ASC) AS rn
+      FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vid < b.vid
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.999
+    )
+    SELECT vec_id, dup_of, CAST(cluster AS BIGINT) AS cluster, cos_sim
+    FROM hits WHERE rn = 1
+    """,
+)
+def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd12 — SemDeDup-shaped semantic dedup (Abbas et al., 2023):
+    partition the corpus with deterministic k-means, then compare
+    embeddings only WITHIN each cluster; a vector whose cosine to a
+    lower-id cluster-mate is ≥ 0.999 is dropped in favor of its
+    lowest-id match. Scale shape: the quadratic term is bounded by
+    cluster size, not corpus size — k grows with the corpus so
+    per-cluster work stays constant, and the pair generation is a
+    shuffle-free-on-the-build-side equi-join on the cluster key
+    (vs dd6's all-pairs, which is the test-scale oracle twin).
+    Exact across engines because the k-means path is the fixed-point
+    deterministic one (ml1) and cosine is the same left-fold."""
+    corpus = _emb_dup_corpus(spark, sf_dir)
+    assign = kmeans_assign(corpus, k=8, iters=2).select("vec_id", "cluster")
+    cl = corpus.join(assign, "vec_id")
+    a = cl.select(
+        F.col("vec_id").alias("dup_of"), "cluster", F.col("embedding").alias("ea")
+    )
+    b = cl.select(
+        F.col("vec_id").alias("vec_id"), "cluster", F.col("embedding").alias("eb")
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    hits = (
+        a.join(b, "cluster")
+        .where(F.col("dup_of") < F.col("vec_id"))
+        .where(cos >= 0.999)
+        .select(
+            "vec_id", "dup_of", "cluster", F.round(cos, 4).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dup_of").asc())
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "dup_of", F.col("cluster").cast("long").alias("cluster"), "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cu2 — deterministic source-mixture sampling
+# ---------------------------------------------------------------------------
+
+_MIX_HASH_SQL = HASH64_SQL.format(expr="'mix|' || CAST(doc_id AS VARCHAR)") + " % 10000"
+
+@query(
+    "cu2_mixture_sampling",
+    f"""
+    WITH stats AS (
+      SELECT source, COUNT(*) AS cnt,
+             (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS units
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(cnt) AS n_total, SUM(units) AS units_total FROM stats),
+    rates AS (
+      SELECT source,
+             CAST(LEAST(10000, (units * 10000 * n_total) // (units_total * cnt))
+                  AS BIGINT) AS rate_bp
+      FROM stats CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source,
+           CAST({_MIX_HASH_SQL} AS BIGINT) AS bucket, r.rate_bp,
+           ({_MIX_HASH_SQL}) < r.rate_bp AS sampled
+    FROM documents d JOIN rates r USING (source)
+    """,
+)
+def cu2_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cu2 — sample the corpus to a target source mixture: each source
+    gets a target share proportional to its mixture weight (here a
+    deterministic function of the source name); the per-source keep
+    rate is min(1, share·N/count) in exact integer basis points, and
+    the keep decision is a content-stable md5 bucket — reproducible
+    across engines, runs, and partitionings (same doc → same verdict).
+    Scale shape: the rate table is #sources rows (map-side partial agg
+    → tiny shuffle), broadcast back to a scan-side flag — the corpus
+    itself never shuffles."""
+    d = read_table(spark, sf_dir, "documents")
+    stats = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).withColumn(
+        "units", (F.expr("cast(substring(source, 4) as bigint)") % 4 + 1)
+    )
+    tot = stats.agg(
+        F.sum("cnt").alias("n_total"), F.sum("units").alias("units_total")
+    )
+    rates = stats.crossJoin(tot).select(
+        "source",
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr("(units * 10000 * n_total) div (units_total * cnt)"),
+        ).alias("rate_bp"),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long"),
+        F.lit(10000),
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .select(
+            "doc_id", "source", bucket.alias("bucket"), "rate_bp",
+            (bucket < F.col("rate_bp")).alias("sampled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cu3 — deterministic sharded training-order shuffle
+# ---------------------------------------------------------------------------
+
+_SHUF_MD5_SQL = "md5('shuf|' || CAST(doc_id AS VARCHAR))"
+_SHUF_SHARD_SQL = (
+    HASH64_SQL.format(expr="'shuf|' || CAST(doc_id AS VARCHAR)") + " % 16"
+)
+
+@query(
+    "cu3_training_shuffle",
+    f"""
+    SELECT doc_id,
+           CAST({_SHUF_SHARD_SQL} AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                 PARTITION BY {_SHUF_SHARD_SQL}
+                 ORDER BY {_SHUF_MD5_SQL}, doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def cu3_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cu3 — deterministic global shuffle for training-data ordering:
+    every doc gets a content-stable md5 rank, a shard (hash % 16), and
+    a position within its shard. Readers stream shard s in pos order
+    to see a reproducible pseudo-random permutation. Scale shape: NO
+    global sort — the only wide op is the per-shard window, which
+    sorts each shard independently (shard count scales with the
+    cluster); this is how you materialize a shuffled epoch at 100 TB
+    without a single-partition orderBy."""
+    d = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+    shard = F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(16))
+    w = Window.partitionBy(shard).orderBy(h.asc(), F.col("doc_id").asc())
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
     )
