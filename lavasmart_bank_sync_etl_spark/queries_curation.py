@@ -29,6 +29,7 @@ from .queries_llm import (
     _emb_dup_corpus,
     _minhash_sql,
     _near_dup_corpus,
+    _shared_persist,
     near_dup_lsh_pairs,
     near_dup_minhash_sigs,
 )
@@ -420,8 +421,9 @@ def tx14_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (e.g. upsample the top deciles)."""
     from pyspark.sql import Window as W
 
-    d = read_table(spark, sf_dir, "documents")
-    scored = d.select("doc_id", T.quality_score("text").alias("quality"))
+    from .queries_llm import quality_scored
+
+    scored = quality_scored(spark, sf_dir)
 
     wq = W.orderBy(F.col("quality").desc())
     hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("cnt"))
@@ -740,7 +742,24 @@ def dd11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     sigs = near_dup_minhash_sigs(spark, sf_dir)
     pairs = near_dup_lsh_pairs(spark, sf_dir)
-    sh = DD._shingle_rows(corpus, "text", "doc_id", 3)
+    # The exact scorer must touch only docs that appear in a candidate
+    # pair: semi-join the corpus down to candidate ids (broadcast — the
+    # candidate set is tiny next to the corpus) BEFORE shingling, so
+    # shingle explosion cost tracks candidates, not corpus size.
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # Persisted: three consumers below (sizes, both sides of the
+    # intersection join) would otherwise re-explode the shingles.
+    sh = _shared_persist(
+        spark, ("neardup_cand_shingles", sf_dir),
+        lambda: DD._shingle_rows(
+            corpus.join(F.broadcast(cand_ids), "doc_id", "left_semi"),
+            "text", "doc_id", 3,
+        ),
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -138,8 +138,19 @@ def tx2_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length sweet-spot × punctuation penalty ×
     stopword presence, the standard cheap pretraining-corpus gate."""
-    d = read_table(spark, sf_dir, "documents")
-    return d.select("doc_id", T.quality_score("text").alias("quality"))
+    return quality_scored(spark, sf_dir)
+
+
+def quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality) — persisted once per (session, sf_dir); the
+    regex-heavy score is consumed by tx3, tx14's histogram AND its
+    ranked pass, so sharing saves two full text scans."""
+    return _shared_persist(
+        spark, ("quality_scored", sf_dir),
+        lambda: read_table(spark, sf_dir, "documents").select(
+            "doc_id", T.quality_score("text").alias("quality")
+        ),
+    )
 
 
 @query(
