@@ -999,30 +999,50 @@ def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free-on-the-build-side equi-join on the cluster key
     (vs dd6's all-pairs, which is the test-scale oracle twin).
     Exact across engines because the k-means path is the fixed-point
-    deterministic one (ml1) and cosine is the same left-fold."""
+    deterministic one (ml1) and the cosine kernel is dd6's (numpy
+    block matmul, 4dp round — same contract the driver already
+    hash-verified for dd6)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     corpus = _emb_dup_corpus(spark, sf_dir)
     assign = kmeans_assign(corpus, k=8, iters=2).select("vec_id", "cluster")
-    cl = corpus.join(assign, "vec_id")
-    a = cl.select(
-        F.col("vec_id").alias("dup_of"), "cluster", F.col("embedding").alias("ea")
+    cl = corpus.join(assign, "vec_id").select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("embedding").cast("array<double>").alias("vec"),
     )
-    b = cl.select(
-        F.col("vec_id").alias("vec_id"), "cluster", F.col("embedding").alias("eb")
-    )
-    cos = cosine(F.col("ea"), F.col("eb"))
-    hits = (
-        a.join(b, "cluster")
-        .where(F.col("dup_of") < F.col("vec_id"))
-        .where(cos >= 0.999)
-        .select(
-            "vec_id", "dup_of", "cluster", F.round(cos, 4).alias("cos_sim")
-        )
-    )
+
+    out_schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("dup_of", LongType()),
+        StructField("cluster", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ])
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({c.name: [] for c in out_schema})
+        vecs = np.stack(pdf["vec"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.sqrt(np.einsum("ij,ij->i", vecs, vecs))
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, (vecs @ vecs.T) / denom, 0.0)
+        cos = np.round(cos, 4)
+        ia, ib = np.nonzero((cos >= 0.999) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({
+            "vec_id": ids[ib], "dup_of": ids[ia],
+            "cluster": pdf["cluster"].iloc[0], "cos_sim": cos[ia, ib],
+        })
+
+    hits = cl.groupBy("cluster").applyInPandas(score_cluster, schema=out_schema)
     w = Window.partitionBy("vec_id").orderBy(F.col("dup_of").asc())
     return (
         hits.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "dup_of", F.col("cluster").cast("long").alias("cluster"), "cos_sim")
+        .select("vec_id", "dup_of", "cluster", "cos_sim")
     )
 
 
