@@ -39,8 +39,12 @@ from .sources.tables import read_table
 # dd9 — duplicate clusters (connected components over LSH candidates)
 # ---------------------------------------------------------------------------
 
-_PAIRS_SQL = f"""
-    WITH sigs AS ({_minhash_sql(8, NEAR_DUP_SQL)}),
+def _pairs_sql(corpus_sql: str) -> str:
+    """MinHash-LSH candidate pairs (8 hashes, 2 bands of 4) over any
+    (doc_id, text) corpus — the SQL twin of
+    operators/dedup.minhash_lsh_candidates, shared by dd9 and cu4."""
+    return f"""
+    WITH sigs AS ({_minhash_sql(8, corpus_sql)}),
     buckets AS (
       SELECT doc_id, 0 AS band_id,
              md5(CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
@@ -56,6 +60,9 @@ _PAIRS_SQL = f"""
     FROM buckets l JOIN buckets r
       ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
 """
+
+
+_PAIRS_SQL = _pairs_sql(NEAR_DUP_SQL)
 
 
 @query(
@@ -1151,3 +1158,82 @@ def cu3_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cu4 — end-to-end pretraining-data funnel
+# ---------------------------------------------------------------------------
+
+_NTOK_SQL = f"CASE WHEN {NORM_SQL} = '' THEN 0 ELSE len(string_split({NORM_SQL}, ' ')) END"
+
+@query(
+    "cu4_pipeline_funnel",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_NTOK_SQL} AS n_tok, md5({NORM_SQL}) AS chash
+      FROM documents
+    ),
+    scored AS ({_ORACLES["tx3_quality_score"]}),
+    s1 AS (SELECT * FROM base WHERE lang = 'en'),
+    s2 AS (SELECT s1.* FROM s1 JOIN scored USING (doc_id) WHERE scored.quality >= 0.3),
+    r3 AS (SELECT *, row_number() OVER (PARTITION BY chash ORDER BY doc_id) AS rn FROM s2),
+    s3 AS (SELECT doc_id, n_tok FROM r3 WHERE rn = 1),
+    pairs AS ({_pairs_sql("SELECT d.doc_id, d.text FROM documents d JOIN s3 USING (doc_id)")}),
+    losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs),
+    s4 AS (SELECT s3.* FROM s3 ANTI JOIN losers USING (doc_id))
+    SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+           COUNT(*) AS n_docs, CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM base
+    UNION ALL SELECT CAST(1 AS BIGINT), 'lang', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s1
+    UNION ALL SELECT CAST(2 AS BIGINT), 'quality', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+    UNION ALL SELECT CAST(3 AS BIGINT), 'exact_dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+    UNION ALL SELECT CAST(4 AS BIGINT), 'fuzzy_dedup', COUNT(*), CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s4
+    """,
+)
+def cu4_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cu4 — the assembled pretraining-data pipeline as ONE funnel
+    report: raw → language filter → quality gate (tx3 score) → exact
+    dedup (first-wins on content hash) → fuzzy dedup (MinHash-LSH
+    candidate pairs, greedy lower-id-wins drop), with surviving doc
+    and token counts per stage. This is the query a data-curation run
+    reports at the end; every stage reuses the production operator
+    (normalized_text / quality_scored / minhash_lsh_candidates), so
+    the funnel numbers are exactly the numbers the standalone
+    operators produce. Scale: stages are narrow filters over the scan
+    except the two dedup shuffles, which move (hash, id) and
+    (id, 8x8B signature) — never text; the LSH stage runs on the
+    already-thinned exact-dedup survivors."""
+    from .queries_llm import quality_scored
+
+    d = read_table(spark, sf_dir, "documents")
+    norm = DD.normalized_text("text")
+    base = d.select(
+        "doc_id", "lang", "text",
+        F.when(norm == "", 0)
+         .otherwise(F.size(F.split(norm, " "))).cast("long").alias("n_tok"),
+        F.md5(norm).alias("chash"),
+    )
+    s1 = base.where(F.col("lang") == "en")
+    s2 = s1.join(quality_scored(spark, sf_dir), "doc_id").where(F.col("quality") >= 0.3)
+    rn = F.row_number().over(Window.partitionBy("chash").orderBy("doc_id"))
+    s3 = s2.withColumn("rn", rn).where(F.col("rn") == 1)
+    sigs = DD.minhash_signatures(s3.select("doc_id", "text"), num_hashes=8)
+    pairs = DD.minhash_lsh_candidates(sigs, num_hashes=8, bands=2)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    s4 = s3.join(losers, "doc_id", "left_anti")
+
+    def stage_row(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(i).cast("long").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            "n_docs", "n_tokens",
+        )
+
+    out = stage_row(base, 0, "raw")
+    for i, (name, df) in enumerate(
+        [("lang", s1), ("quality", s2), ("exact_dedup", s3), ("fuzzy_dedup", s4)], 1
+    ):
+        out = out.unionByName(stage_row(df, i, name))
+    return out
