@@ -155,3 +155,34 @@ def test_quality_deciles_have_no_global_sort(q):
     assert "ntile" not in plan
     assert "hashpartitioning(quality" in plan
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_mixture_rate_table_broadcasts(q):
+    """cu2: the per-source rate table must broadcast back to the scan —
+    the corpus itself never shuffles for the keep/drop decision."""
+    plan = q("cu2_mixture_sampling")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_training_shuffle_has_no_global_sort(q):
+    """cu3: the epoch permutation must come from per-shard windows
+    (hash-partitioned), never a corpus-wide single-partition sort."""
+    plan = q("cu3_training_shuffle")
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning" in plan
+
+
+def test_semantic_dedup_scores_per_cluster(q):
+    """dd12: pair scoring must be the Arrow per-cluster kernel
+    (FlatMapGroupsInPandas keyed by cluster), not a per-pair join."""
+    plan = q("dd12_semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_funnel_dedup_shuffles_never_carry_text(q):
+    """cu4: the funnel's wide ops move hashes/signatures; the anti-join
+    against LSH losers must be a real join (no cartesian), and the
+    exact-dedup window must partition by content hash."""
+    plan = q("cu4_pipeline_funnel")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(chash" in plan
