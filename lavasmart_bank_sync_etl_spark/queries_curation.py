@@ -925,7 +925,8 @@ _EDGES_SQL = """
       SELECT r1.node, (150000000000 // n) + COALESCE(c2.inflow, 0) AS r
       FROM r1 CROSS JOIN nn LEFT JOIN c2 ON c2.node = r1.node
     )
-    SELECT node AS doc_id, r AS pr_fixed, ROUND(r / 1000000000000.0, 8) AS pr
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS pr_fixed,
+           ROUND(r / 1000000000000.0, 8) AS pr
     FROM r2
     """,
 )

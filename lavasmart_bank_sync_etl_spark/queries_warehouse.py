@@ -204,7 +204,7 @@ def j8_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
                  folio || '|' || CAST(sale_date AS VARCHAR) || '|' ||
                  CAST(CAST(round(monto * 100) AS BIGINT) AS VARCHAR) || '|' || metodo
                ), 1, 15)) AS BIGINT)) AS xor_fingerprint,
-               SUM(CAST(round(monto * 100) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(round(monto * 100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM sales
         GROUP BY 1
         """

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entrymod
@@ -40,6 +41,98 @@ def _norm_cell(v):
     if isinstance(v, list):
         return tuple(_norm_cell(x) for x in v)
     return v
+
+
+def _norm_arrow_type(t):
+    """Collapse an Arrow type to the equivalence class the driver's
+    hasher distinguishes. Integer widths ≤64 hash identically, so they
+    share one class — but DuckDB HUGEINT (int128) surfaces in Arrow as
+    decimal128(38,0), a DIFFERENT class from Spark's int64. That is
+    exactly the divergence the r2 driver caught (ch1/ml2) while the
+    old string-normalizing replica stayed green."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        return ("list", _norm_arrow_type(t.value_type))
+    if pa.types.is_struct(t):
+        return ("struct", tuple((f.name, _norm_arrow_type(f.type)) for f in t))
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
+def _split_top(s: str):
+    """Split a Spark dtype field list on commas at angle-bracket depth 0."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def _norm_spark_dtype(s: str):
+    s = s.strip()
+    if s.startswith("array<") and s.endswith(">"):
+        return ("list", _norm_spark_dtype(s[6:-1]))
+    if s.startswith("struct<") and s.endswith(">"):
+        fields = []
+        for part in _split_top(s[7:-1]):
+            name, _, typ = part.partition(":")
+            fields.append((name.strip(), _norm_spark_dtype(typ)))
+        return ("struct", tuple(fields))
+    if s.startswith("decimal"):
+        return "decimal"
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if s in ("float", "double"):
+        return "float"
+    if s == "boolean":
+        return "bool"
+    if s in ("timestamp", "timestamp_ntz"):
+        return "timestamp"
+    if s == "void":
+        return "null"
+    return s  # string, binary, date pass through
+
+
+def _assert_types_compatible(name, sdf, duck_schema):
+    duck_types = {f.name: _norm_arrow_type(f.type) for f in duck_schema}
+    for col, dtype in sdf.dtypes:
+        st, dt = _norm_spark_dtype(dtype), duck_types[col]
+        if "null" in (st, dt):
+            continue  # an all-NULL column types as null; values still compared
+        assert st == dt, (
+            f"{name}.{col}: engine type divergence spark={dtype}({st}) "
+            f"duck={duck_types[col]} — the driver hashes these differently "
+            f"(e.g. un-cast DuckDB HUGEINT); CAST the oracle output"
+        )
 
 
 def _norm_rows(cols, rows):
@@ -74,6 +167,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
+    _assert_types_compatible(name, sdf, con.execute(ORACLES[name]).arrow().schema)
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
