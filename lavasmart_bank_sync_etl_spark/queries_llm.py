@@ -10,7 +10,9 @@ plan and the DuckDB oracle.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
+import shutil as _shutil
 import tempfile
 import uuid
 
@@ -38,6 +40,13 @@ NORM_SQL = (
 )
 
 HASH64_SQL = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+#: st6 gold dirs pending deletion — they back the lazily-returned
+#: DataFrame, so each is reaped on the NEXT st6 call / at exit.
+_ST6_GOLD_DIRS: list[str] = []
+atexit.register(
+    lambda: [_shutil.rmtree(d, ignore_errors=True) for d in _ST6_GOLD_DIRS]
+)
 
 SHINGLES_SQL = f"""
 CASE WHEN len(string_split({NORM_SQL}, ' ')) >= 3
@@ -890,20 +899,29 @@ def st3_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch SQL; cross-batch state behavior is covered by
     tests/test_streaming.py."""
     import os
+    import shutil
 
     from .streaming.stream_sync import first_seen_registry
 
     # file-stream sources need a directory; stage the (read-only)
     # events file into a temp dir via symlink
     stream_dir = tempfile.mkdtemp(prefix="st3_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="st3_ckpt_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet"))
 
     from .sources.tables import read_parquet_robust
 
     raw_schema = read_parquet_robust(spark, f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in raw_schema.fields).get("ts") == "bigint":
+    # normalize event-time to session-TZ TIMESTAMP — withWatermark
+    # rejects both bigint (nanosAsLong era) and TIMESTAMP_NTZ
+    # (timestamp[us]-without-tz era); session TZ is pinned UTC so the
+    # NTZ cast is value-stable vs the oracle
+    ts_dtype = {f.name: f.dataType.simpleString() for f in raw_schema.fields}.get("ts")
+    if ts_dtype == "bigint":
         ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_dtype == "timestamp_ntz":
+        ts = F.col("ts").cast("timestamp")
     else:
         ts = F.col("ts")
     stream = stream.select(
@@ -921,13 +939,16 @@ def st3_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.writeStream.format("memory")
             .queryName(sink)
             .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="st3_ckpt_"))
+            .option("checkpointLocation", ckpt_dir)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the memory sink holds the result — source + checkpoint are done
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return spark.table(sink).select(
         "folio",
         F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts_str"),
@@ -960,6 +981,12 @@ def st6_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.stream_sync import stream_upsert
 
+    # gold dirs back the *returned* (lazy) DataFrame, so they can't be
+    # deleted in this call's finally — reap prior invocations' dirs now
+    # (bench reruns n=3) and the rest at interpreter exit
+    while len(_ST6_GOLD_DIRS) > 1:
+        shutil.rmtree(_ST6_GOLD_DIRS.pop(0), ignore_errors=True)
+
     e = read_table(spark, sf_dir, "events").select(
         "event_id",
         F.col("user_id").cast("string").alias("folio"),
@@ -970,7 +997,9 @@ def st6_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming dedup + idempotent MERGE must erase them.
     staged = e.unionByName(e.where(F.col("event_id") % 13 == 0))
     src_dir = tempfile.mkdtemp(prefix="st6_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="st6_ckpt_")
     work_dir = tempfile.mkdtemp(prefix="st6_gold_")
+    _ST6_GOLD_DIRS.append(work_dir)
     staged.coalesce(4).write.mode("overwrite").parquet(src_dir)
 
     stream = spark.readStream.schema(staged.schema).parquet(src_dir)
@@ -993,16 +1022,16 @@ def st6_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         q = stream_upsert(
             spark, stream, apply_batch,
-            checkpoint_dir=tempfile.mkdtemp(prefix="st6_ckpt_"),
+            checkpoint_dir=ckpt_dir,
             key="event_id", ts_col="sale_ts",
         )
         q.awaitTermination(300)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    result = spark.read.parquet(gold["path"]).select(
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    return spark.read.parquet(gold["path"]).select(
         "event_id", "folio",
         F.date_format("sale_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "value",
     )
-    shutil.rmtree(src_dir, ignore_errors=True)
-    return result

@@ -43,10 +43,18 @@ def read_parquet_robust(spark: SparkSession, path: str) -> DataFrame:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = read_parquet_robust(spark, f"{sf_dir}/{name}.parquet")
-    # events.ts arrives as TIMESTAMP(NANOS) → long (nanosAsLong); convert
-    # via integer division so the ~1.7e18 values never pass through a double
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # events.ts has shipped as TIMESTAMP(NANOS) → long (nanosAsLong) and
+    # as timestamp[us] without timezone → TIMESTAMP_NTZ. Normalize both to
+    # session-TZ TIMESTAMP: event-time ops (withWatermark, unix_micros)
+    # require it, and the session TZ is pinned UTC so NTZ→LTZ is
+    # value-stable against the DuckDB oracle. The nanos branch divides as
+    # integers so ~1.7e18 values never pass through a double.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
