@@ -18,20 +18,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lavasmart_bank_sync_etl_spark.queries import ORACLES, QUERIES
 
-# Queries with a green row in CORRECTNESS_r01.json (the round-1 driver
-# checked exactly the first 50 registered entries, then stopped). To get
-# every operator a driver-verified row, never-yet-checked queries are
-# ordered FIRST; previously-green ones fill the remaining budget in
-# their original registration order.
-_DRIVER_VERIFIED = frozenset({
-    "s1_partitioned_scan_window", "p1_projection_cleaning",
-    "p2_method_classifier", "p3_p4_window_null_guards",
-    "f1_f6_date_roundtrip", "f2_money_parser",
-    "f7_spanish_month_partition_key", "f8_checkbox_coercion",
-    "a1_sum_by_lot", "a2_j4_lot_reconciliation",
-    "a3_daily_totals_by_method", "a5_rollup_subtotals",
-    "a6_quality_percentiles", "w1_running_total",
-    "d1_first_wins_dedup", "d1_duplicate_losers_log",
+# The driver checks the FIRST ~50 of the registered queries each round.
+# Ordering policy (round 4): queries whose newest CORRECTNESS row is
+# broken/unverifiable go first, then queries whose only green row is
+# from round 1 (the operators behind dd2/dd3/dd11/tx14 were refactored
+# after that check), then everything already re-verified in round 3.
+
+#: ERR or no_oracle in CORRECTNESS_r03.json — fixed/reshaped this round.
+_NEEDS_FRESH = [
+    "st3_stateful_first_seen", "st6_streaming_upsert",
+    "w2_interarrival_gaps", "a9_approx_distinct_calibration",
+    "a10_approx_percentile_calibration", "tx16_compression_ratio",
+]
+
+#: Green only in CORRECTNESS_r01.json; never re-checked since.
+_R1_STALE = [
+    "w1_running_total", "d1_first_wins_dedup", "d1_duplicate_losers_log",
     "j1_upsert_classify", "a4_run_summary", "c1_c3_typed_diff",
     "c4_change_narrative", "s4_merge_preserve_human_cols",
     "j2_r3_move_conflict_routing", "j3_deletion_detection",
@@ -46,14 +48,16 @@ _DRIVER_VERIFIED = frozenset({
     "ss1_brute_force_topk", "ss2_lsh_topk", "ss3_ivf_topk",
     "mm1_multimodal_decode", "mm2_resize", "mm3_frame_sample",
     "st1_tumbling_window_agg", "st2_session_windows",
-})
+]
 
 
 def _ordered() -> list[str]:
-    names = list(QUERIES)
-    return [n for n in names if n not in _DRIVER_VERIFIED] + [
-        n for n in names if n in _DRIVER_VERIFIED
-    ]
+    priority = _NEEDS_FRESH + _R1_STALE
+    assert all(n in QUERIES for n in priority), sorted(
+        set(priority) - set(QUERIES)
+    )
+    rest = [n for n in QUERIES if n not in set(priority)]
+    return priority + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

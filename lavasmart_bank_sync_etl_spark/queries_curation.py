@@ -583,25 +583,69 @@ def ml1_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# tx16 — zlib compression ratio (Arrow-batched pandas UDF; rows-only check)
+# tx16 — redundancy/compressibility quality signal
 # ---------------------------------------------------------------------------
 
-@query("tx16_compression_ratio", None)
-def tx16_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tx16 — compression-ratio quality signal: zlib(text)/len(text)
-    per document, the entropy proxy that catches boilerplate and
-    degenerate repetition (quality filters drop the tails on both
-    ends). zlib has no SQL expression, so this is the repo's one
-    scalar ``pandas_udf`` (Arrow-batched — the sanctioned shape for
-    genuinely non-SQL per-row logic; never a row-at-a-time Python
-    UDF). No DuckDB oracle exists for zlib, hence the driver's
-    rows-only check; exact values are pinned by unit test instead
+def tx16_zlib_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib(text)/len(text) per document — the entropy proxy behind
+    quality filters. zlib has no SQL expression, so this is the repo's
+    one scalar ``pandas_udf`` (Arrow-batched — the sanctioned shape
+    for genuinely non-SQL per-row logic; never a row-at-a-time Python
+    UDF). No DuckDB oracle exists for it, so it stays out of the
+    driver contract; exact values are pinned by unit test instead
     (tests/test_text_ops.py)."""
     d = read_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.length(F.coalesce("text", F.lit(""))).cast("long").alias("n_chars"),
         T.compression_ratio("text").alias("zlib_ratio"),
+    )
+
+
+@query(
+    "tx16_compression_ratio",
+    """
+    WITH d AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+    g AS (
+      SELECT doc_id,
+             COUNT(DISTINCT substr(s, CAST(i AS INTEGER), 4)) AS n_distinct
+      FROM d, UNNEST(range(1, length(s) - 2)) AS t(i)
+      WHERE length(s) >= 4
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           length(d.s) AS n_chars,
+           COALESCE(ROUND(g.n_distinct / length(d.s), 4), 0.0)
+             AS distinct_4gram_ratio
+    FROM d LEFT JOIN g USING (doc_id)
+    """,
+)
+def tx16_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx16 — redundancy quality signal, driver-checkable form:
+    distinct character 4-grams per character. Boilerplate and
+    degenerate repetition reuse the same few 4-grams, so the ratio
+    collapses toward 0 exactly where the zlib ratio does (the two
+    rank-correlate; the zlib twin lives in ``tx16_zlib_detail``,
+    pytest-pinned, because DuckDB has no zlib). All-JVM expressions:
+    sequence → transform → array_distinct — no UDF, and at 100 TB the
+    per-row cost is linear in text length with no shuffle (narrow
+    projection only)."""
+    d = read_table(spark, sf_dir, "documents")
+    s = F.coalesce("text", F.lit(""))
+    n_chars = F.length(s)
+    # substring(col, pos, len) needs the expression form for a dynamic pos
+    grams = F.expr(
+        "transform(sequence(1, length(coalesce(text, '')) - 3), "
+        "i -> substring(coalesce(text, ''), i, 4))"
+    )
+    ratio = F.when(
+        n_chars >= 4,
+        F.round(F.size(F.array_distinct(grams)) / n_chars, 4),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        ratio.alias("distinct_4gram_ratio"),
     )
 
 

@@ -363,16 +363,11 @@ def w2_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A9 — sketch calibration (HLL approx distinct vs exact)
 # ---------------------------------------------------------------------------
 
-@query("a9_approx_distinct_calibration", None)
-def a9_approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 — HyperLogLog++ calibration: approx_count_distinct vs the
-    exact distinct count per event_type, with the relative error. At
-    100 TB the sketch is THE way to count distinct folios/users — it
-    partial-aggregates map-side into a fixed-size register set, where
-    exact distinct must shuffle every distinct value. HLL estimates
-    are engine-specific (no DuckDB oracle — rows-only determinism
-    check); the unit contract is the documented rsd bound (2% default,
-    asserted ≤ 5% here in the error column, tests/test_warehouse.py)."""
+def a9_calibration_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full HLL++ calibration frame (exact, approx, rel_error) — the
+    approx values are engine-specific, so this detail view backs the
+    pytest bound assertion (tests/test_warehouse.py), not the driver
+    oracle."""
     e = read_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
@@ -385,20 +380,41 @@ def a9_approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "a9_approx_distinct_calibration",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def a9_approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — HyperLogLog++ calibration: approx_count_distinct vs the
+    exact distinct count per event_type. At 100 TB the sketch is THE
+    way to count distinct folios/users — it partial-aggregates
+    map-side into a fixed-size register set, where exact distinct must
+    shuffle every distinct value. The HLL estimate itself is
+    engine-specific, so the driver-checkable contract is (exact count,
+    Spark-computed ``within_bound`` = estimate within 5% of exact —
+    documented rsd is 2%, margin for small groups); the oracle asserts
+    the exact counts and expects ``within_bound`` TRUE everywhere.
+    Raw estimates: ``a9_calibration_detail`` (pytest)."""
+    return a9_calibration_detail(spark, sf_dir).select(
+        "event_type",
+        "exact_users",
+        (F.col("rel_error") <= 0.05).alias("within_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A10 — quantile-sketch calibration (approx_percentile vs exact)
 # ---------------------------------------------------------------------------
 
-@query("a10_approx_percentile_calibration", None)
-def a10_approx_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 — quantile-sketch calibration, the companion of A9 for the
-    other sketch every 100 TB pipeline needs: approx_percentile
-    (Greenwald-Khanna, mergeable partials — fixed-size state map-side)
-    next to the exact per-group median/p95 and the relative error.
-    Exact percentiles need a full sort per group; the sketch reads the
-    same scan once and ships bounded state. Sketch output is
-    engine-specific (rows-only check); the ≤5% error contract is
-    asserted in tests/test_warehouse.py."""
+def a10_calibration_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full GK-sketch calibration frame (exact, approx, rel errors) —
+    backs the pytest bound assertion; approx values are
+    engine-specific so they stay out of the driver oracle."""
     e = read_table(spark, sf_dir, "events")
     exact = F.expr("percentile(value, array(0.5, 0.95))")
     approx = F.expr("approx_percentile(value, array(0.5, 0.95), 1000)")
@@ -409,6 +425,38 @@ def a10_approx_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataF
         F.round(approx[1], 2).alias("approx_p95"),
         F.round(F.abs(approx[0] - exact[0]) / F.abs(exact[0]), 4).alias("rel_err_p50"),
         F.round(F.abs(approx[1] - exact[1]) / F.abs(exact[1]), 4).alias("rel_err_p95"),
+    )
+
+
+@query(
+    "a10_approx_percentile_calibration",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 2) AS exact_p50,
+           ROUND(quantile_cont(value, 0.95), 2) AS exact_p95,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def a10_approx_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — quantile-sketch calibration, the companion of A9 for the
+    other sketch every 100 TB pipeline needs: approx_percentile
+    (Greenwald-Khanna, mergeable partials — fixed-size state
+    map-side) against the exact per-group median/p95. Exact
+    percentiles need a full sort per group; the sketch reads the same
+    scan once and ships bounded state. The sketch output is
+    engine-specific, so the driver contract is (exact p50/p95 —
+    Spark ``percentile`` ≡ DuckDB ``quantile_cont``, both linear
+    interpolation — plus Spark-computed ``within_bound`` = both
+    estimates within 5% of exact); the oracle checks the exact values
+    and expects TRUE. Raw estimates: ``a10_calibration_detail``."""
+    return a10_calibration_detail(spark, sf_dir).select(
+        "event_type",
+        "exact_p50",
+        "exact_p95",
+        (
+            (F.col("rel_err_p50") <= 0.05) & (F.col("rel_err_p95") <= 0.05)
+        ).alias("within_bound"),
     )
 
 

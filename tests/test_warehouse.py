@@ -87,20 +87,31 @@ def test_append_visible_in_current(spark, tmp_path):
 
 def test_approx_distinct_within_documented_bound(spark, sf_dir):
     """A9 contract: HLL++ estimates stay within 5% of exact (default
-    rsd 2%, margin for small groups)."""
+    rsd 2%, margin for small groups) — checked on the detail frame;
+    the driver-facing query must report within_bound TRUE everywhere."""
     import __spark_entry__ as entrymod
 
-    rows = entrymod.queries()["a9_approx_distinct_calibration"](spark, sf_dir).collect()
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import a9_calibration_detail
+
+    rows = a9_calibration_detail(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["rel_error"] <= 0.05, (r["event_type"], r["rel_error"])
+
+    driver = entrymod.queries()["a9_approx_distinct_calibration"](spark, sf_dir).collect()
+    assert driver and all(r["within_bound"] for r in driver)
 
 
 def test_approx_percentile_within_bound(spark, sf_dir):
     """A10 contract: GK-sketch percentiles within 5% of exact."""
     import __spark_entry__ as entrymod
 
-    rows = entrymod.queries()["a10_approx_percentile_calibration"](spark, sf_dir).collect()
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import a10_calibration_detail
+
+    rows = a10_calibration_detail(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["rel_err_p50"] <= 0.05 and r["rel_err_p95"] <= 0.05, tuple(r)
+
+    driver = entrymod.queries()["a10_approx_percentile_calibration"](spark, sf_dir).collect()
+    assert driver and all(r["within_bound"] for r in driver)
