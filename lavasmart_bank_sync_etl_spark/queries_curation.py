@@ -432,6 +432,13 @@ def tx14_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = quality_scored(spark, sf_dir)
 
+    # Two passes over the scored corpus, deliberately: the histogram
+    # pass partial-aggregates map-side down to ≤10001 (quality, cnt)
+    # rows before its shuffle, so its cost is ~one narrow scan; the
+    # window pass is the one real corpus shuffle. (Folding the
+    # histogram onto the window output was measured: the two exchange
+    # subtrees don't canonicalize equal, so ReuseExchange never fires
+    # and the corpus shuffles twice — strictly worse.)
     wq = W.orderBy(F.col("quality").desc())
     hist = scored.groupBy("quality").agg(F.count(F.lit(1)).alias("cnt"))
     offsets = hist.select(
