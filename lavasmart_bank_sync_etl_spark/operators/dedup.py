@@ -186,6 +186,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_posting: int = 1000,
 ) -> DataFrame:
     """n-gram Jaccard near-dup: explode shingles, self-join on shingle
     to count intersections, derive |A∪B| from per-doc sizes.
@@ -195,17 +196,33 @@ def ngram_jaccard_pairs(
     an array expression, then count pairs — one shuffle of the shingle
     rows instead of a join that re-shuffles both sides, and only docs
     sharing a shingle ever meet (singleton shingles — the majority —
-    drop out at ``size > 1``). At 100 TB, add a band/LSH prefilter
-    (minhash_lsh_candidates) before this exact scorer, and cap
-    pathological stop-shingles (posting lists past a skew threshold
-    explode quadratically — truncate or salt them).
+    drop out at ``size > 1``).
+
+    Stop-shingle skew cap: a shingle shared by p docs emits p·(p-1)/2
+    pairs, so one boilerplate shingle ("all rights reserved …") in p
+    = 1e6 docs would emit 5e11 rows. Posting lists are truncated to
+    the first ``max_posting`` doc_ids (row_number over the same
+    shuffle — the collect_list then holds ≤ max_posting ids, bounding
+    both pair count and per-group memory). Truncation only UNDER-
+    counts intersections for pairs whose shared shingles are all
+    hot — those are boilerplate matches far below any useful Jaccard
+    threshold; the union denominator stays exact. Deterministic:
+    lists are sorted by id before the cut. At 100 TB, additionally
+    put the band/LSH prefilter (minhash_lsh_candidates) in front of
+    this exact scorer.
     """
     sh = _shingle_rows(df, text_col, id_col, k)
     # |A| must count every shingle (union denominator) — before any filter
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    wsh = Window.partitionBy("shingle").orderBy(F.col(id_col).asc())
+    capped = (
+        sh.withColumn("_rn", F.row_number().over(wsh))
+        .where(F.col("_rn") <= max_posting)
+        .drop("_rn")
+    )
     ids = F.col("ids")
     groups = (
-        sh.groupBy("shingle")
+        capped.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size(ids) > 1)
     )

@@ -341,9 +341,13 @@ def dd3_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH corpus AS ({NEAR_DUP_SQL}),
     sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM corpus),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    capped AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY row_number() OVER (PARTITION BY shingle ORDER BY doc_id) <= 1000
+    ),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -354,8 +358,10 @@ def dd3_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs ≥ 0.6: shingle equi-join bounds
-    the pair space to docs sharing a shingle (LSH prefilter slots in
-    front of this at 100 TB)."""
+    the pair space to docs sharing a shingle, posting lists truncated
+    at 1000 ids (stop-shingle skew cap — mirrored in the oracle's
+    QUALIFY; see operators/dedup.ngram_jaccard_pairs). LSH prefilter
+    slots in front of this at 100 TB."""
     return DD.ngram_jaccard_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6)
 
 

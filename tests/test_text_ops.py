@@ -123,3 +123,39 @@ def test_compression_ratio_values(spark):
             b = text.encode()
             assert got[doc_id] == round(len(zlib.compress(b, 6)) / len(b), 4)
     assert got[0] < 0.05 < got[1]
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark):
+    """dd4 skew cap: a shingle shared by p docs must emit pairs from at
+    most max_posting of them — p·(p-1)/2 uncapped would explode
+    quadratically at scale — while docs whose overlap doesn't rely on
+    the hot shingle alone are unaffected."""
+    # 40 docs all sharing one boilerplate shingle, otherwise disjoint
+    hot = [(i, f"all rights reserved tok{i}a tok{i}b tok{i}c") for i in range(40)]
+    df = spark.createDataFrame(hot, "doc_id long, text string")
+
+    capped = DD.ngram_jaccard_pairs(df, threshold=0.0, max_posting=5).collect()
+    # the boilerplate shingles' posting lists are cut to 5 ids -> every
+    # emitted pair has both endpoints among the 5 smallest doc_ids
+    assert capped, "cap must truncate, not erase"
+    assert all(r["id_a"] < 5 and r["id_b"] < 5 for r in capped)
+    assert len(capped) <= 5 * 4 / 2
+
+    uncapped = DD.ngram_jaccard_pairs(df, threshold=0.0, max_posting=10_000)
+    assert uncapped.count() == 40 * 39 / 2  # all pairs share a shingle
+
+
+def test_ngram_jaccard_cap_no_op_on_normal_corpus(spark):
+    """With no posting list past the cap, results are identical to the
+    uncapped operator (the registered dd4 contract: hash unchanged on
+    normal corpora)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text about spark partitions here"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, DD.ngram_jaccard_pairs(df, threshold=0.2).collect()))
+    b = sorted(map(tuple, DD.ngram_jaccard_pairs(df, threshold=0.2, max_posting=10_000).collect()))
+    assert a == b and a
