@@ -1,0 +1,125 @@
+"""Catalog-backed TableStore: the SAME ``sources.store.TableStore``
+protocol as ``Warehouse``, implemented through Spark's catalog
+(metastore DDL + managed tables) instead of direct filesystem layout.
+
+This is the second implementation the storage seam promises: SyncJob
+and the contract suite (tests/test_store_contract.py) run unchanged
+against either backend, demonstrating that swapping in a
+metastore-managed engine (the stepping stone to Delta/Iceberg — same
+code path, those formats just add ACID txns on top) touches zero
+plan/merge code.
+
+Mechanics per contract method:
+
+=============  =====================================================
+ensure         ``CREATE TABLE`` (saveAsTable of an empty canonical-
+               schema frame) if ``tableExists`` is false
+read           ``spark.table`` — catalog-resolved scan
+append         ``mode("append").saveAsTable`` (by-name resolution)
+append_once    recompute (prior state minus this run_id's rows) ∪ df,
+               then the staged-swap rewrite below
+rewrite        write a ``__staged`` table, DROP the target, ALTER
+               RENAME staged → target. Not a single atomic op (two
+               metastore calls); engines with transactional commits
+               (Delta/Iceberg) replace this with one overwrite txn —
+               exactly the trade documented in sources/store.py.
+=============  =====================================================
+
+Each store instance namespaces its tables in an own database created
+``LOCATION <root>``, so independent stores (e.g. per-test tmp dirs)
+never collide in the session-global catalog.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .warehouse import ALL_TABLES, LEGACY_RENAMES
+
+
+class CatalogStore:
+    """TableStore over Spark catalog managed tables (SURVEY §2.1
+    S2-S7 via DDL instead of directory layout)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:12]
+        self.db = f"spark_graft_store_{digest}"
+        spark.sql(
+            f"CREATE DATABASE IF NOT EXISTS {self.db} "
+            f"LOCATION '{os.path.abspath(root)}'"
+        )
+
+    def _qualified(self, table: str) -> str:
+        return f"{self.db}.{table}"
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._qualified(table))
+
+    def ensure(self, table: str) -> None:
+        """S7 — create-if-missing with the canonical schema."""
+        if not self.exists(table):
+            empty = self.spark.createDataFrame([], ALL_TABLES[table])
+            empty.write.format("parquet").saveAsTable(self._qualified(table))
+
+    def migrate_legacy(self) -> None:
+        """S9 — legacy renames as metastore DDL (vs Warehouse's
+        directory rename)."""
+        for old, new in LEGACY_RENAMES.items():
+            if self.exists(old) and not self.exists(new):
+                self.spark.sql(
+                    f"ALTER TABLE {self._qualified(old)} "
+                    f"RENAME TO {self._qualified(new)}"
+                )
+
+    def read(self, table: str) -> DataFrame:
+        """S2 — catalog-resolved scan of committed state."""
+        self.ensure(table)
+        return self.spark.table(self._qualified(table))
+
+    def append(self, table: str, df: DataFrame) -> None:
+        """S3/S5/S6 — append sink."""
+        self.ensure(table)
+        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
+            "append"
+        ).format("parquet").saveAsTable(self._qualified(table))
+
+    def append_once(
+        self, table: str, df: DataFrame, run_id: str, run_id_col: str = "run_id"
+    ) -> None:
+        """Effectively-once append: drop any rows a previous attempt of
+        this run wrote, then fold the new rows in via the staged-swap
+        rewrite (same semantics as Warehouse.append_once)."""
+        self.ensure(table)
+        cur = self.read(table).where(
+            f"{run_id_col} IS NULL OR {run_id_col} <> '{run_id}'"
+        )
+        self.rewrite(
+            table,
+            cur.unionByName(df.select(*[f.name for f in ALL_TABLES[table].fields])),
+        )
+
+    def rewrite(self, table: str, df: DataFrame) -> None:
+        """S4 — replace table state via staged table + metastore swap.
+
+        The staging write fully materializes the new state BEFORE the
+        target is dropped (``df`` may read from the target — Spark
+        forbids overwriting a table being read, and the stage/swap
+        sidesteps that as well), so a failed write never truncates the
+        target; the two metastore calls of the swap itself are not one
+        atomic unit — that upgrade is what a Delta/Iceberg backend
+        buys (sources/store.py)."""
+        self.ensure(table)
+        target = self._qualified(table)
+        staged = f"{target}__staged"
+        self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
+        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.format(
+            "parquet"
+        ).saveAsTable(staged)
+        self.spark.sql(f"DROP TABLE {target}")
+        self.spark.sql(f"ALTER TABLE {staged} RENAME TO {target}")
+        self.spark.catalog.refreshTable(target)

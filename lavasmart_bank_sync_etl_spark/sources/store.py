@@ -37,6 +37,9 @@ class TableStore(Protocol):
     def ensure(self, table: str) -> None:
         """S7 — create-if-missing with the canonical schema."""
 
+    def migrate_legacy(self) -> None:
+        """S9 — one-shot rename of legacy tables to canonical names."""
+
     def read(self, table: str) -> DataFrame:
         """S2 — scan the current committed state."""
 

@@ -9,10 +9,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from lavasmart_bank_sync_etl_spark.sources.catalog_store import CatalogStore
 from lavasmart_bank_sync_etl_spark.sources.store import TableStore
 from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
 
-IMPLEMENTATIONS = [Warehouse]
+IMPLEMENTATIONS = [Warehouse, CatalogStore]
 
 
 @pytest.fixture(params=IMPLEMENTATIONS)

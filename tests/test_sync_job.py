@@ -22,6 +22,7 @@ from lavasmart_bank_sync_etl_spark.plans.sync_job import SyncJob
 from lavasmart_bank_sync_etl_spark.schemas import (
     ACTION_CONFLICT, ACTION_DELETE_DETECTED, ACTION_DUPLICATE, ACTION_MOVE, ACTION_UPDATE,
 )
+from lavasmart_bank_sync_etl_spark.sources.catalog_store import CatalogStore
 from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
 
 SRC_SCHEMA = StructType([
@@ -49,9 +50,12 @@ def row(folio, day, monto=100.0, metodo="TRANSFERENCIA", cliente="Ana", servicio
     return (folio, D(2025, 11, day), cliente, servicio, monto, metodo, banco, idx)
 
 
-@pytest.fixture
-def wh(spark, tmp_path):
-    return Warehouse(spark, str(tmp_path / "wh"))
+@pytest.fixture(params=[Warehouse, CatalogStore])
+def wh(request, spark, tmp_path):
+    """Every golden scenario runs against BOTH TableStore
+    implementations — the storage seam is only proven if SyncJob's
+    behavior is identical through either backend."""
+    return request.param(spark, str(tmp_path / "wh"))
 
 
 def run(spark, wh, rows, start=WIN[0], end=WIN[1]):
