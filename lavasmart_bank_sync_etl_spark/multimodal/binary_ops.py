@@ -66,6 +66,51 @@ def decode_image(payload: bytes) -> tuple[int, int, int, str]:
         return len(payload), int(w), int(h), f"decoded:{img.format or ''}:{img.mode}"
 
 
+def decode_image_builtin(payload: bytes) -> tuple[int, int, int, str]:
+    """Dependency-free REAL decode for the two classic uncompressed
+    raster formats — enough to run an actual decode in containers
+    without Pillow (same (byte_len, width, height, caption) contract):
+
+    - BMP: 'BM' magic; width/height are little-endian int32 at byte
+      offsets 18/22 of the BITMAPINFOHEADER (height may be negative
+      for top-down rows — dimensions are |height|).
+    - PPM (binary 'P6'): ASCII header tokens width, height, maxval,
+      with '#' comments legal anywhere between them.
+
+    Anything else raises NotImplementedError — that's the honest
+    boundary where Pillow/ffmpeg would plug in.
+    """
+    import struct
+
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w, h = struct.unpack_from("<ii", payload, 18)
+        return len(payload), int(abs(w)), int(abs(h)), "decoded:BMP:bgr"
+    if payload[:2] == b"P6":
+        tokens: list[int] = []
+        pos = 2
+        while len(tokens) < 3 and pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                pos = payload.index(b"\n", pos) + 1
+            elif c.isdigit():
+                end = pos
+                while payload[end : end + 1].isdigit():
+                    end += 1
+                tokens.append(int(payload[pos:end]))
+                pos = end
+            else:
+                break
+        if len(tokens) == 3:
+            return len(payload), tokens[0], tokens[1], "decoded:PPM:rgb"
+        raise NotImplementedError("malformed PPM header")
+    raise NotImplementedError(
+        "builtin codec handles uncompressed BMP/PPM only — other formats "
+        "need Pillow (codec='real')"
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     """Deterministic stand-in for decode_image used by the tested
     pipeline: pseudo-dimensions from the byte length, caption from the
@@ -92,12 +137,17 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     bounded.
 
     ``codec``: 'fake' (deterministic, oracle-reproducible — the
-    default test/driver surface) or 'real' (Pillow, when importable;
-    same batch loop and schema, so swapping codecs changes zero
-    plumbing)."""
+    default test/driver surface), 'builtin' (pure-Python uncompressed
+    BMP/PPM — a real decode with zero dependencies), or 'real'
+    (Pillow, when importable). All three share the batch loop and
+    schema, so swapping codecs changes zero plumbing."""
     if codec == "real" and not HAS_REAL_CODEC:
         raise NotImplementedError("codec='real' requires Pillow in the executor env")
-    decode = decode_image if codec == "real" else _fake_decode
+    decode = {
+        "real": decode_image,
+        "builtin": decode_image_builtin,
+        "fake": _fake_decode,
+    }[codec]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -14,9 +14,28 @@ from lavasmart_bank_sync_etl_spark.multimodal.binary_ops import (
     attach_payload,
     decode_features,
     decode_image,
+    decode_image_builtin,
     resize_images,
     sample_frames,
 )
+
+
+def make_bmp(w: int, h: int) -> bytes:
+    """Minimal valid uncompressed 24-bit BMP (BITMAPINFOHEADER),
+    rows padded to 4 bytes."""
+    import struct
+
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    pixels = (b"\x00\x80\xff" * w + b"\x00" * pad) * h
+    header_len = 14 + 40
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    file_header = struct.pack("<2sIHHI", b"BM", header_len + len(pixels), 0, 0, header_len)
+    return file_header + info + pixels
+
+
+def make_ppm(w: int, h: int) -> bytes:
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + b"\x10\x20\x30" * (w * h)
 
 
 def _media(spark):
@@ -52,21 +71,38 @@ def test_real_codec_unavailable_raises(spark):
         decode_features(_media(spark), codec="real")
 
 
-@pytest.mark.skipif(not HAS_REAL_CODEC, reason="Pillow not installed")
-def test_real_codec_round_trip(spark):
-    """When Pillow is importable: encode a tiny real PNG, push it
-    through the SAME mapInPandas loop with codec='real', and get the
-    true dimensions back."""
-    import io
+def test_builtin_codec_decodes_real_formats():
+    """The dependency-free codec must read true dimensions out of real
+    BMP and PPM byte streams (incl. negative-height top-down BMPs and
+    header comments in PPM), and refuse anything else."""
+    bmp = make_bmp(17, 9)
+    assert decode_image_builtin(bmp) == (len(bmp), 17, 9, "decoded:BMP:bgr")
 
-    from PIL import Image
+    import struct
 
-    buf = io.BytesIO()
-    Image.new("RGB", (17, 9)).save(buf, format="PNG")
-    png = buf.getvalue()
-    df = spark.createDataFrame([(1, bytearray(png), "image/png")],
-                               "doc_id long, payload binary, mime string")
-    row = decode_features(df, codec="real").collect()[0]
-    assert (row["width"], row["height"]) == (17, 9)
-    assert row["byte_len"] == len(png)
-    assert "PNG" in row["caption"]
+    top_down = bytearray(bmp)
+    struct.pack_into("<i", top_down, 22, -9)
+    assert decode_image_builtin(bytes(top_down))[1:3] == (17, 9)
+
+    ppm = make_ppm(23, 7)
+    assert decode_image_builtin(ppm) == (len(ppm), 23, 7, "decoded:PPM:rgb")
+
+    with pytest.raises(NotImplementedError):
+        decode_image_builtin(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_real_decode_round_trip(spark):
+    """A REAL decode through the SAME mapInPandas loop, in every
+    container: Pillow when importable, else the builtin BMP/PPM codec
+    — true dimensions come back either way (no skip)."""
+    codec = "real" if HAS_REAL_CODEC else "builtin"
+    bmp, ppm = make_bmp(17, 9), make_ppm(23, 7)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), "image/bmp"), (2, bytearray(ppm), "image/x-portable-pixmap")],
+        "doc_id long, payload binary, mime string",
+    )
+    rows = {r["doc_id"]: r for r in decode_features(df, codec=codec).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (17, 9)
+    assert (rows[2]["width"], rows[2]["height"]) == (23, 7)
+    assert rows[1]["byte_len"] == len(bmp) and rows[2]["byte_len"] == len(ppm)
+    assert all(r["caption"].startswith("decoded:") for r in rows.values())
