@@ -21,7 +21,7 @@ from pyspark.sql.types import (
     DoubleType, LongType, StructField, StructType,
 )
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, dot
 
 
 def brute_force_topk(
@@ -124,8 +124,13 @@ def ivf_cells(
     engines regardless of aggregation order.
 
     Scale notes: centroid build is two narrow shuffles (posexplode →
-    (cell,pos) agg → n_cells·dim rows); assignment is a broadcast
-    nested-loop over n_cells candidates per row — no corpus shuffle.
+    (cell,pos) agg → n_cells·dim rows). Assignment costs ZERO corpus
+    shuffle and zero row blowup: the n_cells centroids are collapsed
+    into a one-row array, broadcast, and each corpus row computes all
+    n_cells cosines inside one ``transform`` + takes ``array_max``
+    over (score, -cell) structs — a pure projection in the scan
+    stage. (The previous shape — explode to n_cells rows per vector +
+    groupBy(vid) argmax — shuffled n_cells copies of every embedding.)
     """
     seeded = corpus.select(
         F.col(id_col).alias("vid"),
@@ -144,18 +149,50 @@ def ivf_cells(
         )
         .select(F.col("cell0").alias("cell"), "cvec")
     )
-    scored = (
-        seeded.crossJoin(F.broadcast(centroids))
-        .select("vid", "vec", "cell", cosine(F.col("vec"), F.col("cvec")).alias("cscore"))
+    assignment = (
+        seeded.crossJoin(F.broadcast(_centroid_array(centroids)))
+        .select(
+            "vid",
+            "vec",
+            F.array_max(_cell_scores(F.col("vec")))["cell"].alias("cell"),
+        )
     )
-    # argmax as a hash aggregate, not a window: max over the ordering
-    # struct (cscore asc-major, -cell minor) == (score desc, cell asc)
-    # tie-break, with map-side partials instead of a corpus-wide sort
-    assignment = scored.groupBy("vid").agg(
-        F.first("vec").alias("vec"),  # identical within the group
-        F.max_by("cell", F.struct(F.col("cscore"), (-F.col("cell")).alias("nc"))).alias("cell"),
-    ).select("vid", "vec", "cell")
     return centroids, assignment
+
+
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """All centroids as ONE row ``cents: array<struct<cell, cvec_n>>``
+    (sorted by cell, centroid pre-normalized to unit length; an
+    all-zero centroid stays zero) — the broadcast-as-array side of the
+    shuffle-free nearest-centroid projection."""
+    from ..functions.vectors import norm
+
+    n = norm(F.col("cvec"))
+    unit = F.when(
+        n > 0, F.transform(F.col("cvec"), lambda x: x / n)
+    ).otherwise(F.transform(F.col("cvec"), lambda x: x * 0.0))
+    return centroids.select("cell", unit.alias("cvec_n")).agg(
+        F.array_sort(F.collect_list(F.struct("cell", "cvec_n"))).alias("cents")
+    )
+
+
+def _cell_scores(vec: Column) -> Column:
+    """Per-row array of ``struct(cscore, ncell, cell)`` against the
+    broadcast pre-normalized ``cents`` column, ranked by DOT product:
+    dot(v, ĉ) = cosine(v, c)·‖v‖, and ‖v‖ > 0 is constant within the
+    row, so argmax/sort order over cells is exactly the cosine order
+    (all-zero v ⇒ all dots 0 ⇒ same min-cell tie-break) — while
+    skipping 2·n_cells norm recomputations per row. Struct comparison
+    is lexicographic: (score, -cell) ⟺ score desc then cell asc —
+    identical tie-breaking to the previous aggregate/window forms."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            dot(vec, c["cvec_n"]).alias("cscore"),
+            (-c["cell"]).alias("ncell"),
+            c["cell"].alias("cell"),
+        ),
+    )
 
 
 def ivf_topk(
@@ -174,14 +211,23 @@ def ivf_topk(
     join prunes to nprobe/n_cells of the corpus."""
     centroids, assignment = ivf_cells(corpus, n_cells, id_col, vec_col)
     qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_scored = qs.crossJoin(F.broadcast(centroids)).select(
-        "query_id", "q_vec", "cell", cosine(F.col("q_vec"), F.col("cvec")).alias("cscore")
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cscore").desc(), F.col("cell").asc())
+    # nprobe nearest cells per query with the same shuffle-free array
+    # projection as the assignment: sort the n_cells (score, -cell)
+    # structs descending, slice nprobe, explode — no window, no
+    # queries×n_cells intermediate.
     probes = (
-        q_scored.withColumn("_r", F.row_number().over(wq))
-        .where(F.col("_r") <= nprobe)
-        .select("query_id", "q_vec", "cell")
+        qs.crossJoin(F.broadcast(_centroid_array(centroids)))
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_scores(F.col("q_vec")))),
+                    1,
+                    nprobe,
+                )["cell"]
+            ).alias("cell"),
+        )
     )
     cands = (
         F.broadcast(probes)
