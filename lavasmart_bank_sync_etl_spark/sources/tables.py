@@ -44,17 +44,18 @@ def read_parquet_robust(spark: SparkSession, path: str) -> DataFrame:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = read_parquet_robust(spark, f"{sf_dir}/{name}.parquet")
     # events.ts has shipped as TIMESTAMP(NANOS) → long (nanosAsLong) and
-    # as timestamp[us] without timezone → TIMESTAMP_NTZ. Normalize both to
+    # as timestamp[us] without timezone → TIMESTAMP_NTZ. Normalize to
     # session-TZ TIMESTAMP: event-time ops (withWatermark, unix_micros)
     # require it, and the session TZ is pinned UTC so NTZ→LTZ is
     # value-stable against the DuckDB oracle. The nanos branch divides as
-    # integers so ~1.7e18 values never pass through a double.
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    # integers so ~1.7e18 values never pass through a double; the NTZ
+    # branch covers EVERY ntz column so a future testdata regeneration
+    # can't reintroduce the breakage through another table.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for cname, ctype in df.dtypes:
+        if ctype == "timestamp_ntz":
+            df = df.withColumn(cname, F.col(cname).cast("timestamp"))
     return df
 
 
