@@ -74,18 +74,22 @@ def _norm_arrow_type(t):
         return ("list", _norm_arrow_type(t.value_type))
     if pa.types.is_struct(t):
         return ("struct", tuple((f.name, _norm_arrow_type(f.type)) for f in t))
+    if pa.types.is_map(t):
+        return ("map", _norm_arrow_type(t.key_type), _norm_arrow_type(t.item_type))
     if pa.types.is_null(t):
         return "null"
     return str(t)
 
 
 def _split_top(s: str):
-    """Split a Spark dtype field list on commas at angle-bracket depth 0."""
+    """Split a Spark dtype field list on commas at bracket depth 0 —
+    tracking both angle brackets (array/struct/map) and parentheses
+    (decimal(p,s) carries a comma inside them)."""
     parts, depth, cur = [], 0, []
     for ch in s:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur))
@@ -101,6 +105,9 @@ def _norm_spark_dtype(s: str):
     s = s.strip()
     if s.startswith("array<") and s.endswith(">"):
         return ("list", _norm_spark_dtype(s[6:-1]))
+    if s.startswith("map<") and s.endswith(">"):
+        k, v = _split_top(s[4:-1])
+        return ("map", _norm_spark_dtype(k), _norm_spark_dtype(v))
     if s.startswith("struct<") and s.endswith(">"):
         fields = []
         for part in _split_top(s[7:-1]):
@@ -160,14 +167,15 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
 
     con = _duck(sf_dir)
-    res = con.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # one execution serves schema AND values (Arrow table carries both)
+    tbl = con.execute(ORACLES[name]).arrow()
+    duck_cols = tbl.column_names
+    duck_rows = [tuple(d.values()) for d in tbl.to_pylist()]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
     )
-    _assert_types_compatible(name, sdf, con.execute(ORACLES[name]).arrow().schema)
+    _assert_types_compatible(name, sdf, tbl.schema)
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
     )
