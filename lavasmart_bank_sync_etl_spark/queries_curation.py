@@ -1250,10 +1250,13 @@ def cu4_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports at the end; every stage reuses the production operator
     (normalized_text / quality_scored / minhash_lsh_candidates), so
     the funnel numbers are exactly the numbers the standalone
-    operators produce. Scale: stages are narrow filters over the scan
-    except the two dedup shuffles, which move (hash, id) and
-    (id, 8x8B signature) — never text; the LSH stage runs on the
-    already-thinned exact-dedup survivors."""
+    operators produce. Scale: survival through every stage is encoded
+    as BOOLEAN FLAGS on one row per doc, so the whole funnel is ONE
+    conditional aggregate over the flags frame (plus the thinned LSH
+    side-path) instead of five per-stage re-aggregations of the same
+    subtree — the corpus text is scanned for normalization twice (flag
+    pass + signature pass), never five times, and nothing but
+    (id, flags, n_tok) reaches the final aggregate."""
     from .queries_llm import quality_scored
 
     d = read_table(spark, sf_dir, "documents")
@@ -1264,28 +1267,47 @@ def cu4_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.size(F.split(norm, " "))).cast("long").alias("n_tok"),
         F.md5(norm).alias("chash"),
     )
-    s1 = base.where(F.col("lang") == "en")
-    s2 = s1.join(quality_scored(spark, sf_dir), "doc_id").where(F.col("quality") >= 0.3)
-    rn = F.row_number().over(Window.partitionBy("chash").orderBy("doc_id"))
-    s3 = s2.withColumn("rn", rn).where(F.col("rn") == 1)
-    sigs = DD.minhash_signatures(s3.select("doc_id", "text"), num_hashes=8)
+    # stage flags: in1 lang, in2 +quality, in3 +exact-dedup winner
+    # (row_number partitioned by (chash, in2) ranks only among
+    # same-hash docs with the same survival status — within the
+    # in2=true group rn==1 is exactly the min-doc_id winner)
+    rn = F.row_number().over(
+        Window.partitionBy("chash", "in2").orderBy("doc_id")
+    )
+    flagged = (
+        base.join(quality_scored(spark, sf_dir), "doc_id", "left")
+        .withColumn("in1", F.coalesce(F.col("lang") == "en", F.lit(False)))
+        .withColumn(
+            "in2", F.col("in1") & F.coalesce(F.col("quality") >= 0.3, F.lit(False))
+        )
+        .withColumn("in3", F.col("in2") & (rn == 1))
+    )
+    sigs = DD.minhash_signatures(
+        flagged.where("in3").select("doc_id", "text"), num_hashes=8
+    )
     pairs = DD.minhash_lsh_candidates(sigs, num_hashes=8, bands=2)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    s4 = s3.join(losers, "doc_id", "left_anti")
+    flags = (
+        flagged.select("doc_id", "n_tok", "in1", "in2", "in3")
+        .join(losers.withColumn("_lost", F.lit(True)), "doc_id", "left")
+        .withColumn("in4", F.col("in3") & F.col("_lost").isNull())
+    )
 
-    def stage_row(df: DataFrame, i: int, name: str) -> DataFrame:
-        return df.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
-        ).select(
+    stages = ["raw", "lang", "quality", "exact_dedup", "fuzzy_dedup"]
+    conds = [F.lit(True), F.col("in1"), F.col("in2"), F.col("in3"), F.col("in4")]
+    one = flags.agg(
+        *[F.coalesce(F.sum(F.when(c, 1)), F.lit(0)).cast("long").alias(f"n{i}")
+          for i, c in enumerate(conds)],
+        *[F.coalesce(F.sum(F.when(c, F.col("n_tok"))), F.lit(0)).cast("long").alias(f"t{i}")
+          for i, c in enumerate(conds)],
+    )
+    rows = F.array(*[
+        F.struct(
             F.lit(i).cast("long").alias("stage"),
             F.lit(name).alias("stage_name"),
-            "n_docs", "n_tokens",
+            F.col(f"n{i}").alias("n_docs"),
+            F.col(f"t{i}").alias("n_tokens"),
         )
-
-    out = stage_row(base, 0, "raw")
-    for i, (name, df) in enumerate(
-        [("lang", s1), ("quality", s2), ("exact_dedup", s3), ("fuzzy_dedup", s4)], 1
-    ):
-        out = out.unionByName(stage_row(df, i, name))
-    return out
+        for i, name in enumerate(stages)
+    ])
+    return one.select(F.explode(rows).alias("r")).select("r.*")
