@@ -214,11 +214,16 @@ def ngram_jaccard_pairs(
     sh = _shingle_rows(df, text_col, id_col, k)
     # |A| must count every shingle (union denominator) — before any filter
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # The cap rides one sorted window pass (row_number over the same
+    # shuffle the aggregate needs); singletons drop after the collect
+    # (size > 1) as before. A second count-window for pre-filtering
+    # singletons was measured: Spark plans it as a separate WindowExec
+    # (different frame), costing more than the agg it would save.
     wsh = Window.partitionBy("shingle").orderBy(F.col(id_col).asc())
     capped = (
         sh.withColumn("_rn", F.row_number().over(wsh))
         .where(F.col("_rn") <= max_posting)
-        .drop("_rn")
+        .select("shingle", id_col)
     )
     ids = F.col("ids")
     groups = (
