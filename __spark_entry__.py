@@ -24,11 +24,13 @@ from lavasmart_bank_sync_etl_spark.queries import ORACLES, QUERIES
 # from round 1 (the operators behind dd2/dd3/dd11/tx14 were refactored
 # after that check), then everything already re-verified in round 3.
 
-#: ERR or no_oracle in CORRECTNESS_r03.json — fixed/reshaped this round.
+#: ERR or no_oracle in CORRECTNESS_r03.json — fixed/reshaped this
+#: round — plus the queries first registered this round.
 _NEEDS_FRESH = [
     "st3_stateful_first_seen", "st6_streaming_upsert",
     "w2_interarrival_gaps", "a9_approx_distinct_calibration",
     "a10_approx_percentile_calibration", "tx16_compression_ratio",
+    "t7_incremental_agg_maintenance", "sk2_salted_join",
 ]
 
 #: Green only in CORRECTNESS_r01.json; never re-checked since.

@@ -520,3 +520,97 @@ def ev3_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         converted.alias("n_converted"),
         F.round(converted / F.count(F.lit(1)), 4).alias("conv_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T7 — incremental aggregate maintenance (materialized-view refresh)
+# ---------------------------------------------------------------------------
+
+@query(
+    "t7_incremental_agg_maintenance",
+    sales_cte(
+        """
+        SELECT CAST(sale_date AS VARCHAR) AS sale_date_iso, metodo,
+               ROUND(SUM(monto), 2) AS total, COUNT(*) AS n
+        FROM sales GROUP BY sale_date, metodo
+        """
+    ),
+)
+def t7_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — incremental maintenance of the A3 daily-totals
+    materialization: when a delta batch arrives, only the (day,
+    method) groups the batch touches are recomputed; every other
+    group's stored row is reused untouched. This is THE 100 TB refresh
+    pattern — the reference re-scans a 10-day lookback window daily
+    (Code.gs:22 DIAS_LOOKBACK) for exactly this reason, and at scale
+    the affected-keys semi-join prunes the historical scan to the
+    touched partitions instead of re-aggregating history.
+
+    Harness: sales split deterministically into historical
+    (folio % 10 != 0 — the rows whose aggregate is 'already stored')
+    and delta (folio % 10 == 0 — 'new arrivals'); the maintained
+    result must equal the full recompute, which is the oracle.
+    """
+    s = sales_view(spark, sf_dir)
+    is_delta = F.col("folio").cast("long") % 10 == 0
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("sale_date", "metodo").agg(
+            F.round(F.sum("monto"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    historical, delta = s.where(~is_delta), s.where(is_delta)
+    materialized = agg(historical)  # at rest: a stored table, not a scan
+    affected = delta.select("sale_date", "metodo").distinct()
+    untouched = materialized.join(
+        F.broadcast(affected), ["sale_date", "metodo"], "left_anti"
+    )
+    recomputed = agg(
+        historical.join(
+            F.broadcast(affected), ["sale_date", "metodo"], "left_semi"
+        ).unionByName(delta)
+    )
+    return untouched.unionByName(recomputed).select(
+        F.col("sale_date").cast("string").alias("sale_date_iso"),
+        "metodo", "total", "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SK2 — salted skew join (operators/skew.py::salted_join as a query)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sk2_salted_join",
+    """
+    WITH dim AS (
+      SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           MAX(d.type_total) AS type_total
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def sk2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK2 — the salted-join skew mitigation as a driver query: events
+    (probe side — 5 event types over ~millions of rows is exactly the
+    hot-key shape that stalls a plain shuffle join on one task) joined
+    to a per-type dim through operators/skew.salted_join, which
+    spreads each hot key over num_salts tasks by replicating the
+    build side. Results must be IDENTICAL to a plain join — the
+    oracle is the unsalted SQL join. Money summed in integer cents so
+    cross-engine float summation order can't flip the hash."""
+    from .operators.skew import salted_join
+
+    e = read_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    joined = salted_join(e, dim, key="event_type", num_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
+        F.max("type_total").alias("type_total"),
+    )
