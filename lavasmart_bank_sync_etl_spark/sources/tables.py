@@ -29,7 +29,12 @@ def read_parquet_robust(spark: SparkSession, path: str) -> DataFrame:
     invokes ``queries()`` with ITS session — which fails on the events
     table with PARQUET_TYPE_ILLEGAL unless the (runtime-settable)
     legacy conf is flipped. Self-heal instead of assuming the caller's
-    session."""
+    session. The session timezone gets the same treatment: the
+    TIMESTAMP_NTZ→TIMESTAMP normalization in read_table (and every
+    date/timestamp formatting oracle comparison) is value-stable only
+    under UTC, and the runtime-settable conf costs nothing."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         df = spark.read.parquet(path)
         df.schema  # force footer/schema resolution now
