@@ -186,3 +186,39 @@ def test_funnel_dedup_shuffles_never_carry_text(q):
     plan = q("cu4_pipeline_funnel")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(chash" in plan
+
+
+def test_ivf_assignment_is_shuffle_free(q):
+    """ss3: nearest-centroid assignment must be a scan-stage projection
+    — no exchange hash-partitioned on the vector id (the old shape
+    shuffled n_cells copies of every embedding through a groupBy(vid)
+    argmax)."""
+    plan = q("ss3_ivf_topk")
+    assert "hashpartitioning(vid" not in plan
+    assert "array_max" in plan
+
+
+def test_incremental_maintenance_joins_broadcast(q):
+    """t7: the affected-keys set must broadcast to both the untouched
+    anti-join and the recompute semi-join — history is pruned, never
+    shuffled wholesale against the delta."""
+    plan = q("t7_incremental_agg_maintenance")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("LeftAnti") >= 1 and plan.count("LeftSemi") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_is_single_conditional_aggregate(q):
+    """cu4: the five funnel rows must come from ONE aggregate exploded,
+    not five per-stage re-aggregations (which re-scanned the corpus
+    per stage before this shape)."""
+    plan = q("cu4_pipeline_funnel")
+    assert "Union" not in plan
+    assert "explode" in plan
+
+
+def test_salted_join_spreads_hot_keys(q):
+    """sk2: the probe side must join on (key, salt) with the build side
+    replicated — the hot key's rows land on num_salts partitions."""
+    plan = q("sk2_salted_join")
+    assert "_salt" in plan
