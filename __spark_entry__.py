@@ -31,6 +31,7 @@ _NEEDS_FRESH = [
     "w2_interarrival_gaps", "a9_approx_distinct_calibration",
     "a10_approx_percentile_calibration", "tx16_compression_ratio",
     "t7_incremental_agg_maintenance", "sk2_salted_join",
+    "tx18_dsir_importance",
 ]
 
 #: Green only in CORRECTNESS_r01.json; never re-checked since.

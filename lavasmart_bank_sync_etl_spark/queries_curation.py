@@ -1311,3 +1311,142 @@ def cu4_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, name in enumerate(stages)
     ])
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# tx18 — DSIR importance weights (data selection for pretraining)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 10007  # hashed-feature buckets: fixed, so both LMs broadcast
+
+_ORACLES["tx18_dsir_importance"] = f"""
+    WITH docs AS (SELECT doc_id, lang, {NORM_SQL} AS n FROM documents),
+    w AS (SELECT doc_id, string_split(n, ' ') AS toks FROM docs WHERE n <> ''),
+    uni AS (SELECT doc_id, unnest(toks) AS tok FROM w),
+    bi AS (
+      SELECT doc_id,
+             toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] AS tok
+      FROM w, UNNEST(range(1, len(toks))) AS t(i)
+    ),
+    feats AS (
+      SELECT doc_id, {HASH64_SQL.format(expr="'1|' || tok")} % {_DSIR_B} AS bucket FROM uni
+      UNION ALL
+      SELECT doc_id, {HASH64_SQL.format(expr="'2|' || tok")} % {_DSIR_B} AS bucket FROM bi
+    ),
+    scored AS ({{tx3}}),
+    tgt AS (
+      SELECT d.doc_id FROM docs d JOIN scored q USING (doc_id)
+      WHERE d.lang = 'en' AND q.quality >= 0.5
+    ),
+    tcnt AS (
+      SELECT bucket, COUNT(*) AS tc FROM feats JOIN tgt USING (doc_id) GROUP BY bucket
+    ),
+    rcnt AS (SELECT bucket, COUNT(*) AS rc FROM feats GROUP BY bucket),
+    nt AS (SELECT COUNT(*) AS n FROM feats JOIN tgt USING (doc_id)),
+    nr AS (SELECT COUNT(*) AS n FROM feats),
+    fx AS (
+      SELECT f.doc_id,
+             CAST(round(round(
+               ln((COALESCE(tc, 0) + 1.0) / (nt.n + {_DSIR_B}))
+               - ln((rc + 1.0) / (nr.n + {_DSIR_B})), 4) * 10000) AS BIGINT) AS fx
+      FROM feats f LEFT JOIN tcnt USING (bucket) JOIN rcnt USING (bucket), nt, nr
+    )
+    SELECT doc_id, COUNT(*) AS n_feats,
+           ROUND(SUM(fx) / 10000.0 / COUNT(*), 4) AS avg_llr
+    FROM fx GROUP BY doc_id
+""".replace("{tx3}", _ORACLES["tx3_quality_score"])
+
+
+@query("tx18_dsir_importance", _ORACLES["tx18_dsir_importance"])
+def tx18_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tx18 — DSIR-style importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the mean log-likelihood ratio of its hashed
+    n-gram features under a TARGET distribution (here: English docs
+    with tx3 quality ≥ 0.5 — the 'looks like what we want to train
+    on' set) versus the RAW corpus distribution. High scores →
+    target-like docs to upsample; the standard data-selection
+    operator between quality filtering and mixture sampling.
+
+    Scale design: features hash into a FIXED 10007 buckets (unigrams
+    + bigrams, seeds 1/2 of the shared md5-based hash), so both LMs
+    are ≤10007-row tables that BROADCAST — scoring is map-side over
+    the feature stream, and the only corpus-sized shuffles are the
+    two bucket-count hash aggregates (map-side partial, 10007
+    groups). The
+    unbounded-vocab broadcast problem tx17 documents does not exist
+    here by construction. Cross-engine determinism: per-feature LLR
+    rounded to 4dp then summed in integer fixed-point (tx17
+    pattern)."""
+    from .queries_llm import quality_scored
+
+    d = read_table(spark, sf_dir, "documents")
+    norm = DD.normalized_text("text")
+    w = (
+        d.select("doc_id", "lang", norm.alias("_n"))
+        .where(F.col("_n") != "")
+        .select("doc_id", "lang", F.split("_n", " ").alias("toks"))
+    )
+    uni = w.select("doc_id", F.explode("toks").alias("tok"))
+    bi = w.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("tok"),
+    )
+    # (doc_id, bucket) longs only — persisted once per (session,
+    # sf_dir) because three consumers read it (the two LM builds and
+    # the scoring probe); at 100 TB this is the scratch-parquet
+    # feature table every DSIR implementation materializes.
+    feats = _shared_persist(
+        spark,
+        ("dsir_feats", sf_dir),
+        lambda: uni.select(
+            "doc_id", F.pmod(DD._hash64(F.col("tok"), 1), F.lit(_DSIR_B)).alias("bucket")
+        ).unionByName(
+            bi.select(
+                "doc_id", F.pmod(DD._hash64(F.col("tok"), 2), F.lit(_DSIR_B)).alias("bucket")
+            )
+        ),
+    )
+    tgt = (
+        d.select("doc_id", "lang")
+        .join(quality_scored(spark, sf_dir), "doc_id")
+        .where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+        .select("doc_id")
+    )
+    tcnt = (
+        feats.join(F.broadcast(tgt), "doc_id", "left_semi")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    rcnt = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    # totals fold out of the (≤10007-row) bucket counts — no extra
+    # pass over the feature stream
+    nt = tcnt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("nt"))
+    nr = rcnt.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("nr"))
+    llr = (
+        F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1.0) / (F.col("nt") + _DSIR_B))
+        - F.log((F.col("rc") + 1.0) / (F.col("nr") + _DSIR_B))
+    )
+    fx = (
+        feats.join(F.broadcast(tcnt), "bucket", "left")
+        .join(F.broadcast(rcnt), "bucket")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "doc_id",
+            F.round(F.round(llr, 4) * 10000).cast("long").alias("fx"),
+        )
+    )
+    return fx.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(F.sum("fx") / 10000.0 / F.count(F.lit(1)), 4).alias("avg_llr"),
+    )
