@@ -36,7 +36,7 @@ def main() -> None:
     entrymod.entry(spark).count()
     warmup = time.time() - t0
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in sorted(queries):

@@ -83,6 +83,14 @@ def decode_image_builtin(payload: bytes) -> tuple[int, int, int, str]:
     import struct
 
     if payload[:2] == b"BM" and len(payload) >= 26:
+        # only info-header layouts whose width/height live at 18/22 as
+        # int32 (BITMAPINFOHEADER + V2-V5); OS/2 BITMAPCOREHEADER packs
+        # 16-bit dims at different offsets and must not parse silently
+        (info_size,) = struct.unpack_from("<I", payload, 14)
+        if info_size not in (40, 52, 56, 108, 124):
+            raise NotImplementedError(
+                f"BMP info-header size {info_size} unsupported (BITMAPINFOHEADER family only)"
+            )
         w, h = struct.unpack_from("<ii", payload, 18)
         return len(payload), int(abs(w)), int(abs(h)), "decoded:BMP:bgr"
     if payload[:2] == b"P6":
@@ -93,7 +101,10 @@ def decode_image_builtin(payload: bytes) -> tuple[int, int, int, str]:
             if c.isspace():
                 pos += 1
             elif c == b"#":
-                pos = payload.index(b"\n", pos) + 1
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    break  # unterminated comment → malformed-header error below
+                pos = nl + 1
             elif c.isdigit():
                 end = pos
                 while payload[end : end + 1].isdigit():

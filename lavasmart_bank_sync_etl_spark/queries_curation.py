@@ -1371,9 +1371,11 @@ def tx18_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: features hash into a FIXED 10007 buckets (unigrams
     + bigrams, seeds 1/2 of the shared md5-based hash), so both LMs
     are ≤10007-row tables that BROADCAST — scoring is map-side over
-    the feature stream, and the only corpus-sized shuffles are the
-    two bucket-count hash aggregates (map-side partial, 10007
-    groups). The
+    the feature stream. Corpus-sized work: the two bucket-count hash
+    aggregates (map-side partial, 10007 groups) and the target-docs
+    semi-join, which is left un-hinted — the target set grows with
+    the corpus, so the planner picks broadcast vs shuffle from real
+    sizes (AQE). The
     unbounded-vocab broadcast problem tx17 documents does not exist
     here by construction. Cross-engine determinism: per-feature LLR
     rounded to 4dp then summed in integer fixed-point (tx17
@@ -1422,8 +1424,11 @@ def tx18_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("lang") == "en") & (F.col("quality") >= 0.5))
         .select("doc_id")
     )
+    # no broadcast hint: tgt is corpus-proportional (unlike the fixed
+    # 10007-bucket LM tables), so the planner must stay free to pick a
+    # shuffle semi-join at scale
     tcnt = (
-        feats.join(F.broadcast(tgt), "doc_id", "left_semi")
+        feats.join(tgt, "doc_id", "left_semi")
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("tc"))
     )

@@ -41,8 +41,9 @@ NORM_SQL = (
 
 HASH64_SQL = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
-#: st6 gold dirs pending deletion — they back the lazily-returned
-#: DataFrame, so each is reaped on the NEXT st6 call / at exit.
+#: st6 gold dirs pending deletion — they back lazily-returned
+#: DataFrames (any of which may still be un-collected), so all are
+#: reaped only at interpreter exit.
 _ST6_GOLD_DIRS: list[str] = []
 atexit.register(
     lambda: [_shutil.rmtree(d, ignore_errors=True) for d in _ST6_GOLD_DIRS]
@@ -707,20 +708,30 @@ def ss2_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT cell0, pos, ROUND(AVG(val), 6) AS cv FROM by_pos GROUP BY cell0, pos)
       GROUP BY cell0
     ),
+    -- pre-normalized centroids, ranking by DOT — the exact arithmetic
+    -- of operators/similarity._cell_scores, so FP near-ties order
+    -- identically across engines
+    cnorm AS (
+      SELECT cell,
+             CASE WHEN sqrt({DOT_SQL.format(a='cvec', b='cvec')}) > 0
+                  THEN list_transform(cvec, x -> x / sqrt({DOT_SQL.format(a='cvec', b='cvec')}))
+                  ELSE list_transform(cvec, x -> x * 0.0) END AS cvec_n
+      FROM centroids
+    ),
     assignment AS (
       SELECT vid, vec, cell FROM (
         SELECT s.vid, s.vec, c.cell,
                row_number() OVER (PARTITION BY s.vid
-                                  ORDER BY {_cos_sql('s.vec', 'c.cvec')} DESC, c.cell ASC) AS r
-        FROM seeded s CROSS JOIN centroids c) WHERE r = 1
+                                  ORDER BY {DOT_SQL.format(a='s.vec', b='c.cvec_n')} DESC, c.cell ASC) AS r
+        FROM seeded s CROSS JOIN cnorm c) WHERE r = 1
     ),
     q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
     probes AS (
       SELECT query_id, q_vec, cell FROM (
         SELECT q.query_id, q.q_vec, c.cell,
                row_number() OVER (PARTITION BY q.query_id
-                                  ORDER BY {_cos_sql('q.q_vec', 'c.cvec')} DESC, c.cell ASC) AS r
-        FROM q CROSS JOIN centroids c) WHERE r <= 4
+                                  ORDER BY {DOT_SQL.format(a='q.q_vec', b='c.cvec_n')} DESC, c.cell ASC) AS r
+        FROM q CROSS JOIN cnorm c) WHERE r <= 4
     ),
     cands AS (
       SELECT p.query_id, a.vid AS neighbor_id,
@@ -949,7 +960,9 @@ def st3_stateful_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("st3: streaming query did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the memory sink holds the result — source + checkpoint are done
@@ -987,11 +1000,11 @@ def st6_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming.stream_sync import stream_upsert
 
-    # gold dirs back the *returned* (lazy) DataFrame, so they can't be
-    # deleted in this call's finally — reap prior invocations' dirs now
-    # (bench reruns n=3) and the rest at interpreter exit
-    while len(_ST6_GOLD_DIRS) > 1:
-        shutil.rmtree(_ST6_GOLD_DIRS.pop(0), ignore_errors=True)
+    # gold dirs back the *returned* (lazy) DataFrames — ANY prior
+    # invocation's result may still be un-collected (build-all-then-
+    # collect callers), so nothing is reaped until interpreter exit;
+    # each dir holds only the versioned events snapshots (a few MB per
+    # invocation at bench scale)
 
     e = read_table(spark, sf_dir, "events").select(
         "event_id",
@@ -1031,7 +1044,9 @@ def st6_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             checkpoint_dir=ckpt_dir,
             key="event_id", ts_col="sale_ts",
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("st6: streaming query did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(src_dir, ignore_errors=True)

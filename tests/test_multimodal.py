@@ -90,6 +90,18 @@ def test_builtin_codec_decodes_real_formats():
     with pytest.raises(NotImplementedError):
         decode_image_builtin(b"\x89PNG\r\n\x1a\n....")
 
+    # unterminated PPM comment → honest malformed-header error
+    with pytest.raises(NotImplementedError):
+        decode_image_builtin(b"P6\n# truncated comment with no newline")
+
+    # OS/2 BITMAPCOREHEADER (info size 12) packs 16-bit dims at other
+    # offsets — must refuse rather than parse garbage
+    import struct as _s
+
+    core = b"BM" + _s.pack("<IHHI", 26 + 6, 0, 0, 26) + _s.pack("<IHHHH", 12, 17, 9, 1, 24)
+    with pytest.raises(NotImplementedError):
+        decode_image_builtin(core + b"\x00" * 64)
+
 
 def test_real_decode_round_trip(spark):
     """A REAL decode through the SAME mapInPandas loop, in every
