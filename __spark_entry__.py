@@ -8,59 +8,148 @@ against at sf0.01 (row-count + schema + order-insensitive value hash).
 Column names are aliased identically on both sides; float aggregates
 are rounded on both sides so cross-engine summation order cannot flip
 the value hash.
+
+The driver checks the FIRST ~50 registered queries each round, so the
+registration ORDER is a verification schedule. It is derived from data
+every round rather than hand-frozen lists:
+
+1. For each query, find the newest round whose ``CORRECTNESS_r*.json``
+   row is fully green (no err, rows+schema+hash all match).
+2. A query is *touched* if any source file behind it (its defining
+   module plus the package functions/modules that module imports)
+   changed since the commit that recorded that round's correctness
+   file — i.e. its shipped code is newer than its newest evidence.
+   Never-verified queries are touched by definition.
+3. Order by (touched first, oldest-green-round first, name).
+
+This makes the window self-rotating: whatever was edited this round is
+re-verified next round, and otherwise the longest-unverified queries
+cycle back into the window.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import functools
+import json
+import pathlib
+import subprocess
+import sys
+from collections.abc import Callable, Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
 from lavasmart_bank_sync_etl_spark.queries import ORACLES, QUERIES
 
-# The driver checks the FIRST ~50 of the registered queries each round.
-# Ordering policy (round 4): queries whose newest CORRECTNESS row is
-# broken/unverifiable go first, then queries whose only green row is
-# from round 1 (the operators behind dd2/dd3/dd11/tx14 were refactored
-# after that check), then everything already re-verified in round 3.
-
-#: ERR or no_oracle in CORRECTNESS_r03.json — fixed/reshaped this
-#: round — plus the queries first registered this round.
-_NEEDS_FRESH = [
-    "st3_stateful_first_seen", "st6_streaming_upsert",
-    "w2_interarrival_gaps", "a9_approx_distinct_calibration",
-    "a10_approx_percentile_calibration", "tx16_compression_ratio",
-    "t7_incremental_agg_maintenance", "sk2_salted_join",
-    "tx18_dsir_importance",
-]
-
-#: Green only in CORRECTNESS_r01.json; never re-checked since.
-_R1_STALE = [
-    "w1_running_total", "d1_first_wins_dedup", "d1_duplicate_losers_log",
-    "j1_upsert_classify", "a4_run_summary", "c1_c3_typed_diff",
-    "c4_change_narrative", "s4_merge_preserve_human_cols",
-    "j2_r3_move_conflict_routing", "j3_deletion_detection",
-    "j5_bank_match_candidates", "j6_broadcast_enrichment_backfill",
-    "t1_lookback_window", "tx1_token_counts", "tx2_language_id",
-    "tx3_quality_score", "tx4_fingerprint", "tx5_rolling_fingerprint",
-    "dd1_exact_dedup", "dd2_minhash_signatures",
-    "dd3_minhash_lsh_candidates", "dd4_ngram_jaccard_pairs",
-    "dd5_simhash", "tx6_chunking", "tx8_sequence_packing",
-    "tx7_deterministic_split", "dd7_simhash_hamming_pairs",
-    "ev1_json_props_extract", "dd6_embedding_near_dup",
-    "ss1_brute_force_topk", "ss2_lsh_topk", "ss3_ivf_topk",
-    "mm1_multimodal_decode", "mm2_resize", "mm3_frame_sample",
-    "st1_tumbling_window_agg", "st2_session_windows",
-]
+_REPO = pathlib.Path(__file__).resolve().parent
+_PKG = "lavasmart_bank_sync_etl_spark"
 
 
-def _ordered() -> list[str]:
-    priority = _NEEDS_FRESH + _R1_STALE
-    assert all(n in QUERIES for n in priority), sorted(
-        set(priority) - set(QUERIES)
-    )
-    rest = [n for n in QUERIES if n not in set(priority)]
-    return priority + rest
+def _green_rounds() -> dict[str, int]:
+    """Newest fully-green driver round per query (0 = never green)."""
+    green: dict[str, int] = {}
+    for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(path.stem.split("_r")[1])
+            rows = json.loads(path.read_text())
+        except (ValueError, IndexError, OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("err") is None
+                and row.get("rows_match") is True
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if ok:
+                green[name] = max(rnd, green.get(name, 0))
+    return green
+
+
+def _git(*args: str) -> str | None:
+    try:
+        proc = subprocess.run(
+            ["git", *args],
+            cwd=_REPO,
+            capture_output=True,
+            text=True,
+            timeout=15,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    return proc.stdout if proc.returncode == 0 else None
+
+
+@functools.lru_cache(maxsize=None)
+def _changed_since_round(rnd: int) -> frozenset[str] | None:
+    """Repo-relative paths changed (committed or working-tree) since the
+    commit that recorded ``CORRECTNESS_r{rnd}.json``; None if unknown."""
+    fname = f"CORRECTNESS_r{rnd:02d}.json"
+    if not (_REPO / fname).exists():
+        return None
+    out = _git("log", "--diff-filter=A", "--format=%H", "-n", "1", "--", fname)
+    commit = (out or "").strip()
+    if not commit:
+        return None
+    diff = _git("diff", "--name-only", commit)
+    if diff is None:
+        return None
+    return frozenset(line.strip() for line in diff.splitlines() if line.strip())
+
+
+def _query_files(fn: Callable) -> set[str]:
+    """Repo-relative source files behind a query: its defining module
+    plus package functions/modules that module imports (one hop)."""
+    paths: set[str] = set()
+
+    def add(filename: str | None) -> None:
+        if not filename or _PKG not in filename:
+            return
+        try:
+            rel = pathlib.Path(filename).resolve().relative_to(_REPO)
+        except ValueError:
+            return
+        paths.add(str(rel))
+
+    code = getattr(fn, "__code__", None)
+    add(getattr(code, "co_filename", None))
+    mod = sys.modules.get(getattr(fn, "__module__", "") or "")
+    if mod is not None:
+        for value in vars(mod).values():
+            vcode = getattr(value, "__code__", None)
+            add(getattr(vcode, "co_filename", None))
+            add(getattr(value, "__file__", None))
+    return paths
+
+
+def _priority_order(
+    names: Iterable[str],
+    green: Mapping[str, int],
+    touched: frozenset[str],
+) -> list[str]:
+    """Pure ordering: touched first, then oldest green evidence, then
+    name for determinism. Never-green queries must be in ``touched``."""
+    return sorted(names, key=lambda n: (n not in touched, green.get(n, 0), n))
+
+
+@functools.lru_cache(maxsize=1)
+def _ordered() -> tuple[str, ...]:
+    green = _green_rounds()
+    touched = set()
+    for name, fn in QUERIES.items():
+        rnd = green.get(name, 0)
+        if rnd == 0:
+            touched.add(name)  # never verified — always front of the line
+            continue
+        changed = _changed_since_round(rnd)
+        if changed is None:
+            continue  # git unavailable: fall back to oldest-green-first
+        if _query_files(fn) & changed:
+            touched.add(name)
+    return tuple(_priority_order(QUERIES, green, frozenset(touched)))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,75 @@
+"""The driver verifies the first ~50 registered queries per round, so
+``__spark_entry__`` must self-derive a rotation order: code changed
+since its last green check first, then oldest evidence, then name.
+These tests pin the pure ordering and the repo-state invariants."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load_entry():
+    if "__spark_entry__" in sys.modules:
+        return sys.modules["__spark_entry__"]
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_touched_queries_come_first():
+    e = _load_entry()
+    green = {"old_clean": 2, "new_clean": 4, "old_edited": 2, "never": 0}
+    order = e._priority_order(
+        green, green, touched=frozenset({"old_edited", "never"})
+    )
+    # touched block first (never-green ranks before green=2 inside it),
+    # then untouched by oldest evidence.
+    assert order == ["never", "old_edited", "old_clean", "new_clean"]
+
+
+def test_priority_order_is_deterministic_by_name():
+    e = _load_entry()
+    green = {"b": 3, "a": 3, "c": 3}
+    assert e._priority_order(green, green, frozenset()) == ["a", "b", "c"]
+
+
+def test_ordered_covers_every_query_once():
+    e = _load_entry()
+    order = e._ordered()
+    assert sorted(order) == sorted(e.QUERIES)
+    assert len(e.oracle_sql()) == len(
+        [n for n in order if n in e.ORACLES]
+    )
+
+
+def test_window_contains_all_stalest_queries():
+    """Everything not green in the newest round must fit in the 50-query
+    driver window (else the rotation has fallen behind)."""
+    e = _load_entry()
+    green = e._green_rounds()
+    if not green:
+        return
+    newest = max(green.values())
+    stale = [n for n in e.QUERIES if green.get(n, 0) < newest]
+    window = set(e._ordered()[:50])
+    overflow = [n for n in stale if n not in window]
+    # The window can only hold 50; assert no stale query is left out
+    # while a fresher one occupies a slot.
+    if len(stale) <= 50:
+        assert overflow == []
+
+
+def test_query_files_resolve_to_package_sources():
+    e = _load_entry()
+    fn = e.QUERIES["a3_daily_totals_by_method"]
+    files = e._query_files(fn)
+    assert any(p.endswith("queries.py") for p in files)
+    assert all(p.startswith("lavasmart_bank_sync_etl_spark") for p in files)
