@@ -46,12 +46,13 @@ def main() -> None:
             try:
                 queries[name](spark, sf_dir).count()
             except Exception as exc:  # record failures, don't abort the suite
-                best = -1.0
                 print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
                 break
             elapsed = time.time() - start
             best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+        # a rep that ran is still a valid timing; -1.0 only when NO rep
+        # succeeded (so a rep-2 hiccup can't mask a working query)
+        timings[name] = round(best, 3) if best is not None else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(json.dumps({

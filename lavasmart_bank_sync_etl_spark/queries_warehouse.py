@@ -566,14 +566,20 @@ def t7_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
 
     historical, delta = s.where(~is_delta), s.where(is_delta)
     materialized = agg(historical)  # at rest: a stored table, not a scan
-    affected = delta.select("sale_date", "metodo").distinct()
-    untouched = materialized.join(
-        F.broadcast(affected), ["sale_date", "metodo"], "left_anti"
-    )
+    affected = delta.select("sale_date", "metodo").distinct().alias("aff")
+
+    # eqNullSafe, not USING: a null-keyed group must match itself, or it
+    # would survive the anti-join AND be recomputed — appearing twice.
+    def touch_cond(side: DataFrame) -> F.Column:
+        return side["sale_date"].eqNullSafe(F.col("aff.sale_date")) & side[
+            "metodo"
+        ].eqNullSafe(F.col("aff.metodo"))
+
+    m = materialized.alias("m")
+    untouched = m.join(F.broadcast(affected), touch_cond(m), "left_anti")
+    h = historical.alias("h")
     recomputed = agg(
-        historical.join(
-            F.broadcast(affected), ["sale_date", "metodo"], "left_semi"
-        ).unionByName(delta)
+        h.join(F.broadcast(affected), touch_cond(h), "left_semi").unionByName(delta)
     )
     return untouched.unionByName(recomputed).select(
         F.col("sale_date").cast("string").alias("sale_date_iso"),

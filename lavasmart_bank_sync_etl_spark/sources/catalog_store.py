@@ -36,6 +36,7 @@ import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .warehouse import ALL_TABLES, LEGACY_RENAMES
 
@@ -61,10 +62,19 @@ class CatalogStore:
         return self.spark.catalog.tableExists(self._qualified(table))
 
     def ensure(self, table: str) -> None:
-        """S7 — create-if-missing with the canonical schema."""
+        """S7 — create-if-missing with the canonical schema.
+
+        If a crash during ``rewrite``'s swap left the committed state
+        parked under ``<table>__old`` (target renamed away but the
+        staged table not yet renamed in), recover it with the single
+        rename the swap protocol guarantees suffices."""
+        target = self._qualified(table)
+        old = f"{target}__old"
+        if not self.exists(table) and self.spark.catalog.tableExists(old):
+            self.spark.sql(f"ALTER TABLE {old} RENAME TO {target}")
         if not self.exists(table):
             empty = self.spark.createDataFrame([], ALL_TABLES[table])
-            empty.write.format("parquet").saveAsTable(self._qualified(table))
+            empty.write.format("parquet").saveAsTable(target)
 
     def migrate_legacy(self) -> None:
         """S9 — legacy renames as metastore DDL (vs Warehouse's
@@ -95,8 +105,10 @@ class CatalogStore:
         this run wrote, then fold the new rows in via the staged-swap
         rewrite (same semantics as Warehouse.append_once)."""
         self.ensure(table)
+        # Column API, not string interpolation: a run_id containing a
+        # quote must compare as data, not splice into the predicate.
         cur = self.read(table).where(
-            f"{run_id_col} IS NULL OR {run_id_col} <> '{run_id}'"
+            F.col(run_id_col).isNull() | (F.col(run_id_col) != F.lit(run_id))
         )
         self.rewrite(
             table,
@@ -107,19 +119,25 @@ class CatalogStore:
         """S4 — replace table state via staged table + metastore swap.
 
         The staging write fully materializes the new state BEFORE the
-        target is dropped (``df`` may read from the target — Spark
-        forbids overwriting a table being read, and the stage/swap
-        sidesteps that as well), so a failed write never truncates the
-        target; the two metastore calls of the swap itself are not one
-        atomic unit — that upgrade is what a Delta/Iceberg backend
-        buys (sources/store.py)."""
+        target moves (``df`` may read from the target — Spark forbids
+        overwriting a table being read, and the stage/swap sidesteps
+        that as well), so a failed write never truncates the target.
+        The swap itself parks the old state under ``<table>__old``
+        before renaming the staged table in, so the committed data
+        exists under SOME name at every instant; a crash mid-swap is
+        healed by ``ensure``'s single recovery rename. True one-call
+        atomicity is what a Delta/Iceberg backend buys
+        (sources/store.py)."""
         self.ensure(table)
         target = self._qualified(table)
         staged = f"{target}__staged"
+        old = f"{target}__old"
         self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
         df.select(*[f.name for f in ALL_TABLES[table].fields]).write.format(
             "parquet"
         ).saveAsTable(staged)
-        self.spark.sql(f"DROP TABLE {target}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {old}")
+        self.spark.sql(f"ALTER TABLE {target} RENAME TO {old}")
         self.spark.sql(f"ALTER TABLE {staged} RENAME TO {target}")
+        self.spark.sql(f"DROP TABLE {old}")
         self.spark.catalog.refreshTable(target)

@@ -43,6 +43,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..schemas import AUDIT_LOG, BATCH_CLOSURES, FOLIO_DIM, REVIEW_QUEUE, TARGETS
@@ -160,7 +161,11 @@ class Warehouse:
         transactions (see sources/store.py) does it as a guarded
         append instead."""
         self.ensure(table)
-        cur = self.read(table).where(f"{run_id_col} IS NULL OR {run_id_col} <> '{run_id}'")
+        # Column API, not string interpolation: a run_id containing a
+        # quote must compare as data, not splice into the predicate.
+        cur = self.read(table).where(
+            F.col(run_id_col).isNull() | (F.col(run_id_col) != F.lit(run_id))
+        )
         self.rewrite(table, cur.unionByName(df.select(*[f.name for f in ALL_TABLES[table].fields])))
 
     def rewrite(self, table: str, df: DataFrame) -> None:

@@ -71,3 +71,30 @@ def test_append_once_preserves_unstamped_rows(spark, store):
     store.append_once("audit_log", _audit_row(spark, store, "runC", 1), "runC")
     counts = store.read("audit_log").groupBy("run_id").count().collect()
     assert {r["run_id"]: r["count"] for r in counts} == {None: 2, "runC": 1}
+
+
+def test_append_once_run_id_is_data_not_syntax(spark, store):
+    """A run_id containing a quote must behave as an ordinary value —
+    the dedup predicate is built with the Column API, so no string can
+    splice into it (ADVICE r4)."""
+    quoted = "run'; DROP TABLE x --"
+    store.append_once("audit_log", _audit_row(spark, store, quoted, 2), quoted)
+    store.append_once("audit_log", _audit_row(spark, store, quoted, 2), quoted)
+    store.append_once("audit_log", _audit_row(spark, store, "other", 1), "other")
+    counts = store.read("audit_log").groupBy("run_id").count().collect()
+    assert {r["run_id"]: r["count"] for r in counts} == {quoted: 2, "other": 1}
+
+
+def test_catalog_rewrite_crash_leaves_recoverable_state(spark, tmp_path):
+    """A crash between the CatalogStore swap's renames must leave the
+    committed rows under ``<table>__old``; the next ensure() heals it
+    with a single rename (ADVICE r4 — no drop-before-rename window)."""
+    store = CatalogStore(spark, str(tmp_path / "crash_store"))
+    store.append("audit_log", _audit_row(spark, store, "keep", 3))
+    # simulate the crash point: target renamed away, staged not yet in
+    target = store._qualified("audit_log")
+    spark.sql(f"ALTER TABLE {target} RENAME TO {target}__old")
+    assert not store.exists("audit_log")
+    recovered = store.read("audit_log")  # read -> ensure -> recovery
+    assert recovered.count() == 3
+    assert not spark.catalog.tableExists(f"{target}__old")
