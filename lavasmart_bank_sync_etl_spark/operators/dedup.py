@@ -259,6 +259,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_prefiltered_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """The composed at-scale near-dup shape: MinHash+LSH candidate
+    generation feeding EXACT n-gram-Jaccard verification restricted to
+    the candidate pairs — the two-stage pipeline the dd3/dd4 docstrings
+    prescribe for 100 TB, as one operator.
+
+    Stage 1 (recall): ``minhash_lsh_candidates`` — bucketed equi-join,
+    O(collisions) pairs, never all-pairs.
+    Stage 2 (precision): exact Jaccard, but ONLY for candidate docs.
+    The corpus is pruned with a left-semi join against the candidate id
+    set before shingle arrays are built, so at 100 TB the exact scorer
+    touches |candidates| documents, not the corpus; the verification
+    itself is two id-equi-joins of the (small) pair list against the
+    pruned shingle-set table plus ``array_intersect`` — no shingle
+    self-join, no posting lists, no skew cap needed.
+
+    ``candidates`` lets callers inject precomputed/persisted stage-1
+    pairs (e.g. the shared dd3 output) — pass sigs built with the SAME
+    num_hashes/bands.
+    """
+    if candidates is None:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+        candidates = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingle_sets = (
+        df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w"))
+        .join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), shingles_from_words(F.col("_w"), k).alias("sh"))
+    )
+    a = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-token 32-bit hashes; fingerprint bit i
     is the sign of the sum over tokens of (bit set ? +1 : −1).

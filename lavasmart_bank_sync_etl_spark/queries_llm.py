@@ -366,6 +366,55 @@ def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6)
 
 
+_JACCARD_EXACT_SQL = (
+    "len(list_intersect(a.sh, b.sh)) / "
+    "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+)
+
+
+@query(
+    "dd13_lsh_prefiltered_jaccard",
+    f"""
+    WITH sigs AS ({_minhash_sql(8, NEAR_DUP_SQL)}),
+    buckets AS (
+      SELECT doc_id, 0 AS band_id,
+             md5(CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+                 CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)) AS band_hash
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id,
+             md5(CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+                 CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)) AS band_hash
+      FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    ),
+    corpus AS ({NEAR_DUP_SQL}),
+    sets AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM corpus)
+    SELECT id_a, id_b, ROUND({_JACCARD_EXACT_SQL}, 4) AS jaccard
+    FROM cands JOIN sets a ON a.doc_id = cands.id_a
+               JOIN sets b ON b.doc_id = cands.id_b
+    WHERE ROUND({_JACCARD_EXACT_SQL}, 4) >= 0.6
+    """,
+)
+def dd13_lsh_prefiltered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB near-dup pipeline dd3/dd4 document but never
+    ran end-to-end: LSH candidate generation (recall) feeding EXACT
+    Jaccard verification (precision) restricted to candidate pairs.
+    The corpus is semi-join-pruned to candidate docs before shingle
+    sets are built, so the exact scorer's input is the candidate join,
+    never the full corpus (plan-asserted in tests/test_plans.py).
+    Reuses the shared persisted dd3 candidates (8 hashes, 2 bands)."""
+    return DD.lsh_prefiltered_jaccard(
+        _near_dup_corpus(spark, sf_dir),
+        threshold=0.6,
+        candidates=near_dup_lsh_pairs(spark, sf_dir),
+    )
+
+
 def _simhash_sql(bits: int, corpus_sql: str) -> str:
     tok_hash = HASH64_SQL.format(expr="'0|' || tok")
     bit_sums = ",\n             ".join(

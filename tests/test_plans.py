@@ -217,6 +217,18 @@ def test_funnel_is_single_conditional_aggregate(q):
     assert "explode" in plan
 
 
+def test_lsh_prefiltered_jaccard_scores_candidates_only(q):
+    """dd13: the exact Jaccard stage must consume the LSH candidate
+    join — corpus pruned by a semi-join on candidate ids, verification
+    as an array_intersect projection — never a shingle-level self-join
+    of the full corpus (that is dd4's shape; dd13's point is the
+    prefilter)."""
+    plan = q("dd13_lsh_prefiltered_jaccard")
+    assert "LeftSemi" in plan
+    assert "array_intersect" in plan
+    assert "hashpartitioning(shingle" not in plan
+
+
 def test_salted_join_spreads_hot_keys(q):
     """sk2: the probe side must join on (key, salt) with the build side
     replicated — the hot key's rows land on num_salts partitions."""
