@@ -132,13 +132,22 @@ def ivf_cells(
     stage. (The previous shape — explode to n_cells rows per vector +
     groupBy(vid) argmax — shuffled n_cells copies of every embedding.)
     """
-    seeded = corpus.select(
+    seeded = _seeded(corpus, n_cells, id_col, vec_col)
+    centroids = _build_centroids(seeded)
+    return centroids, _assign(seeded, _centroid_array(centroids))
+
+
+def _seeded(corpus: DataFrame, n_cells: int, id_col: str, vec_col: str) -> DataFrame:
+    return corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.pmod(F.col(id_col), F.lit(n_cells)).alias("cell0"),
     )
+
+
+def _build_centroids(seeded: DataFrame) -> DataFrame:
     by_pos = seeded.select("cell0", F.posexplode("vec").alias("pos", "val"))
-    centroids = (
+    return (
         by_pos.groupBy("cell0", "pos")
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
         .groupBy("cell0")
@@ -149,15 +158,14 @@ def ivf_cells(
         )
         .select(F.col("cell0").alias("cell"), "cvec")
     )
-    assignment = (
-        seeded.crossJoin(F.broadcast(_centroid_array(centroids)))
-        .select(
-            "vid",
-            "vec",
-            F.array_max(_cell_scores(F.col("vec")))["cell"].alias("cell"),
-        )
+
+
+def _assign(seeded: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    return seeded.crossJoin(F.broadcast(cent_arr)).select(
+        "vid",
+        "vec",
+        F.array_max(_cell_scores(F.col("vec")))["cell"].alias("cell"),
     )
-    return centroids, assignment
 
 
 def _centroid_array(centroids: DataFrame) -> DataFrame:
@@ -208,15 +216,23 @@ def ivf_topk(
     cells; only vectors assigned to a probed cell are scored — the
     inverted-file analog of the LSH bucket join. At 100 TB the
     assignment is a stored partition/bucket column, so the candidate
-    join prunes to nprobe/n_cells of the corpus."""
-    centroids, assignment = ivf_cells(corpus, n_cells, id_col, vec_col)
+    join prunes to nprobe/n_cells of the corpus.
+
+    The one-row centroid array — the IVF *index* — is built once and
+    persisted for the invocation: both consumers (corpus assignment,
+    query probe selection) read the cached row instead of re-running
+    the centroid aggregation's two shuffles (at 100 TB the analog is a
+    stored index table, computed once per corpus snapshot)."""
+    seeded = _seeded(corpus, n_cells, id_col, vec_col)
+    cent_arr = _centroid_array(_build_centroids(seeded)).persist()
+    assignment = _assign(seeded, cent_arr)
     qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     # nprobe nearest cells per query with the same shuffle-free array
     # projection as the assignment: sort the n_cells (score, -cell)
     # structs descending, slice nprobe, explode — no window, no
     # queries×n_cells intermediate.
     probes = (
-        qs.crossJoin(F.broadcast(_centroid_array(centroids)))
+        qs.crossJoin(F.broadcast(cent_arr))
         .select(
             "query_id",
             "q_vec",

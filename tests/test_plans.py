@@ -198,6 +198,15 @@ def test_ivf_assignment_is_shuffle_free(q):
     assert "array_max" in plan
 
 
+def test_ivf_index_is_built_once(q):
+    """ss3: the one-row centroid array (the IVF index) is persisted and
+    read by BOTH consumers — corpus assignment and query probing — so
+    the centroid aggregation's shuffles run once per invocation, not
+    per consumer."""
+    plan = q("ss3_ivf_topk")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
 def test_incremental_maintenance_joins_broadcast(q):
     """t7: the affected-keys set must broadcast to both the untouched
     anti-join and the recompute semi-join — history is pruned, never
