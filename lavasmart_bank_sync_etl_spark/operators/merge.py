@@ -121,7 +121,12 @@ def classify_upsert(
     table than its classified method → ``move`` (J2/R1).
     """
     diff_fields = diff_fields or DIFF_FIELDS_OTHERS
-    s = source.alias("src")
+    # shuffle-hash with the (deduped, delta-sized) source as build side:
+    # the dest table is the big side at scale, and a sort-merge fallback
+    # would sort BOTH sides on folio for a join whose build side always
+    # fits (one run's delta). Full-outer can't broadcast, so SHJ is the
+    # strongest plan available.
+    s = source.alias("src").hint("shuffle_hash")
     d = dest.alias("dst")
     joined = s.join(d, on=F.col(f"src.{key}").eqNullSafe(F.col(f"dst.{key}")), how="full_outer")
 

@@ -291,7 +291,12 @@ def s4_merge_preserve_human_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim (NULL for fresh inserts)."""
     src = _src_df(spark, sf_dir).withColumnRenamed("sale_date", "fecha").alias("src")
     dest = _dest_df(spark, sf_dir).alias("dst")
-    j = src.join(dest, F.col("src.folio").eqNullSafe(F.col("dst.folio")), "full_outer")
+    # delta-sized source as shuffle-hash build side (same rationale as
+    # operators/merge.classify_upsert — full-outer can't broadcast and
+    # sort-merge would sort the big dest side for nothing)
+    j = src.hint("shuffle_hash").join(
+        dest, F.col("src.folio").eqNullSafe(F.col("dst.folio")), "full_outer"
+    )
     return j.select(
         F.coalesce(F.col("src.folio"), F.col("dst.folio")).alias("folio"),
         F.coalesce(F.col("src.fecha"), F.col("dst.fecha")).cast("string").alias("fecha_iso"),

@@ -65,6 +65,28 @@ def test_merge_join_is_keyed_not_cartesian(q):
     assert "CartesianProduct" not in plan
 
 
+def test_merge_folio_join_is_hash_not_sort_merge(q):
+    """S4/J1: the protected-column merge joins on folio as a shuffled
+    hash join with the delta-sized source as build side — full-outer
+    can't broadcast, and a sort-merge fallback would sort the (huge at
+    scale) dest side for nothing."""
+    for name in ("s4_merge_preserve_human_cols", "j1_upsert_classify"):
+        plan = q(name)
+        assert "ShuffledHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_merge_human_cols_come_from_dest_verbatim(q):
+    """S4: script columns coalesce src→dst, but human columns must pass
+    through from the destination with NO src fallback — a coalesce on
+    conciliado_raw/observaciones would let the script overwrite
+    human-owned cells (Code.gs:1836-1844 writes only A–F)."""
+    plan = q("s4_merge_preserve_human_cols")
+    assert "coalesce(folio" in plan
+    assert "coalesce(conciliado_raw" not in plan
+    assert "coalesce(observaciones" not in plan
+
+
 def test_no_unbounded_cartesian_anywhere(q):
     """Cross joins are only ever bounded-broadcast (query set × corpus,
     n_cells × corpus, B² block keys) — never a shuffle cartesian of
