@@ -47,6 +47,86 @@ def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+def _duration_ms(duration: str) -> int:
+    qty, unit = duration.split()
+    unit_ms = {"day": 86_400_000, "hour": 3_600_000, "minute": 60_000, "second": 1_000}[
+        unit.rstrip("s")
+    ]
+    return int(qty) * unit_ms
+
+
+def first_wins_payload_dedup(
+    stream: DataFrame,
+    key: str = "folio",
+    ts_col: str = "sale_ts",
+    watermark: str = "10 days",
+) -> DataFrame:
+    """Streaming first-wins dedup that PRESERVES the full row payload
+    and ENFORCES the watermark as a lateness bound (T1/T2).
+
+    Spark's built-in streaming ``dropDuplicates`` /
+    ``dropDuplicatesWithinWatermark`` use the watermark only to bound
+    state — a row arriving BEYOND the watermark whose key state was
+    already evicted is re-emitted as new, violating the reference's
+    lookback contract (beyond DIAS_LOOKBACK the daily sync must not
+    touch it; recovery is an explicit T4 backfill, Code.gs:22,
+    requerimientos.md:126-130). Verified empirically on Spark 4.1:
+    with the watermark at 2025-11-10, a 2025-09-01 row in a later
+    micro-batch still passed both builtins.
+
+    Same machinery as ``first_seen_registry`` (which the late-drop
+    test pins): per-key state, manual late filter against
+    ``getCurrentWatermarkMs`` (``*WithState`` operators get no
+    pre-filtering), event-time timeout so state dies once the
+    watermark passes the key's horizon — state stays bounded by keys
+    inside the lookback window.
+    """
+    schema = stream.schema
+    cols = schema.fieldNames()
+    lifetime_ms = _duration_ms(watermark)
+
+    def update(
+        key_tuple: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        wm_ms = state.getCurrentWatermarkMs()
+        first = None
+        for pdf in pdfs:
+            if wm_ms > 0:
+                pdf = pdf[pdf[ts_col] >= pd.Timestamp(wm_ms, unit="ms")]
+            if pdf.empty:
+                continue
+            batch_first = pdf.sort_values(ts_col).iloc[[0]]
+            if first is None or batch_first[ts_col].iloc[0] < first[ts_col].iloc[0]:
+                first = batch_first
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if first is None:
+            return  # everything late — the row never enters the sync
+        if state.exists:
+            return  # re-delivery within the window — first already won
+        state.update((1,))
+        first_ms = int(pd.Timestamp(first[ts_col].iloc[0]).value // 1_000_000)
+        state.setTimeoutTimestamp(
+            max(first_ms + lifetime_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield first[cols]
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=schema,
+            stateStructType="seen int",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_upsert(
     spark: SparkSession,
     source_stream: DataFrame,
@@ -56,16 +136,20 @@ def stream_upsert(
     ts_col: str = "sale_ts",
     watermark: str = "10 days",
 ) -> StreamingQuery:
-    """The incremental sync as a stream: watermark (T1/T2) +
-    key-dedup (D1/T3) + ``foreachBatch`` applying the batch MERGE —
-    exactly-once *effect* via the idempotent keyed upsert.
+    """The incremental sync as a stream: watermark-enforced first-wins
+    dedup (T1/T2/D1) + ``foreachBatch`` applying the batch MERGE —
+    exactly-once *effect* via the idempotent keyed upsert (T3).
 
     ``apply_batch(batch_df, batch_id)`` is typically
-    ``lambda df, _: SyncJob(...).run(df)``.
+    ``lambda df, _: SyncJob(...).run(df)``. Rows beyond the watermark
+    are dropped by the dedup operator (see
+    ``first_wins_payload_dedup``), matching the reference's lookback:
+    out-of-window data is the T4 backfill's job, not the stream's.
     """
-    deduped = source_stream.withWatermark(ts_col, watermark).dropDuplicates([key])
+    deduped = first_wins_payload_dedup(source_stream, key, ts_col, watermark)
     return (
         deduped.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -102,11 +186,7 @@ def first_seen_registry(
     window, not by history (exactly the reference's 10-day contract,
     Code.gs:22).
     """
-    qty, unit = watermark.split()
-    unit_ms = {"day": 86_400_000, "hour": 3_600_000, "minute": 60_000, "second": 1_000}[
-        unit.rstrip("s")
-    ]
-    lifetime_ms = int(qty) * unit_ms
+    lifetime_ms = _duration_ms(watermark)
 
     def update(
         key_tuple: tuple,

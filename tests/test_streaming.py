@@ -14,6 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from lavasmart_bank_sync_etl_spark.plans.sync_job import SyncJob
+from lavasmart_bank_sync_etl_spark.sources.catalog_store import CatalogStore
 from lavasmart_bank_sync_etl_spark.sources.tables import read_table
 from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
 from lavasmart_bank_sync_etl_spark.streaming.stream_sync import (
@@ -122,6 +123,60 @@ def test_late_event_beyond_watermark_dropped(spark, tmp_path):
     assert "0-1" in got
     assert "0-2" in got or "0-3" not in got  # 0-3 must never appear
     assert "0-3" not in got
+
+
+@pytest.mark.parametrize("store_cls", [Warehouse, CatalogStore])
+def test_late_beyond_watermark_caught_by_batch_backfill(
+    spark, tmp_path, store_cls
+):
+    """T2 + T4 — the reference's lookback rationale (Code.gs:22
+    DIAS_LOOKBACK, requerimientos.md:126-130) end to end: an event
+    older than the 10-day watermark delivered in a LATER micro-batch
+    is dropped by the streaming path (its dedup state is already
+    evicted, so it cannot be processed reliably); the designed recovery
+    is a batch backfill — a T4 range job over the old window — which
+    must land the row through the same idempotent MERGE. Runs on both
+    TableStore backends."""
+    import datetime as dt
+
+    store = store_cls(spark, str(tmp_path / "late_wh"))
+    ancient = ("9-1", dt.date(2025, 9, 1), "Ana", "Sala", 100.0,
+               "TRANSFERENCIA", "SANTANDER", 0)
+
+    with_ts = lambda df: df.withColumn("sale_ts", F.col("sale_date").cast("timestamp"))
+    src_dir = str(tmp_path / "src")
+    # file 1 (recent) advances the watermark to ~2025-11-10; file 2's
+    # September event is then beyond it
+    with_ts(src_df(spark, [row("0-1", 20)])).coalesce(1).write.parquet(src_dir)
+    with_ts(src_df(spark, [ancient])).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def apply_batch(batch_df, _batch_id):
+        # window deliberately covers September: the ONLY thing that can
+        # drop the ancient row in the stream path is the watermark
+        SyncJob(spark, store, "2025-09-01", "2025-11-30").run(batch_df)
+
+    stream = (
+        spark.readStream.schema(with_ts(src_df(spark, [row("0-1", 20)])).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = stream_upsert(
+        spark, stream, apply_batch,
+        checkpoint_dir=str(tmp_path / "ckpt_late"),
+        key="folio", ts_col="sale_ts",
+    )
+    assert q.awaitTermination(180)
+
+    streamed = {r["folio"] for r in store.read("transfers").collect()}
+    assert "0-1" in streamed
+    assert "9-1" not in streamed  # dropped by the stream path
+
+    # T4 backfill over the ancient window catches what the stream
+    # legitimately refused
+    SyncJob(spark, store, "2025-09-01", "2025-09-10").run(src_df(spark, [ancient]))
+    backfilled = {r["folio"] for r in store.read("transfers").collect()}
+    assert "9-1" in backfilled
+    assert "0-1" in backfilled  # untouched by the out-of-window job
 
 
 def test_first_seen_registry_stateful_dedup(spark, tmp_path):
