@@ -421,6 +421,84 @@ def dd13_lsh_prefiltered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd14_lsh_recall_calibration",
+    f"""
+    WITH sigs AS ({_minhash_sql(8, NEAR_DUP_SQL)}),
+    buckets AS (
+      SELECT doc_id, 0 AS band_id,
+             md5(CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+                 CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)) AS band_hash
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id,
+             md5(CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+                 CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)) AS band_hash
+      FROM sigs
+    ),
+    cands AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM buckets l JOIN buckets r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    ),
+    corpus AS ({NEAR_DUP_SQL}),
+    sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM corpus),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    capped AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY row_number() OVER (PARTITION BY shingle ORDER BY doc_id) <= 1000
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b, ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.6
+    ),
+    marked AS (
+      SELECT t.jaccard, CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t LEFT JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT COUNT(*) AS n_true_pairs,
+           CAST(SUM(hit) AS BIGINT) AS n_caught,
+           ROUND(SUM(hit) / COUNT(*), 4) AS observed_recall,
+           ROUND(SUM(CAST(round((1 - pow(1 - pow(jaccard, 4), 2)) * 1000000) AS BIGINT))
+                 / (COUNT(*) * 1000000.0), 4) AS expected_recall
+    FROM marked
+    """,
+)
+def dd14_lsh_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd14 — the banding parameters justified by measurement: for b
+    bands of r rows, LSH theory gives P(candidate | jaccard s) =
+    1 − (1 − s^r)^b; this query puts the MEASURED dd3 recall over the
+    exact ≥0.6 near-dup pairs (dd4's capped-posting-list truth) next
+    to the expectation at the configured (b=2, r=4). A large gap means
+    the bands/rows no longer fit the duplicate profile of the corpus
+    and dd3's parameters need retuning. Per-pair probabilities are
+    summed as fixed-point integers (1e-6) so cross-engine float
+    summation order cannot flip the hash."""
+    truth = DD.ngram_jaccard_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6)
+    cands = near_dup_lsh_pairs(spark, sf_dir).withColumn("_hit", F.lit(1))
+    marked = truth.join(cands, ["id_a", "id_b"], "left").select(
+        "jaccard", F.coalesce(F.col("_hit"), F.lit(0)).alias("hit")
+    )
+    p_micro = F.round(
+        (F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.col("jaccard"), F.lit(4)), F.lit(2)))
+        * 1_000_000
+    ).cast("long")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.sum("hit").alias("n_caught"),
+        F.round(F.sum("hit") / F.count(F.lit(1)), 4).alias("observed_recall"),
+        F.round(
+            F.sum(p_micro) / (F.count(F.lit(1)) * F.lit(1_000_000.0)), 4
+        ).alias("expected_recall"),
+    )
+
+
 def _simhash_sql(bits: int, corpus_sql: str) -> str:
     tok_hash = HASH64_SQL.format(expr="'0|' || tok")
     bit_sums = ",\n             ".join(
