@@ -137,6 +137,34 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, band_id, band_hash [, extra…]) bucket rows for LSH banding,
+    with singleton buckets (unique band-hashes — the majority) dropped:
+    they can't form a pair, and the pruning window rides the same
+    (band_id, band_hash) partitioning the candidate join needs, so AQE
+    reuses the exchange."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("_", *cols)).alias("band_hash"))
+        )
+    keep = [id_col, *(extra_cols or [])]
+    buckets = sigs.select(*keep, F.explode(F.array(*band_cols)).alias("b")).select(
+        *keep, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
+    )
+    return buckets.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
+    ).where(F.col("_n") > 1).drop("_n")
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -147,22 +175,7 @@ def minhash_lsh_candidates(
     are ids sharing any (band_id, band_hash) bucket — an equi-join on
     the bucket key, the scale path that replaces all-pairs comparison.
     Returns distinct candidate pairs (id_a < id_b)."""
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("_", *cols)).alias("band_hash"))
-        )
-    buckets = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")).select(
-        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash")
-    )
-    # singleton buckets (most of them — unique band-hashes) can't form
-    # a candidate pair; drop before the self-join. Same partitioning as
-    # the join keys, so the window reuses the join's exchange.
-    buckets = buckets.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_hash"))
-    ).where(F.col("_n") > 1).drop("_n")
+    buckets = _band_buckets(sigs, id_col, num_hashes, bands)
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (
@@ -178,6 +191,52 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def incremental_lsh_candidates(
+    index_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental dedup — the shape a production ingest runs daily:
+    candidate pairs involving at least one NEW document (new-vs-new or
+    new-vs-index), never re-deriving index-vs-index pairs that earlier
+    runs already emitted.
+
+    ``index_sigs`` is the stored signature table of the already-
+    deduplicated corpus (at 100 TB: a parquet/bucketed table maintained
+    by prior runs — computed once per document, ever); ``delta_sigs``
+    are the new batch's signatures. Both band the same way; the
+    candidate join is bucket-equi as in ``minhash_lsh_candidates`` but
+    post-filtered to pairs touching the delta. Cost scales with
+    |delta| × bucket collision rate, not |corpus|² — the dedup twin of
+    the T7 incremental-aggregate pattern.
+
+    Result equals ``minhash_lsh_candidates(index ∪ delta)`` minus the
+    pairs internal to the index (the equivalence the dd15 oracle
+    checks).
+    """
+    tagged = index_sigs.withColumn("_new", F.lit(0)).unionByName(
+        delta_sigs.withColumn("_new", F.lit(1))
+    )
+    buckets = _band_buckets(tagged, id_col, num_hashes, bands, extra_cols=["_new"])
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .where((F.col("l._new") == 1) | (F.col("r._new") == 1))
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

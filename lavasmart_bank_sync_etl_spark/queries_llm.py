@@ -499,6 +499,46 @@ def dd14_lsh_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dd15_incremental_lsh_candidates",
+    f"""
+    WITH sigs AS ({_minhash_sql(8, NEAR_DUP_SQL)}),
+    buckets AS (
+      SELECT doc_id, 0 AS band_id,
+             md5(CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) || '_' ||
+                 CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)) AS band_hash
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id,
+             md5(CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) || '_' ||
+                 CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR)) AS band_hash
+      FROM sigs
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM buckets l JOIN buckets r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    WHERE l.doc_id >= 100000 OR r.doc_id >= 100000
+    """,
+)
+def dd15_incremental_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd15 — incremental dedup (the daily-ingest shape): the new batch
+    (the +100000 near-dup docs) is deduplicated against the STORED
+    signature index of the existing corpus — emitting only new-vs-new
+    and new-vs-index candidates, never re-deriving index-internal
+    pairs prior runs already found. Signatures come from the shared
+    persisted table (computed once per document — the stored-index
+    analog); cost scales with |delta|, not |corpus|². The oracle is
+    the full dd3 candidate set restricted to pairs touching the delta
+    — the equivalence that proves the incremental path loses nothing.
+    """
+    sigs = near_dup_minhash_sigs(spark, sf_dir)
+    index_sigs = sigs.where(F.col("doc_id") < 100000)
+    delta_sigs = sigs.where(F.col("doc_id") >= 100000)
+    return DD.incremental_lsh_candidates(
+        index_sigs, delta_sigs, num_hashes=8, bands=2
+    )
+
+
 def _simhash_sql(bits: int, corpus_sql: str) -> str:
     tok_hash = HASH64_SQL.format(expr="'0|' || tok")
     bit_sums = ",\n             ".join(

@@ -70,6 +70,38 @@ def test_minhash_and_simhash_no_nulls(spark):
     assert all(r["simhash"] is not None for r in sh)
 
 
+def test_incremental_lsh_equals_full_minus_index_pairs(spark):
+    """dd15's contract: incremental candidates (delta vs index+delta)
+    must equal the full-corpus candidate set minus pairs internal to
+    the index — no pair lost, no index-vs-index pair re-derived."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again today"),
+        (2, "the quick brown fox jumps over the lazy dog again tonight"),
+        (3, "completely different text about database systems and joins"),
+        (10, "the quick brown fox jumps over the lazy dog again today"),
+        (11, "completely different text about database systems and joins"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = DD.minhash_signatures(d, num_hashes=8)
+    index_sigs = sigs.where(F.col("doc_id") < 10)
+    delta_sigs = sigs.where(F.col("doc_id") >= 10)
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_candidates(sigs, num_hashes=8, bands=2).collect()
+    }
+    expected = {(a, b) for a, b in full if a >= 10 or b >= 10}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.incremental_lsh_candidates(
+            index_sigs, delta_sigs, num_hashes=8, bands=2
+        ).collect()
+    }
+    assert got == expected
+    assert any(a < 10 <= b for a, b in got)  # new-vs-index pairs exist
+    assert all(not (a < 10 and b < 10) for a, b in got)
+
+
 def test_rolling_fp_is_order_sensitive(spark):
     rows = [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")]
     d = spark.createDataFrame(rows, "doc_id long, text string")
