@@ -34,6 +34,7 @@ import json
 import pathlib
 import subprocess
 import sys
+import types
 from collections.abc import Callable, Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,8 +102,12 @@ def _changed_since_round(rnd: int) -> frozenset[str] | None:
 
 
 def _query_files(fn: Callable) -> set[str]:
-    """Repo-relative source files behind a query: its defining module
-    plus package functions/modules that module imports (one hop)."""
+    """Repo-relative source files behind a query: its defining module plus
+    the package functions/classes/modules its code ACTUALLY references,
+    followed transitively (bounded BFS). Resolving only ``co_names``
+    against each function's globals keeps this precise — expanding the
+    whole defining-module namespace would mark every query as touched by
+    any package edit, degenerating the rotation to oldest-green-first."""
     paths: set[str] = set()
 
     def add(filename: str | None) -> None:
@@ -114,14 +119,54 @@ def _query_files(fn: Callable) -> set[str]:
             return
         paths.add(str(rel))
 
-    code = getattr(fn, "__code__", None)
-    add(getattr(code, "co_filename", None))
-    mod = sys.modules.get(getattr(fn, "__module__", "") or "")
-    if mod is not None:
-        for value in vars(mod).values():
-            vcode = getattr(value, "__code__", None)
-            add(getattr(vcode, "co_filename", None))
-            add(getattr(value, "__file__", None))
+    def referenced(func: Callable) -> list[object]:
+        code = getattr(func, "__code__", None)
+        globs = getattr(func, "__globals__", None) or {}
+        if code is None:
+            return []
+        out: list[object] = []
+        stack = [code]
+        names: set[str] = set()
+        while stack:
+            c = stack.pop()
+            names.update(c.co_names)
+            for const in c.co_consts:
+                if isinstance(const, types.CodeType):
+                    stack.append(const)
+        for name in names:
+            if name in globs:
+                out.append(globs[name])
+        return out
+
+    seen: set[int] = set()
+    frontier: list[object] = [fn]
+    for _ in range(4):  # query -> helper -> operator -> its helpers
+        nxt: list[object] = []
+        for obj in frontier:
+            if id(obj) in seen:
+                continue
+            seen.add(id(obj))
+            if isinstance(obj, types.ModuleType):
+                add(getattr(obj, "__file__", None))
+                continue
+            code = getattr(obj, "__code__", None)
+            if code is not None:
+                add(code.co_filename)
+                if _PKG in (code.co_filename or ""):
+                    nxt.extend(referenced(obj))
+                continue
+            if isinstance(obj, type):  # class: its module + its methods
+                mod = sys.modules.get(obj.__module__ or "")
+                file = getattr(mod, "__file__", None)
+                if file and _PKG in file:
+                    add(file)
+                    nxt.extend(
+                        v for v in vars(obj).values()
+                        if getattr(v, "__code__", None) is not None
+                    )
+        frontier = nxt
+        if not frontier:
+            break
     return paths
 
 
