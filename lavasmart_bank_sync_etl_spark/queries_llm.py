@@ -25,7 +25,8 @@ from .operators.similarity import (
     brute_force_topk, embedding_near_dup, ivf_topk, lsh_topk,
 )
 from .multimodal.binary_ops import (
-    attach_payload, decode_features, resize_images, sample_frames,
+    attach_payload, audio_frame_energy, decode_features, resize_images,
+    sample_frames, synth_audio,
 )
 from .queries import query
 from .sources.tables import read_table
@@ -1005,6 +1006,33 @@ def mm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "frame_idx", "frame_offset",
         F.octet_length("frame").cast("long").alias("frame_bytes"),
     )
+
+
+@query(
+    "mm4_audio_frame_energy",
+    """
+    WITH d AS (
+      SELECT doc_id, 1024 + (doc_id % 4) * 256 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, CAST(i // 256 AS INTEGER) AS frame_idx,
+             ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS smp
+      FROM d, UNNEST(range(0, n)) AS t(i)
+    )
+    SELECT doc_id, frame_idx, COUNT(*) AS frame_samples,
+           ROUND(SQRT(CAST(SUM(smp * smp) AS DOUBLE) / COUNT(*)), 4) AS rms
+    FROM s GROUP BY doc_id, frame_idx
+    """,
+)
+def mm4_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing with a REAL decode: a genuine RIFF/WAVE PCM-16
+    file is built per document (header + samples from an integer
+    formula), then decoded back — magic/chunk-walk/PCM validation,
+    ``np.frombuffer`` — and reduced to per-frame RMS, all inside
+    Arrow-batched ``mapInPandas``. The oracle recomputes the RMS from
+    the sample formula in pure SQL, so a hash match proves the binary
+    encode→decode roundtrip is lossless. No shuffle anywhere."""
+    d = read_table(spark, sf_dir, "documents")
+    return audio_frame_energy(synth_audio(d), frame=256)
 
 
 # ---------------------------------------------------------------------------

@@ -624,3 +624,172 @@ def sk2_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("total_cents"),
         F.max("type_total").alias("type_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J9 — blocked fuzzy match (record linkage with edit distance)
+# ---------------------------------------------------------------------------
+
+@query(
+    "j9_fuzzy_match",
+    """
+    WITH dirty AS (
+      SELECT p_partkey AS dirty_key, substr(p_name, 2) AS dirty_name
+      FROM part WHERE p_partkey % 7 < 2
+    ),
+    cands AS (
+      SELECT d.dirty_key, c.p_partkey AS match_key,
+             levenshtein(d.dirty_name, c.p_name) AS distance
+      FROM dirty d JOIN part c
+        ON right(d.dirty_name, 6) = right(c.p_name, 6)
+      WHERE levenshtein(d.dirty_name, c.p_name) <= 2
+    )
+    SELECT dirty_key, match_key, distance FROM (
+      SELECT *, row_number() OVER (PARTITION BY dirty_key
+                                   ORDER BY distance ASC, match_key ASC) AS r
+      FROM cands) WHERE r = 1
+    """,
+)
+def j9_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 — fuzzy record linkage, the generalization of the
+    reference's tolerant bank-row matching (Code.gs:1518-1560 matches
+    on normalized folio + fecha±1): a corrupted name (first character
+    dropped — a deterministic, SQL-reproducible 'typo') is re-linked
+    to its master row by edit distance.
+
+    Scale shape: NEVER all-pairs. A blocking key (last 6 chars, which
+    the front-of-string corruption can't touch) turns the O(N²)
+    comparison into an equi-join whose per-block fan-out is bounded;
+    ``levenshtein`` is a JVM builtin so the scorer is codegen'd, no
+    Python. At 100 TB you'd add a second blocking pass (e.g. length
+    band) and union candidates — same plan shape."""
+    part = read_table(spark, sf_dir, "part")
+    dirty = part.where(F.col("p_partkey") % 7 < 2).select(
+        F.col("p_partkey").alias("dirty_key"),
+        F.expr("substr(p_name, 2)").alias("dirty_name"),
+    )
+    cand = (
+        dirty.join(part, F.expr("right(dirty_name, 6) = right(p_name, 6)"))
+        .withColumn("distance", F.levenshtein("dirty_name", "p_name"))
+        .where(F.col("distance") <= 2)
+        .select("dirty_key", F.col("p_partkey").alias("match_key"), "distance")
+    )
+    w = Window.partitionBy("dirty_key").orderBy(
+        F.col("distance").asc(), F.col("match_key").asc()
+    )
+    return (
+        cand.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .drop("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML3 — closed-form grouped linear regression (exact-sum OLS)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml3_linear_regression",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope,
+           ROUND((CAST(sy AS DOUBLE) - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / n, 2) AS intercept,
+           ROUND(POWER(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+                 / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+    FROM s
+    """,
+)
+def ml3_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML3 — per-group ordinary least squares (price ~ quantity per
+    return flag) in closed form from sufficient statistics. The moment
+    sums are accumulated in DECIMAL so they are EXACT — shuffle/merge
+    order cannot perturb them — and only the final slope/intercept/r²
+    divisions run in float, making the result bit-stable across
+    engines and cluster sizes. This is the distributed-ML pattern:
+    one aggregation pass, O(groups) driver math, no iteration."""
+    li = read_table(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("decimal(18,2)")
+    yd = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (F.col(c).cast("double") for c in ("sxx", "sxy", "syy"))
+    cov_n, var_n = n * sxy - sx * sy, n * sxx - sx * sx
+    slope = cov_n / var_n
+    return s.select(
+        "l_returnflag", "n",
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 2).alias("intercept"),
+        F.round(F.pow(cov_n, F.lit(2)) / (var_n * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1 — bucketed co-located join (shuffle-free keyed join at rest)
+# ---------------------------------------------------------------------------
+
+@query(
+    "b1_bucketed_join",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 — the 100 TB keyed-join layout: both sides written
+    ``bucketBy(custkey)`` so the join is co-located and NEITHER side
+    shuffles (tests/test_bucketing.py pins the no-Exchange plan; this
+    query makes the layout driver-verified end-to-end). The ``merge``
+    hint forces the sort-merge path so the bucketed layout — not a
+    broadcast — is what's exercised even at driver scale. Results
+    must equal the plain join, which is the oracle."""
+    import pathlib
+    import shutil
+    from urllib.parse import urlparse
+
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    for name, df, key in [("b1_orders", orders, "o_custkey"), ("b1_customer", cust, "c_custkey")]:
+        # a stale location can outlive the in-memory catalog (previous
+        # session/crash) — clear both so the rebuild is idempotent
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(pathlib.Path(warehouse) / name, ignore_errors=True)
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    o, c = spark.table("b1_orders").hint("merge"), spark.table("b1_customer").hint("merge")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("total_cents"),
+        )
+    )

@@ -118,3 +118,39 @@ def test_real_decode_round_trip(spark):
     assert (rows[2]["width"], rows[2]["height"]) == (23, 7)
     assert rows[1]["byte_len"] == len(bmp) and rows[2]["byte_len"] == len(ppm)
     assert all(r["caption"].startswith("decoded:") for r in rows.values())
+
+
+def test_wav_roundtrip_and_validation(spark):
+    """Audio path: _wav_bytes emits a spec-valid RIFF/WAVE PCM-16 file;
+    _parse_wav walks chunks and recovers the exact samples; malformed
+    or non-PCM payloads raise instead of parsing garbage."""
+    import struct
+
+    import numpy as np
+
+    from lavasmart_bank_sync_etl_spark.multimodal.binary_ops import (
+        _parse_wav, _wav_bytes, audio_frame_energy, synth_audio,
+    )
+
+    samples = np.array([0, 100, -100, 32767, -32768], dtype=np.int16)
+    wav = _wav_bytes(samples, sample_rate=16000)
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    rate, channels, decoded = _parse_wav(wav)
+    assert (rate, channels) == (16000, 1)
+    assert np.array_equal(decoded, samples)
+
+    with pytest.raises(NotImplementedError):
+        _parse_wav(b"OggS" + b"\x00" * 40)
+    # 8-bit PCM: valid container, unsupported sample format
+    eight_bit = bytearray(wav)
+    struct.pack_into("<H", eight_bit, 34, 8)
+    with pytest.raises(NotImplementedError):
+        _parse_wav(bytes(eight_bit))
+
+    # end-to-end: frame RMS of a known constant signal
+    df = spark.createDataFrame([(3,)], "doc_id long")
+    rows = audio_frame_energy(synth_audio(df), frame=256).collect()
+    # doc 3 -> 1024 + 3*256 = 1792 samples -> 7 full frames
+    assert len(rows) == 7
+    assert all(r["frame_samples"] == 256 for r in rows)
+    assert all(0 <= r["rms"] <= 32768 for r in rows)

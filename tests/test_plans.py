@@ -265,3 +265,35 @@ def test_salted_join_spreads_hot_keys(q):
     replicated — the hot key's rows land on num_salts partitions."""
     plan = q("sk2_salted_join")
     assert "_salt" in plan
+
+
+def test_bucketed_join_query_has_no_join_exchange(q):
+    """b1: both sides are bucketed on the join key, so the sort-merge
+    join must consume the bucketed layout directly — the ONLY exchange
+    allowed in the plan is the final group-by-segment aggregation."""
+    import re
+
+    plan = q("b1_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    # exactly one Exchange node in the whole plan: the group-by-segment
+    # aggregation; the join itself reads the bucketed layout in place
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, plan
+
+
+def test_fuzzy_match_blocks_before_scoring(q):
+    """j9: candidate generation must be an equi-join on the blocking
+    key (never nested-loop all-pairs); levenshtein runs JVM-side as a
+    post-join filter."""
+    plan = q("j9_fuzzy_match")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_ols_is_one_aggregation_pass(q):
+    """ml3: the regression must be a single partial-aggregated pass
+    over lineitem — one scan, no join, no second pass for the means."""
+    plan = q("ml3_linear_regression")
+    assert n_scans(plan) == 1
+    assert "Join" not in plan
+    assert "partial_" in plan
