@@ -1288,3 +1288,103 @@ def _st6_result(spark: SparkSession, gold_path: str) -> DataFrame:
         F.date_format("sale_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "value",
     )
+
+
+@query(
+    "st7_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           CAST(p.user_id AS VARCHAR) AS user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_str
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+)
+def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 — a true STREAM-STREAM interval join: purchases joined to
+    the clicks that preceded them by ≤1 hour, both sides watermarked
+    so Spark can bound the join state (clicks older than the watermark
+    minus the interval are evicted — without the time bound the state
+    would grow forever). Run with ``Trigger.AvailableNow`` and compared
+    to the batch interval join, which is the oracle (st5 is the batch
+    twin of this operator). Same harness + per-session sink retention
+    as st3/st6.
+
+    Scale notes: the join condition is an EQUI-join on user_id with
+    the time range as residual, so state is hash-partitioned by key —
+    the streaming twin of st5's plan requirement; the watermark is the
+    knob that turns an unbounded self-join into bounded per-key state."""
+    import os
+    import shutil
+
+    cache_key = (spark.sparkContext.applicationId, "st7", sf_dir)
+    cached_sink = _STREAM_SINKS.get(cache_key)
+    if cached_sink is not None:
+        return spark.table(cached_sink)
+
+    stream_dir = tempfile.mkdtemp(prefix="st7_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="st7_ckpt_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet"))
+
+    from .sources.tables import read_parquet_robust
+
+    raw_schema = read_parquet_robust(spark, f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    ts_dtype = {f.name: f.dataType.simpleString() for f in raw_schema.fields}.get("ts")
+    if ts_dtype == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_dtype == "timestamp_ntz":
+        ts = F.col("ts").cast("timestamp")
+    else:
+        ts = F.col("ts")
+    events = raw.select("event_id", "user_id", "event_type", ts.alias("ets"))
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ets").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ets").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - interval 1 hour AND c_ts <= p_ts"
+        ),
+    ).select(
+        "purchase_id", "click_id",
+        F.col("p_user").cast("string").alias("user_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_str"),
+    )
+    sink = f"st7_join_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("st7: streaming query did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    _STREAM_SINKS[cache_key] = sink
+    return spark.table(sink)

@@ -357,3 +357,156 @@ def st5_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_str"),
         "amount", "click_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# TX19 — rule-based quality gate with reason codes (Gopher-style)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tx19_gopher_rules",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_words,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace_chars,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbol_chars,
+             (CASE WHEN ' ' || lower(text) || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || lower(text) || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || lower(text) || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || lower(text) || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || lower(text) || ' ' LIKE '% in %' THEN 1 ELSE 0 END) AS stop_hits
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_words,
+             n_words BETWEEN 10 AND 100000 AS wc_ok,
+             2 * nonspace_chars >= 5 * n_words AND nonspace_chars <= 10 * n_words AS mwl_ok,
+             digit_chars * 5 < n_chars AS digit_ok,
+             symbol_chars * 4 < n_chars AS symbol_ok,
+             stop_hits >= 2 AS stop_ok
+      FROM m
+    )
+    SELECT doc_id, n_words,
+           wc_ok AND mwl_ok AND digit_ok AND symbol_ok AND stop_ok AS keep,
+           trim(TRAILING ',' FROM
+                (CASE WHEN wc_ok THEN '' ELSE 'word_count,' END)
+             || (CASE WHEN mwl_ok THEN '' ELSE 'mean_word_len,' END)
+             || (CASE WHEN digit_ok THEN '' ELSE 'digit_ratio,' END)
+             || (CASE WHEN symbol_ok THEN '' ELSE 'symbol_ratio,' END)
+             || (CASE WHEN stop_ok THEN '' ELSE 'stopwords,' END)) AS reject_reasons
+    FROM r
+    """,
+)
+def tx19_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX19 — the Gopher/C4-style rule battery as a FILTER WITH REASON
+    CODES: each document gets independent boolean gates (word count,
+    mean word length, digit ratio, symbol ratio, stopword presence)
+    plus the ordered list of failed rules — the shape a curation
+    pipeline needs for per-rule removal accounting (what fraction did
+    each rule kill?). All gates are integer arithmetic over counts
+    (ratio thresholds cross-multiplied), so no float ever enters the
+    comparison — bit-stable across engines and cluster sizes; one
+    scan, no shuffle, pure codegen."""
+    d = read_table(spark, sf_dir, "documents")
+    txt = F.col("text")
+    padded = F.concat(F.lit(" "), F.lower(txt), F.lit(" "))
+    stop_hits = sum(
+        F.when(padded.like(f"% {w} %"), 1).otherwise(0)
+        for w in ["the", "and", "of", "to", "in"]
+    )
+    m = d.select(
+        "doc_id",
+        F.length(txt).alias("n_chars"),
+        F.when(F.trim(txt) == "", 0)
+        .otherwise(F.size(F.split(F.trim(txt), r"\s+")))
+        .alias("n_words"),
+        F.length(F.regexp_replace(txt, r"\s", "")).alias("nonspace_chars"),
+        F.length(F.regexp_replace(txt, r"[^0-9]", "")).alias("digit_chars"),
+        F.length(F.regexp_replace(txt, r"[A-Za-z0-9\s]", "")).alias("symbol_chars"),
+        stop_hits.alias("stop_hits"),
+    )
+    r = m.select(
+        "doc_id", "n_words",
+        F.col("n_words").between(10, 100000).alias("wc_ok"),
+        (
+            (2 * F.col("nonspace_chars") >= 5 * F.col("n_words"))
+            & (F.col("nonspace_chars") <= 10 * F.col("n_words"))
+        ).alias("mwl_ok"),
+        (F.col("digit_chars") * 5 < F.col("n_chars")).alias("digit_ok"),
+        (F.col("symbol_chars") * 4 < F.col("n_chars")).alias("symbol_ok"),
+        (F.col("stop_hits") >= 2).alias("stop_ok"),
+    )
+
+    def tag(ok: str, label: str) -> F.Column:
+        return F.when(F.col(ok), "").otherwise(label + ",")
+
+    reasons = F.concat(
+        tag("wc_ok", "word_count"), tag("mwl_ok", "mean_word_len"),
+        tag("digit_ok", "digit_ratio"), tag("symbol_ok", "symbol_ratio"),
+        tag("stop_ok", "stopwords"),
+    )
+    return r.select(
+        "doc_id", "n_words",
+        (
+            F.col("wc_ok") & F.col("mwl_ok") & F.col("digit_ok")
+            & F.col("symbol_ok") & F.col("stop_ok")
+        ).alias("keep"),
+        F.regexp_replace(reasons, ",$", "").alias("reject_reasons"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JL1 — JSONL source roundtrip (the training-data interchange format)
+# ---------------------------------------------------------------------------
+
+#: JSONL staging dirs per (applicationId, sf_dir) — written once per
+#: session, reaped at interpreter exit (same pattern as st6 gold dirs).
+_JSONL_DIRS: dict[tuple, str] = {}
+
+
+@query(
+    "jl1_jsonl_roundtrip",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS text_xor
+    FROM documents GROUP BY lang, source
+    """,
+)
+def jl1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL1 — JSONL as a first-class source/sink: the corpus is written
+    out as JSON Lines (the de-facto training-data interchange format)
+    and read back with an EXPLICIT schema — never schema inference,
+    which at 100 TB costs a full extra pass and can silently widen
+    types between batches. The XOR text digest in the oracle (computed
+    from the original parquet) proves the JSON encode→decode roundtrip
+    loses nothing: every document's full text survives byte-exact.
+    Writes are per-session idempotent; splittable line format means
+    the read parallelizes like parquet (minus column pruning — which
+    is why parquet stays the at-rest format and JSONL the interchange)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _JSONL_DIRS:
+        staged = tempfile.mkdtemp(prefix="spark_graft_jl1_")
+        read_table(spark, sf_dir, "documents").write.mode("overwrite").json(staged)
+        _JSONL_DIRS[key] = staged
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    docs = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(_JSONL_DIRS[key])
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return (
+        docs.withColumn("h60", h60)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("bit_xor(h60)").alias("text_xor"),
+        )
+    )

@@ -281,12 +281,14 @@ def test_bucketed_join_query_has_no_join_exchange(q):
     assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) == 1, plan
 
 
-def test_fuzzy_match_blocks_before_scoring(q):
-    """j9: candidate generation must be an equi-join on the blocking
-    key (never nested-loop all-pairs); levenshtein runs JVM-side as a
-    post-join filter."""
+def test_fuzzy_match_broadcasts_catalog(q):
+    """j9: the canonical catalog must broadcast (the fact side never
+    shuffles for the linkage) with the cheap length-difference bound
+    as the join condition; levenshtein runs JVM-side on the pruned
+    pairs — never a shuffle cartesian of the fact table."""
     plan = q("j9_fuzzy_match")
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
     assert "levenshtein" in plan
 
 
