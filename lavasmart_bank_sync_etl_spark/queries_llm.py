@@ -277,6 +277,16 @@ def near_dup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def near_dup_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ≥0.6 Jaccard pairs (dd4's scorer) — shared by dd4 and
+    dd14's recall ground truth, so the shingle self-join runs once per
+    (session, sf_dir) instead of once per consumer."""
+    return _shared_persist(
+        spark, ("neardup_true_06", sf_dir),
+        lambda: DD.ngram_jaccard_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6),
+    )
+
+
 @query(
     "dd1_exact_dedup",
     f"""
@@ -369,8 +379,9 @@ def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair space to docs sharing a shingle, posting lists truncated
     at 1000 ids (stop-shingle skew cap — mirrored in the oracle's
     QUALIFY; see operators/dedup.ngram_jaccard_pairs). LSH prefilter
-    slots in front of this at 100 TB."""
-    return DD.ngram_jaccard_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6)
+    slots in front of this at 100 TB. Result shared (persisted) with
+    dd14, which uses it as recall ground truth."""
+    return near_dup_true_pairs(spark, sf_dir)
 
 
 _JACCARD_EXACT_SQL = (
@@ -481,7 +492,7 @@ def dd14_lsh_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     and dd3's parameters need retuning. Per-pair probabilities are
     summed as fixed-point integers (1e-6) so cross-engine float
     summation order cannot flip the hash."""
-    truth = DD.ngram_jaccard_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6)
+    truth = near_dup_true_pairs(spark, sf_dir)
     cands = near_dup_lsh_pairs(spark, sf_dir).withColumn("_hit", F.lit(1))
     marked = truth.join(cands, ["id_a", "id_b"], "left").select(
         "jaccard", F.coalesce(F.col("_hit"), F.lit(0)).alias("hit")
