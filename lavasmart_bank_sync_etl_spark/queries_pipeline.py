@@ -510,3 +510,78 @@ def jl1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h60)").alias("text_xor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV1 — CSV source roundtrip with hostile quoting (RFC 4180 path)
+# ---------------------------------------------------------------------------
+
+#: CSV staging dirs per (applicationId, sf_dir) — same lifecycle as
+#: the JSONL staging above.
+_CSV_DIRS: dict[tuple, str] = {}
+
+
+@query(
+    "csv1_csv_roundtrip",
+    """
+    WITH salted AS (
+      SELECT doc_id, lang, source,
+             text || ',"' || chr(10) || 'end' AS text
+      FROM documents
+    )
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS text_xor
+    FROM salted GROUP BY lang, source
+    """,
+)
+def csv1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV1 — CSV as a source/sink under HOSTILE content: every text is
+    salted with an embedded comma, double-quote and newline before the
+    write, so the roundtrip only survives if RFC-4180 quoting
+    (quote-doubling escape, multiLine read) actually works — exactly
+    the failure mode that silently corrupts naive splitters. Read uses
+    an EXPLICIT schema (same rationale as jl1). The oracle recomputes
+    the salted text straight from parquet; the XOR digest therefore
+    proves byte-exact survival through the CSV encode→decode. Scale
+    caveat, documented not hidden: multiLine CSV files are NOT
+    splittable (a quoted newline can cross any byte offset), so at
+    100 TB the ingest keeps files small-many — or lands data in
+    parquet/JSONL instead; this operator exists for the sources that
+    only speak CSV."""
+    import atexit
+    import shutil
+    import tempfile
+
+    salted = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.concat(F.col("text"), F.lit(',"'), F.lit("\n"), F.lit("end")).alias("text"),
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CSV_DIRS:
+        staged = tempfile.mkdtemp(prefix="spark_graft_csv1_")
+        (
+            salted.write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .csv(staged)
+        )
+        _CSV_DIRS[key] = staged
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    docs = (
+        spark.read.schema("doc_id long, lang string, source string, text string")
+        .option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(_CSV_DIRS[key])
+    )
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return (
+        docs.withColumn("h60", h60)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.expr("bit_xor(h60)").alias("text_xor"),
+        )
+    )

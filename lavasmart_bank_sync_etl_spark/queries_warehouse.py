@@ -803,3 +803,66 @@ def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W3 — robust outlier detection (median / MAD, two-pass)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w3_robust_outliers",
+    sales_cte(
+        """
+        , med AS (
+          SELECT metodo, quantile_cont(monto, 0.5) AS med
+          FROM sales GROUP BY metodo
+        ), dev AS (
+          SELECT s.metodo, abs(s.monto - m.med) AS adev, m.med
+          FROM sales s JOIN med m USING (metodo)
+        ), mad AS (
+          SELECT metodo, MAX(med) AS med, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY metodo
+        )
+        SELECT s.metodo,
+               COUNT(*) AS n,
+               ROUND(MAX(m.med), 2) AS median_monto,
+               ROUND(MAX(m.mad), 2) AS mad_monto,
+               CAST(COUNT(*) FILTER (abs(s.monto - m.med) > 3 * m.mad) AS BIGINT) AS n_outliers
+        FROM sales s JOIN mad m USING (metodo)
+        GROUP BY s.metodo
+        """
+    ),
+)
+def w3_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — robust anomaly detection on payment amounts: per method,
+    exact median and MAD (median absolute deviation), then count rows
+    beyond 3 MAD — the outlier screen a reconciliation pipeline runs
+    before trusting bank totals (mean/stddev would be dragged by the
+    very outliers it hunts).
+
+    Shape: two aggregation passes (median, then MAD over deviations)
+    with the tiny per-method stats table broadcast back between them —
+    the facts never shuffle for the stats join. Exact interpolated
+    percentiles demand a per-group sort, fine for grouped data; the
+    100 TB whole-corpus variant swaps in approx_percentile, whose
+    error a10 calibrates against this exact path."""
+    s = sales_view(spark, sf_dir).select("metodo", "monto")
+    med = s.groupBy("metodo").agg(F.percentile("monto", F.lit(0.5)).alias("med"))
+    dev = s.join(F.broadcast(med), "metodo").select(
+        "metodo", "monto", "med", F.abs(F.col("monto") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("metodo").agg(
+        F.max("med").alias("med"), F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        s.join(F.broadcast(mad), "metodo")
+        .groupBy("metodo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 2).alias("median_monto"),
+            F.round(F.max("mad"), 2).alias("mad_monto"),
+            F.sum(
+                (F.abs(F.col("monto") - F.col("med")) > 3 * F.col("mad")).cast("long")
+            ).cast("long").alias("n_outliers"),
+        )
+    )

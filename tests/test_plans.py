@@ -299,3 +299,12 @@ def test_ols_is_one_aggregation_pass(q):
     assert n_scans(plan) == 1
     assert "Join" not in plan
     assert "partial_" in plan
+
+
+def test_robust_outliers_broadcasts_stats(q):
+    """w3: both stats joins (median, then median+MAD) must broadcast
+    the per-method table back to the facts — the fact side never
+    shuffles for the screen."""
+    plan = q("w3_robust_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
