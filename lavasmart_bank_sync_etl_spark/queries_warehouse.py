@@ -866,3 +866,82 @@ def w3_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# T8 — snapshot time travel (versioned table reads)
+# ---------------------------------------------------------------------------
+
+#: per-(applicationId, sf_dir) warehouse roots for t8 — built once per
+#: session; the versioned snapshots ARE the payload being tested.
+_T8_ROOTS: dict[tuple, str] = {}
+
+
+@query(
+    "t8_time_travel",
+    sales_cte(
+        """
+        SELECT 'v1' AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(monto * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               bit_xor(CAST(('0x' || substr(md5(folio), 1, 15)) AS BIGINT)) AS folio_xor
+        FROM sales WHERE CAST(folio AS BIGINT) % 10 != 0
+        UNION ALL
+        SELECT 'v2' AS version, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(monto * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               bit_xor(CAST(('0x' || substr(md5(folio), 1, 15)) AS BIGINT)) AS folio_xor
+        FROM sales
+        """
+    ),
+)
+def t8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — snapshot-versioned reads (time travel): the warehouse's
+    rewrite protocol writes every state as an immutable ``v_*``
+    snapshot behind an atomic ``_CURRENT`` pointer, so yesterday's
+    table is still addressable after today's merge. Here: v(n-1) =
+    the historical rows, v(n) = after the delta batch lands; the query
+    reads BOTH through the store (``read_version`` / ``read``) and
+    fingerprints each — the oracle recomputes both states from the
+    raw source, proving the retained snapshot is byte-faithful, not
+    just present. This is the audit/debug primitive ('what did the
+    sync see yesterday?') Delta/Iceberg call time travel; the store
+    keeps it under the same TableStore protocol."""
+    import tempfile
+
+    from .sources.warehouse import Warehouse
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    root = _T8_ROOTS.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="spark_graft_t8_")
+        wh = Warehouse(spark, root)
+        s = sales_view(spark, sf_dir).select(
+            F.col("sale_date").alias("fecha"),
+            "folio", "cliente", "servicio",
+            F.lit("BANCO_A").alias("banco"),
+            "monto",
+            F.lit(None).cast("boolean").alias("conciliado"),
+            F.lit(None).cast("string").alias("concepto_banco"),
+            F.lit(None).cast("string").alias("observaciones"),
+        )
+        wh.rewrite("transfers", s.where(F.col("folio").cast("long") % 10 != 0))
+        wh.rewrite("transfers", s)
+        _T8_ROOTS[key] = root
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    wh = Warehouse(spark, root)
+    versions = wh.history("transfers")
+    h60 = F.conv(F.substring(F.md5(F.col("folio")), 1, 15), 16, 10).cast("long")
+
+    def fingerprint(df: DataFrame, label: str) -> DataFrame:
+        return df.withColumn("h60", h60).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("monto") * 100).cast("long")).cast("long").alias("total_cents"),
+            F.expr("bit_xor(h60)").alias("folio_xor"),
+        ).select(F.lit(label).alias("version"), "n_rows", "total_cents", "folio_xor")
+
+    # history = [empty ensure() snapshot, historical, full]
+    prior = fingerprint(wh.read_version("transfers", versions[-2]), "v1")
+    current = fingerprint(wh.read("transfers"), "v2")
+    return prior.unionByName(current)
