@@ -454,3 +454,94 @@ def simhash_hamming_pairs(
         .distinct()
     )
     return pairs
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    max_posting: int = 50,
+    min_tokens: int = 16,
+) -> DataFrame:
+    """Cross-document duplicate PASSAGE detection at arbitrary
+    alignment — the distributed approximation of suffix-array
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): fixed-boundary chunk hashing (dd10)
+    misses a copied paragraph that starts mid-chunk; this catches it.
+
+    Shape: every doc emits rolling k-token window hashes WITH
+    POSITIONS (stride 1); windows colliding across docs become match
+    points (pa, pb); match points on the same alignment diagonal
+    (pa − pb) with consecutive pa merge into maximal spans via the
+    gaps-and-islands window (pa − row_number is constant within a
+    run). Returns (id_a, id_b, start_a, start_b, span_tokens) for
+    spans ≥ ``min_tokens``.
+
+    Scale: only (id, pos, hash) tuples shuffle — window text never
+    leaves the scan stage; posting lists per hash are capped at
+    ``max_posting`` (ordered (doc, pos) — deterministic) exactly like
+    ngram_jaccard_pairs, bounding hot-window (boilerplate) blowup;
+    the island merge partitions by (pair, diagonal), so it
+    parallelizes over pairs. A true suffix array beats this on one
+    machine; this is the shape that runs on 1000 executors.
+    """
+    p = df.sparkSession.sparkContext.defaultParallelism
+    words = (
+        df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w"))
+        .repartition(p)
+    )
+    n = F.size("_w")
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    wins = words.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(F.col("_w"), i + 1, k)).alias("win"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        F.col(id_col),
+        F.col("s.pos").cast("int").alias("pos"),
+        _hash64(F.col("s.win"), 99).alias("h"),
+    )
+    wcap = Window.partitionBy("h").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    capped = (
+        wins.withColumn("_rn", F.row_number().over(wcap))
+        .where(F.col("_rn") <= max_posting)
+        .drop("_rn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    matches = a.join(
+        b,
+        on=[
+            F.col("a.h") == F.col("b.h"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    wisl = Window.partitionBy("id_a", "id_b", "diag").orderBy(F.col("pa").asc())
+    islands = matches.select("id_a", "id_b", "pa", "pb", diag).withColumn(
+        "isl", F.col("pa") - F.row_number().over(wisl)
+    )
+    return (
+        islands.groupBy("id_a", "id_b", "diag", "isl")
+        .agg(
+            F.min("pa").alias("start_a"),
+            F.min("pb").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+        .where(F.col("span_tokens") >= min_tokens)
+        .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
+    )

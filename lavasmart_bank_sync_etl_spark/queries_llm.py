@@ -551,6 +551,56 @@ def dd15_incremental_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "dd16_duplicate_passage_spans",
+    f"""
+    WITH corpus AS ({{NEAR_DUP_SQL}}),
+    w AS (SELECT doc_id, string_split({{NORM_SQL}}, ' ') AS toks FROM corpus),
+    wins AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             {{H}} AS h
+      FROM w, UNNEST(range(0, greatest(len(toks) - 7, 0))) AS t(i)
+    ),
+    capped AS (
+      SELECT doc_id, pos, h FROM wins
+      QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) <= 50
+    ),
+    m AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, b.pos AS pb
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT id_a, id_b, pa, pb, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
+      FROM m
+    )
+    SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY id_a, id_b, diag, isl
+    HAVING COUNT(*) + 7 >= 16
+    """.replace("{NEAR_DUP_SQL}", NEAR_DUP_SQL)
+       .replace("{NORM_SQL}", NORM_SQL)
+       .replace(
+           "{H}",
+           HASH64_SQL.format(
+               expr="'99|' || array_to_string(toks[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+8], ' ')"
+           ),
+       ),
+)
+def dd16_duplicate_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd16 — substring-level dedup at arbitrary alignment (the
+    distributed stand-in for Lee et al.'s suffix-array pass): rolling
+    8-token window hashes with positions, cross-doc collisions merged
+    into maximal spans along alignment diagonals (gaps-and-islands).
+    Completes the granularity ladder dd1 (document) → dd10 (fixed
+    chunk) → dd16 (any-offset passage): a paragraph copied mid-chunk
+    is invisible to dd10 and found here. Posting lists capped like
+    dd4; only (id, pos, hash) ever shuffles."""
+    return DD.duplicate_passage_spans(
+        _near_dup_corpus(spark, sf_dir), k=8, max_posting=50, min_tokens=16
+    )
+
+
 def _simhash_sql(bits: int, corpus_sql: str) -> str:
     tok_hash = HASH64_SQL.format(expr="'0|' || tok")
     bit_sums = ",\n             ".join(

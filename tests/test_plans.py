@@ -308,3 +308,13 @@ def test_robust_outliers_broadcasts_stats(q):
     plan = q("w3_robust_outliers")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_passage_spans_shuffle_hashes_not_text(q):
+    """dd16: the posting-list cap and the match join must both ride
+    (hash[, pos]) partitionings — window text is projected away before
+    any exchange, and the pair join is an equi-join on the hash."""
+    plan = q("dd16_duplicate_passage_spans")
+    assert "hashpartitioning(h" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "win" not in plan.split("Exchange", 1)[1].splitlines()[0]
