@@ -552,6 +552,78 @@ def dd15_incremental_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "st8_append_closed_windows",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events, mx
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def st8_append_closed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8 — APPEND-mode streaming window closure: the tumbling
+    aggregation (streaming/stream_sync.windowed_event_counts) emits a
+    window exactly once, when the watermark passes its end — the
+    exactly-once-per-window contract downstream consumers (a sink
+    fed per-window rows) rely on. st1 checks the same aggregate in
+    update/batch form; this checks WHICH windows a finite run emits:
+    every window whose end ≤ max event time − 1 h (the watermark
+    delay), and nothing newer — open windows stay in state, not in
+    the sink. The oracle encodes that closure predicate in SQL.
+    Harness + per-session sink retention as st3."""
+    import os
+    import shutil
+
+    from .streaming.stream_sync import windowed_event_counts
+
+    cache_key = (spark.sparkContext.applicationId, "st8", sf_dir)
+    cached_sink = _STREAM_SINKS.get(cache_key)
+    if cached_sink is not None:
+        return spark.table(cached_sink)
+
+    stream_dir = tempfile.mkdtemp(prefix="st8_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="st8_ckpt_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet"))
+
+    from .sources.tables import read_parquet_robust
+
+    raw_schema = read_parquet_robust(spark, f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    ts_dtype = {f.name: f.dataType.simpleString() for f in raw_schema.fields}.get("ts")
+    if ts_dtype == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    elif ts_dtype == "timestamp_ntz":
+        ts = F.col("ts").cast("timestamp")
+    else:
+        ts = F.col("ts")
+    events = raw.select(ts.alias("ts"), "event_type", "value")
+    out = windowed_event_counts(events, watermark="1 hour")
+    sink = f"st8_closed_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("st8: streaming query did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    _STREAM_SINKS[cache_key] = sink
+    return spark.table(sink)
+
+
+@query(
     "dd16_duplicate_passage_spans",
     f"""
     WITH corpus AS ({{NEAR_DUP_SQL}}),

@@ -585,3 +585,77 @@ def csv1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h60)").alias("text_xor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JL2 — malformed-record ingest (PERMISSIVE + corrupt-record routing)
+# ---------------------------------------------------------------------------
+
+_JL2_DIRS: dict[tuple, str] = {}
+
+
+@query(
+    "jl2_malformed_jsonl",
+    """
+    SELECT CASE WHEN doc_id % 13 = 0 THEN '_corrupt' ELSE lang END AS lang,
+           CASE WHEN doc_id % 13 = 0 THEN '_corrupt' ELSE source END AS source,
+           COUNT(*) AS n_docs,
+           bit_xor(CASE WHEN doc_id % 13 = 0 THEN NULL
+                        ELSE CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) END) AS text_xor
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def jl2_malformed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL2 — the ingest-robustness contract for line formats: every
+    13th record is deterministically corrupted (closing brace cut off)
+    before the write, and the PERMISSIVE read must route exactly those
+    lines to the corrupt-record column — never silently drop them
+    (FAILFAST would kill a 100 TB job for one bad line; DROPMALFORMED
+    loses data with no audit trail). Good rows aggregate as in jl1;
+    corrupt rows bucket under '_corrupt' with a NULL digest. The
+    oracle knows which ids were corrupted, so a hash match proves the
+    router classified every line correctly — the reference's own
+    S8-repair philosophy (validate, quarantine, continue;
+    Code.gs:362-414) applied to file ingest."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _JL2_DIRS:
+        staged = tempfile.mkdtemp(prefix="spark_graft_jl2_")
+        d = read_table(spark, sf_dir, "documents")
+        line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
+        staged_df = d.select("doc_id", line.alias("line")).select(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                # cutting the last 5 chars always removes the closing
+                # brace -> guaranteed-invalid JSON
+                F.expr("substring(line, 1, length(line) - 5)"),
+            )
+            .otherwise(F.col("line"))
+            .alias("line")
+        )
+        staged_df.write.mode("overwrite").text(staged)
+        _JL2_DIRS[key] = staged
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    docs = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(_JL2_DIRS[key])
+    )
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return (
+        docs.withColumn("h60", h60)
+        .groupBy(
+            F.coalesce(F.col("lang"), F.lit("_corrupt")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("_corrupt")).alias("source"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("bit_xor(h60)").alias("text_xor"),
+        )
+    )
