@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from .operators.asof import asof_join
 from .operators.dedup import _shingle_rows, normalized_text
-from .queries import query
+from .queries import query, sales_cte
 from .queries_llm import NORM_SQL, SHINGLES_SQL
 from .sources.tables import read_table
 
@@ -657,5 +657,123 @@ def jl2_malformed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.expr("bit_xor(h60)").alias("text_xor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC1 — ORC source/sink roundtrip (the other columnar at-rest format)
+# ---------------------------------------------------------------------------
+
+_ORC_DIRS: dict[tuple, str] = {}
+
+
+@query(
+    "orc1_orc_roundtrip",
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS text_xor
+    FROM documents GROUP BY lang, source
+    """,
+)
+def orc1_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC1 — ORC as a first-class columnar source/sink: the corpus is
+    written as ORC and read back with an explicit schema; the XOR
+    digest (computed by the oracle from the original parquet) proves
+    the encode→decode loses nothing. ORC keeps what matters at 100 TB
+    — splittable stripes, column projection, predicate pushdown via
+    stripe/row-group min-max — so a lake standardized on ORC gets the
+    same scan behavior the parquet paths assert in test_plans.py.
+    Spark's native vectorized ORC reader covers it with zero extra
+    dependencies; writes are per-session idempotent (same staging
+    lifecycle as jl1/csv1)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ORC_DIRS:
+        staged = tempfile.mkdtemp(prefix="spark_graft_orc1_")
+        read_table(spark, sf_dir, "documents").write.mode("overwrite").orc(staged)
+        _ORC_DIRS[key] = staged
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    docs = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).orc(_ORC_DIRS[key])
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return (
+        docs.withColumn("h60", h60)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("bit_xor(h60)").alias("text_xor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# B2 — hive-partitioned sink + static partition pruning on read-back
+# ---------------------------------------------------------------------------
+
+_B2_DIRS: dict[tuple, str] = {}
+
+
+@query(
+    "b2_partitioned_write_pruning",
+    sales_cte(
+        """
+    SELECT strftime(sale_date, '%Y-%m') AS month,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(monto * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           bit_xor(CAST(('0x' || substr(md5(folio), 1, 15)) AS BIGINT)) AS folio_xor
+    FROM sales
+    WHERE strftime(sale_date, '%Y-%m') IN ('1998-03', '1998-04', '1998-05')
+    GROUP BY 1
+    """
+    ),
+)
+def b2_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 — the engine's own warehouse layout, proven end-to-end: the
+    cleaned sales feed is LANDED as a hive-partitioned parquet table
+    (``month=YYYY-MM/`` directories — the reference's one-sheet-per-
+    month made literal, SURVEY S1) and read back with a partition
+    predicate. Directory-level pruning means a 3-month query opens 3
+    directories out of the whole history — no footer of any other
+    month's file is even touched, which is the difference between a
+    3-month and a 10-year scan at 100 TB. The digest proves the
+    partitioned rewrite relocated every row into the right partition
+    losslessly (a row in the wrong month directory would flip both
+    its own group's hash and its true month's row count)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .sources.tables import sales_view
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _B2_DIRS:
+        staged = tempfile.mkdtemp(prefix="spark_graft_b2_")
+        (
+            sales_view(spark, sf_dir)
+            .withColumn("month", F.date_format("sale_date", "yyyy-MM"))
+            .write.mode("overwrite")
+            .partitionBy("month")
+            .parquet(staged)
+        )
+        _B2_DIRS[key] = staged
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    landed = spark.read.parquet(_B2_DIRS[key]).where(
+        F.col("month").isin("1998-03", "1998-04", "1998-05")
+    )
+    h60 = F.conv(F.substring(F.md5(F.col("folio")), 1, 15), 16, 10).cast("long")
+    return (
+        landed.withColumn("h60", h60)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("monto") * 100).cast("long")).cast("long").alias("total_cents"),
+            F.expr("bit_xor(h60)").alias("folio_xor"),
         )
     )

@@ -945,3 +945,224 @@ def t8_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     prior = fingerprint(wh.read_version("transfers", versions[-2]), "v1")
     current = fingerprint(wh.read("transfers"), "v2")
     return prior.unionByName(current)
+
+
+# ---------------------------------------------------------------------------
+# EV4 — batch sessionization (gaps-and-islands over event time)
+# ---------------------------------------------------------------------------
+
+def sessionize_events(events: DataFrame, gap: int = 1_800_000_000) -> DataFrame:
+    """Core of EV4, factored for handcrafted-input tests: sessionize
+    ``(user_id, ts, value)`` rows at silences longer than ``gap``
+    microseconds. See ev4_batch_sessionization for the plan-shape
+    rationale."""
+    e = events.groupBy("user_id", "ts").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > gap), 1).otherwise(0)
+    s = e.withColumn("is_new", is_new).withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq")
+    ).agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.sum("n").cast("long").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@query(
+    "ev4_batch_sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, ts, COUNT(*) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY user_id, ts
+    ), g AS (
+      SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def ev4_batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV4 — batch sessionization: split each user's event stream into
+    sessions at >30-minute silences (gaps-and-islands), then aggregate
+    per session — the batch twin of ST2's streaming session windows,
+    and the shape every engagement/funnel pipeline needs over a raw
+    100 TB event log.
+
+    Shape: ties collapsed per (user, ts), ONE lag window + ONE running
+    sum riding the SAME (user, ts-sorted) partitioning — Catalyst
+    plans a single Exchange+Sort for both window functions and the
+    final per-(user, session) aggregate is partial map-side on top.
+    Value totals carried as integer cents so cross-engine summation
+    order cannot flip the hash (SURVEY §2.9 T2 rationale)."""
+    return sessionize_events(
+        read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — consecutive-day activity streaks (calendar gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+def activity_streaks(days: DataFrame) -> DataFrame:
+    """Core of W4, factored for handcrafted-input tests: maximal runs
+    of consecutive calendar days per user from ``(user_id, day)``
+    rows (need not be distinct)."""
+    d = days.distinct()
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    r = d.withColumn("island", F.date_sub(F.col("day"), rn))
+    return (
+        r.groupBy("user_id", "island")
+        .agg(
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("island")
+    )
+
+
+@query(
+    "w4_activity_streaks",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), r AS (
+      SELECT user_id, day,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM d
+    )
+    SELECT user_id,
+           strftime(MIN(day), '%Y-%m-%d') AS streak_start,
+           strftime(MAX(day), '%Y-%m-%d') AS streak_end,
+           COUNT(*) AS streak_days
+    FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)
+    """,
+)
+def w4_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — consecutive-day activity streaks via the classic
+    day-minus-row_number island key: days in an unbroken run share
+    ``date_sub(day, rn)``, so one window + one aggregate finds every
+    streak without self-joins (the naive LEFT JOIN day-1 formulation
+    is a second shuffle of the whole activity set and can't handle
+    arbitrary streak lengths in one pass).
+
+    Shape: DISTINCT (user, day) collapses the 100 TB event log to at
+    most users×days narrow rows FIRST; the window and aggregate ride
+    one (user)-keyed exchange of that collapsed set."""
+    return activity_streaks(
+        read_table(spark, sf_dir, "events").select(
+            "user_id", F.to_date("ts").alias("day")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10 — binned interval join (range join as an equi-join)
+# ---------------------------------------------------------------------------
+
+def binned_preceding_join(
+    targets: DataFrame,
+    sources: DataFrame,
+    window_us: int = 600 * 1_000_000,
+) -> DataFrame:
+    """Core of J10, factored for handcrafted-input tests: for every
+    target row ``(err_id, user_id, ets)``, count/last the source rows
+    ``(cuser, cts)`` of the same user strictly before it and within
+    ``window_us`` microseconds, via bin-replicated equi-join (see
+    j10_binned_interval_join for the scale rationale)."""
+    err = targets.withColumn(
+        "bin", (F.unix_micros("ets") / F.lit(window_us)).cast("long")
+    )
+    clk = sources.withColumn(
+        "cbin0", (F.unix_micros("cts") / F.lit(window_us)).cast("long")
+    ).select(
+        "cuser", "cts",
+        F.explode(F.array(F.col("cbin0"), F.col("cbin0") + 1)).alias("cbin"),
+    )
+    j = err.join(
+        clk,
+        (F.col("user_id") == F.col("cuser"))
+        & (F.col("bin") == F.col("cbin"))
+        & (F.col("cts") < F.col("ets"))
+        & (F.unix_micros("cts") >= F.unix_micros("ets") - F.lit(window_us)),
+        "left",
+    )
+    return j.groupBy("err_id", "user_id", "ets").agg(
+        F.count("cts").alias("n_clicks_10m"),
+        F.date_format(F.max("cts"), "yyyy-MM-dd HH:mm:ss").alias("last_click"),
+    ).select(
+        "err_id", "user_id",
+        F.date_format("ets", "yyyy-MM-dd HH:mm:ss").alias("err_ts"),
+        "n_clicks_10m", "last_click",
+    )
+
+
+@query(
+    "j10_binned_interval_join",
+    """
+    WITH err AS (
+      SELECT event_id AS err_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), clk AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    )
+    SELECT e.err_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS err_ts,
+           COUNT(c.cts) AS n_clicks_10m,
+           strftime(MAX(c.cts), '%Y-%m-%d %H:%M:%S') AS last_click
+    FROM err e LEFT JOIN clk c
+      ON c.user_id = e.user_id
+     AND c.cts < e.ts
+     AND c.cts >= e.ts - INTERVAL 10 MINUTE
+    GROUP BY e.err_id, e.user_id, e.ts
+    """,
+)
+def j10_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — interval join at scale: for every error event, the click
+    activity of the same user in the preceding 10 minutes (the
+    "what led up to this failure" query). A naive time-range join is
+    an inequality predicate — Spark would fall back to
+    broadcast-nested-loop (quadratic per user at 100 TB). Instead the
+    time axis is BINNED at the window width: each error keys to its
+    own 10-minute bin, each click is replicated to its bin and the
+    next (a click can only precede an error in the same or the next
+    bin), and the join becomes a plain equi-join on
+    ``(user_id, bin)`` — one bounded-fanout shuffle — with the exact
+    range predicate applied as a post-filter in the join condition.
+    Every qualifying (error, click) pair lands in exactly one bin
+    replica, so no dedup pass is needed. Same trick as the salted
+    skew join (sk2): restructure the key space so the shuffle does
+    the work. Left join keeps zero-click errors (COUNT over the null
+    side = 0), matching the oracle's LEFT JOIN. Column names are kept
+    distinct across the two sides (one events scan feeds both — a
+    self-join) so no ambiguous attribute refs exist."""
+    e = read_table(spark, sf_dir, "events")
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("ets")
+    )
+    clk = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"), F.col("ts").alias("cts")
+    )
+    return binned_preceding_join(err, clk)

@@ -124,3 +124,133 @@ def test_time_travel_versions_differ_and_are_stable(spark, sf_dir):
     assert first["v1"]["n_rows"] < first["v2"]["n_rows"]
     for v in ("v1", "v2"):
         assert first[v] == again[v]
+
+
+# ---------------------------------------------------------------------------
+# EV4 / W4 / J10 — second-wave round-5 warehouse operators
+# ---------------------------------------------------------------------------
+
+def test_sessionize_splits_at_gap_boundary(spark):
+    """31-minute silence starts a new session; exactly 30 minutes does
+    not (the rule is strictly-greater, matching the oracle SQL)."""
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import sessionize_events
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:30:00", 2.0),   # gap == 30 min -> same session
+        (1, "2024-01-01 11:01:00", 4.0),   # gap == 31 min -> new session
+        (2, "2024-01-01 10:05:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["total_cents"], r["duration_us"])
+        for r in sessionize_events(df).collect()
+    }
+    assert got == {
+        (1, 1): (2, 300, 30 * 60 * 1_000_000),
+        (1, 2): (1, 400, 0),
+        (2, 1): (1, 800, 0),
+    }
+
+
+def test_activity_streaks_islands(spark):
+    """Consecutive days fuse into one streak; a single missing day
+    splits it; duplicate (user, day) rows don't inflate lengths."""
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import activity_streaks
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03"),
+        (1, "2024-01-03"),                     # duplicate day
+        (1, "2024-01-05"),                     # gap -> new streak
+        (2, "2024-02-10"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day string").select(
+        "user_id", F.col("day").cast("date").alias("day")
+    )
+    got = sorted(
+        (r["user_id"], r["streak_start"], r["streak_end"], r["streak_days"])
+        for r in activity_streaks(df).collect()
+    )
+    assert got == [
+        (1, "2024-01-01", "2024-01-03", 3),
+        (1, "2024-01-05", "2024-01-05", 1),
+        (2, "2024-02-10", "2024-02-10", 1),
+    ]
+
+
+def test_binned_preceding_join_window_edges(spark):
+    """Clicks exactly at the error instant or exactly window-width
+    earlier are IN/OUT per the [t-10min, t) contract, including across
+    a bin boundary; zero-click errors survive the left join."""
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import binned_preceding_join
+
+    err = spark.createDataFrame(
+        [(100, 1, "2024-01-01 10:00:00"), (200, 2, "2024-01-01 12:00:00")],
+        "err_id long, user_id long, ets string",
+    ).select("err_id", "user_id", F.col("ets").cast("timestamp").alias("ets"))
+    clk = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:50:00"),  # exactly t-10min -> included (>=)
+            (1, "2024-01-01 09:49:59"),  # beyond the window -> excluded
+            (1, "2024-01-01 09:59:59"),  # crosses the bin boundary -> included
+            (1, "2024-01-01 10:00:00"),  # not strictly before -> excluded
+            (2, "2024-01-01 11:00:00"),  # right user, stale by an hour
+        ],
+        "cuser long, cts string",
+    ).select("cuser", F.col("cts").cast("timestamp").alias("cts"))
+    got = {
+        r["err_id"]: (r["n_clicks_10m"], r["last_click"])
+        for r in binned_preceding_join(err, clk).collect()
+    }
+    assert got == {
+        100: (2, "2024-01-01 09:59:59"),
+        200: (0, None),
+    }
+
+
+def test_orc_roundtrip_matches_parquet_source(spark, sf_dir):
+    """The ORC write→read preserves every doc byte-exactly: the
+    aggregate over the roundtripped corpus equals the same aggregate
+    computed straight from parquet."""
+    from lavasmart_bank_sync_etl_spark.queries_pipeline import orc1_orc_roundtrip
+    from lavasmart_bank_sync_etl_spark.sources.tables import read_table
+
+    via_orc = {
+        (r["lang"], r["source"]): (r["n_docs"], r["total_chars"], r["text_xor"])
+        for r in orc1_orc_roundtrip(spark, sf_dir).collect()
+    }
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    direct = {
+        (r["lang"], r["source"]): (r["n_docs"], r["total_chars"], r["text_xor"])
+        for r in read_table(spark, sf_dir, "documents")
+        .withColumn("h60", h60)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.expr("bit_xor(h60)").alias("text_xor"),
+        )
+        .collect()
+    }
+    assert via_orc == direct
+
+
+def test_b2_partition_pruning_in_plan(spark, sf_dir):
+    """The partitioned read-back must prune at the directory level:
+    the month filter appears as a partition filter (not a data
+    filter), and only the 3 selected months' rows are read."""
+    from lavasmart_bank_sync_etl_spark.queries_pipeline import (
+        _B2_DIRS, b2_partitioned_write_pruning,
+    )
+
+    df = b2_partitioned_write_pruning(spark, sf_dir)
+    assert df.count() == 3  # exactly the three selected months
+    staged = _B2_DIRS[(spark.sparkContext.applicationId, sf_dir)]
+    pruned = spark.read.parquet(staged).where(
+        F.col("month").isin("1998-03", "1998-04", "1998-05")
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "month" in plan.split("PartitionFilters")[1][:200]
