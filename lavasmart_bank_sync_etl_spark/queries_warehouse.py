@@ -1166,3 +1166,93 @@ def j10_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").alias("cuser"), F.col("ts").alias("cts")
     )
     return binned_preceding_join(err, clk)
+
+
+# ---------------------------------------------------------------------------
+# T9 — merge-on-read CDC view (base snapshot + delta log, no base rewrite)
+# ---------------------------------------------------------------------------
+
+def merge_on_read(base: DataFrame, delta: DataFrame, key: str, seq: str, op: str) -> DataFrame:
+    """Core of T9: resolve a base snapshot against an append-only
+    delta log WITHOUT rewriting the base. Latest delta per key wins
+    (``row_number`` over the delta log only — the log is batch-sized,
+    the base is the 100 TB side); base rows with any delta are
+    anti-joined out on the key (the delta key set broadcasts); 'D'
+    tombstones emit nothing. Payload columns = base columns."""
+    cols = base.columns
+    w = Window.partitionBy(key).orderBy(F.col(seq).desc())
+    latest = (
+        delta.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = latest.where(F.col(op) != "D").select(*cols)
+    untouched = base.join(
+        F.broadcast(latest.select(key)), key, "left_anti"
+    )
+    return untouched.unionByName(survivors)
+
+
+@query(
+    "t9_merge_on_read",
+    sales_cte(
+        """
+        SELECT metodo,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(
+                 CASE WHEN CAST(folio AS BIGINT) % 7 = 0 THEN monto + 5 ELSE monto END
+                 * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+               bit_xor(CAST(('0x' || substr(md5(folio), 1, 15)) AS BIGINT)) AS folio_xor
+        FROM sales
+        WHERE CAST(folio AS BIGINT) % 13 != 0
+        GROUP BY metodo
+        """
+    ),
+)
+def t9_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 — merge-on-read: the write path appends CDC deltas to a log
+    and the READ resolves them against the base snapshot, so a 100 TB
+    base is never rewritten per batch (rewrite amortizes into an
+    occasional compaction — which is exactly ``Warehouse.rewrite``,
+    t8's path). Deltas here are derived deterministically from the
+    corpus so the oracle can state the closed-form final table:
+    folio%10==0 rows are withheld from the base and re-INSERTed,
+    folio%7==0 get a superseded-then-final UPDATE chain (seq 1 then
+    2 — proving latest-wins, not any-wins), folio%13==0 get a DELETE
+    tombstone at seq 3 (proving tombstones beat earlier updates).
+
+    Scale shape: the only window runs over the batch-sized delta log;
+    the base-side anti-join broadcasts the delta key set; the base
+    never shuffles and is never read twice. The final aggregate is
+    the proof fingerprint, not part of the pattern."""
+    s = sales_view(spark, sf_dir)
+    fol = F.col("folio").cast("long")
+    base = s.where(fol % 10 != 0).select("folio", "metodo", "monto")
+    # CDC log: op, seq, payload — all derived from the corpus
+    d_ins = s.where(fol % 10 == 0).select(
+        "folio", "metodo", "monto", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    )
+    d_upd_stale = s.where(fol % 7 == 0).select(
+        "folio", "metodo",
+        (F.col("monto") + 999).alias("monto"),  # must be superseded
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    d_upd = s.where(fol % 7 == 0).select(
+        "folio", "metodo", (F.col("monto") + 5).alias("monto"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    d_del = s.where(fol % 13 == 0).select(
+        "folio", "metodo", "monto", F.lit("D").alias("op"), F.lit(3).alias("seq")
+    )
+    delta = d_ins.unionByName(d_upd_stale).unionByName(d_upd).unionByName(d_del)
+    resolved = merge_on_read(base, delta, key="folio", seq="seq", op="op")
+    h60 = F.conv(F.substring(F.md5(F.col("folio")), 1, 15), 16, 10).cast("long")
+    return (
+        resolved.withColumn("h60", h60)
+        .groupBy("metodo")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("monto") * 100).cast("long")).cast("long").alias("total_cents"),
+            F.expr("bit_xor(h60)").alias("folio_xor"),
+        )
+    )

@@ -254,3 +254,30 @@ def test_b2_partition_pruning_in_plan(spark, sf_dir):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "month" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_merge_on_read_resolution_rules(spark):
+    """Latest delta wins (not any delta), tombstones beat earlier
+    updates, inserts appear, untouched base rows pass through — and
+    the base side resolves via a BROADCAST anti-join (the delta key
+    set is batch-sized; the base is the 100 TB side)."""
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import merge_on_read
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 30.0)], "k string, v double"
+    )
+    delta = spark.createDataFrame(
+        [
+            ("b", 99.0, "U", 1),   # superseded
+            ("b", 21.0, "U", 2),   # latest wins
+            ("c", 31.0, "U", 1),
+            ("c", 0.0, "D", 2),    # tombstone beats the update
+            ("d", 40.0, "I", 1),   # fresh insert
+        ],
+        "k string, v double, op string, seq int",
+    )
+    out = merge_on_read(base, delta, key="k", seq="seq", op="op")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"a": 10.0, "b": 21.0, "d": 40.0}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
