@@ -355,3 +355,163 @@ def embedding_near_dup(
         .cogroup(right.groupBy("i", "j"))
         .applyInPandas(score_block, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) top-k
+# ---------------------------------------------------------------------------
+
+def _fp(vec: Column) -> Column:
+    """Fixed-point copy of an embedding (×10000 → long): every
+    distance downstream is an exact integer, so argmin/rank order and
+    the driver's value hash cannot drift on float summation order
+    across engines (the tx18 rationale applied to vector search)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * 10000).cast("long"))
+
+
+def _sub_d2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 between two long-vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """PQ index build: split each vector into ``n_sub`` subvectors and
+    encode each as the id of its nearest codebook entry — the corpus
+    side of the index carries ``n_sub`` small ints instead of the full
+    float vector (here 8 codes for 64 floats: a 32× working-set
+    compression, the reason PQ is the at-scale ANN memory format).
+
+    The codebook is a deterministic *sampling* codebook — the first
+    ``n_codes`` vectors by id (the classic cheap baseline; a k-means
+    codebook like ml1's drops in without changing any downstream
+    shape). It is collapsed to ONE broadcast row exactly like the IVF
+    centroid array, so encoding is a shuffle-free projection over the
+    corpus scan: per row, ``n_sub × n_codes`` integer subdistances +
+    an ``array_min`` argmin. Ties break to the smallest code id.
+
+    Returns ``(codebook_row, encoded)`` where ``codebook_row`` is the
+    single-row ``cb: array<struct<k, subs>>`` (sorted by k,
+    fixed-point, pre-split into subvectors so no slice runs inside
+    the per-row argmin) and ``encoded`` is ``(vid, e, codes)``
+    (``e`` fixed-point, kept for exact-rerank calibration; a pure
+    ANN deployment would drop it)."""
+    fp = corpus.select(
+        F.col(id_col).alias("vid"), _fp(F.col(vec_col)).alias("e")
+    )
+    cb_row = (
+        fp.where(F.col("vid") < n_codes)
+        .select(F.struct(F.col("vid").alias("k"), F.col("e")).alias("s"))
+        .agg(F.array_sort(F.collect_list("s")).alias("cb0"))
+        .select(
+            F.transform(
+                F.col("cb0"),
+                lambda c: F.struct(
+                    c["k"].alias("k"), _split_subs(c["e"], n_sub).alias("subs")
+                ),
+            ).alias("cb")
+        )
+    )
+    # each row slices its vector into subvectors ONCE; the 16-way
+    # argmin then indexes pre-split arrays (both sides) — 8+0 slices
+    # per row instead of 8×(16+1)
+    codes = F.transform(
+        _split_subs(F.col("e"), n_sub),
+        lambda sv, m: F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    _sub_d2(sv, F.element_at(c["subs"], m + 1)).alias("d2"),
+                    c["k"].alias("k"),
+                ),
+            )
+        )["k"],
+    )
+    encoded = fp.crossJoin(F.broadcast(cb_row)).select(
+        "vid", "e", codes.alias("codes")
+    )
+    return cb_row, encoded
+
+
+def _split_subs(vec: Column, n_sub: int) -> Column:
+    """Split a vector column into ``n_sub`` equal subvectors."""
+    dim_per = (F.size(vec) / n_sub).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: F.slice(vec, (m * dim_per + 1).cast("int"), dim_per),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ index: the query
+    keeps its exact (fixed-point) vector; each corpus vector is
+    represented ONLY by its codes, and the approximate distance is the
+    sum over subspaces of d²(query subvector, codebook[code]) — the
+    standard PQ search. Alongside it the exact distance is computed
+    from the retained vectors, so the result doubles as the
+    quantization-error calibration (the a9/a10 pattern: approximate
+    operator + exact truth in one row).
+
+    Scale shape: queries broadcast (as in ss1); the corpus side of the
+    scoring join carries 8 longs per row, not the vector — at 100 TB
+    the codes column is ~3% of the float column, which is the entire
+    point of PQ. Per (query, m) the codebook distances form a LUT; the
+    oracle materializes that LUT join explicitly, this side inlines it
+    as an expression over the same integers — both exact, so they
+    agree bit-for-bit. Rank ties break by neighbor id."""
+    cb_row, encoded = pq_encode(corpus, n_sub, n_codes, id_col, vec_col)
+    # queries pre-split once (the per-query LUT's input); the per-pair
+    # work is then n_sub pre-split lookups + integer sums only
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _fp(F.col(vec_col)).alias("qe"),
+    ).withColumn("qsubs", _split_subs(F.col("qe"), n_sub))
+    adc = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda code, m: _sub_d2(
+                F.element_at(F.col("qsubs"), m + 1),
+                F.element_at(
+                    F.element_at(F.col("cb"), (code + 1).cast("int"))["subs"], m + 1
+                ),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(encoded)
+        .where(F.col("query_id") != F.col("vid"))
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            adc.alias("adc_d2"),
+            _sub_d2(F.col("qe"), F.col("e")).alias("true_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from .functions import text as T
 from .operators import dedup as DD
 from .operators.similarity import (
-    brute_force_topk, embedding_near_dup, ivf_topk, lsh_topk,
+    brute_force_topk, embedding_near_dup, ivf_topk, lsh_topk, pq_adc_topk,
 )
 from .multimodal.binary_ops import (
     attach_payload, audio_frame_energy, decode_features, resize_images,
@@ -1521,3 +1521,74 @@ def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     _STREAM_SINKS[cache_key] = sink
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# SS6 — product quantization + asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "ss6_pq_adc_topk",
+    """
+    WITH fp AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS k, e FROM fp WHERE vec_id < 16),
+    ms AS (SELECT unnest(range(0, 8)) AS m),
+    -- per-(vector, subspace, code) exact integer subdistance
+    dists AS (
+      SELECT v.vec_id, ms.m, cb.k,
+             list_sum(list_transform(range(1, 9),
+               i -> (v.e[ms.m * 8 + i] - cb.e[ms.m * 8 + i])
+                  * (v.e[ms.m * 8 + i] - cb.e[ms.m * 8 + i]))) AS d2
+      FROM fp v CROSS JOIN ms CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    -- ADC: the query's (m, k) LUT joined against the neighbor's codes
+    adc AS (
+      SELECT d.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(SUM(d.d2) AS BIGINT) AS adc_d2
+      FROM enc e JOIN dists d ON d.m = e.m AND d.k = e.code
+      WHERE d.vec_id < 5 AND d.vec_id <> e.vec_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(q.e, (x, i) -> (x - c.e[i]) * (x - c.e[i]))) AS true_d2
+      FROM fp q CROSS JOIN fp c
+      WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT a.query_id, a.neighbor_id, a.adc_d2,
+             CAST(x.true_d2 AS BIGINT) AS true_d2,
+             row_number() OVER (PARTITION BY a.query_id
+                                ORDER BY a.adc_d2 ASC, a.neighbor_id ASC) AS rank
+      FROM adc a JOIN exact x USING (query_id, neighbor_id)
+    )
+    SELECT query_id, neighbor_id, adc_d2, true_d2, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS6 — product quantization: 64-dim embeddings split into 8
+    subvectors, each encoded as its nearest of 16 codebook entries
+    (sampling codebook = first 16 vectors), searched with asymmetric
+    distance — the memory-bound ANN format (8 codes ≈ 3% of the float
+    vector; at 100 TB the codes column is what fits in RAM). Exact
+    distance is carried next to the ADC estimate, so every result row
+    calibrates the quantization error (the a9/a10 approximate-vs-truth
+    pattern). All arithmetic is fixed-point integer (×10000) — argmin,
+    ADC sums and ranks are bit-identical across engines by
+    construction. The oracle materializes the per-query (m, code) LUT
+    as a relational join; the Spark side inlines the same lookups as a
+    shuffle-free expression over the broadcast one-row codebook."""
+    e = read_table(spark, sf_dir, "embeddings")
+    out = pq_adc_topk(e, e.where(F.col("vec_id") < 5), n_sub=8, n_codes=16, k=10)
+    return out.select("query_id", "neighbor_id", "adc_d2", "true_d2", "rank")

@@ -281,3 +281,31 @@ def test_merge_on_read_resolution_rules(spark):
     assert got == {"a": 10.0, "b": 21.0, "d": 40.0}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_pq_adc_known_codes_and_distances(spark):
+    """On a corpus where two vectors ARE codebook entries and one is
+    a concatenation of them, PQ must encode exactly and ADC must
+    equal the true distance whenever subvectors sit on codebook
+    entries (zero quantization error); off-codebook vectors get the
+    predictable inflated estimate. All values are exact integers."""
+    from lavasmart_bank_sync_etl_spark.operators.similarity import pq_adc_topk
+
+    rows = [
+        (0, [0.0] * 8),                                  # codebook entry 0
+        (1, [1.0] * 8),                                  # codebook entry 1
+        (2, [0.0] * 4 + [1.0] * 4),                      # = cb0 ++ cb1 exactly
+        (3, [0.9] * 8),                                  # nearest cb1 in both subs
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_adc_topk(df, df.where("vec_id = 0"), n_sub=2, n_codes=2, k=10)
+    got = {
+        r["neighbor_id"]: (r["adc_d2"], r["true_d2"], r["rank"])
+        for r in out.collect()
+    }
+    D = 10_000 ** 2  # one fixed-point unit step squared
+    assert got == {
+        2: (4 * D, 4 * D, 1),            # subvectors on codebook -> ADC exact
+        1: (8 * D, 8 * D, 2),            # codebook entry itself -> exact
+        3: (8 * D, 8 * 9000 ** 2, 3),    # off-codebook -> estimate vs truth
+    }
