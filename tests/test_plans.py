@@ -318,3 +318,38 @@ def test_passage_spans_shuffle_hashes_not_text(q):
     assert "hashpartitioning(h" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "win" not in plan.split("Exchange", 1)[1].splitlines()[0]
+
+
+def test_binned_interval_join_is_equi_not_nested_loop(q):
+    """j10: the time-range join must run as an equi-join on the
+    (user, bin) key — the binning exists precisely to avoid the
+    BroadcastNestedLoopJoin Spark picks for bare inequality joins."""
+    plan = q("j10_binned_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # any HASH equi-join qualifies (broadcast at test scale, shuffled
+    # at 100 TB); the range predicate must survive only as a residual
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "Join condition" in plan and "cts" in plan.split("Join condition", 1)[1][:120]
+
+
+def test_pq_encode_is_shuffle_free_projection(q):
+    """ss6: PQ encoding must be a projection over the corpus scan
+    against the broadcast one-row codebook — no exchange of the
+    corpus for either encode or ADC scoring; the only exchange in the
+    whole plan serves the final top-k window."""
+    plan = q("ss6_pq_adc_topk")
+    assert plan.count("BroadcastExchange") >= 2  # codebook (x2) + queries
+    import re
+    shuffles = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert all(s.startswith("query_id") for s in shuffles), shuffles
+
+
+def test_merge_on_read_broadcasts_delta_keys(q):
+    """t9: the base side resolves via a broadcast anti-join on the
+    delta key set — the 100 TB base never shuffles for the MOR read;
+    the only keyed exchange belongs to the delta log's latest-wins
+    window."""
+    plan = q("t9_merge_on_read")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
