@@ -1455,3 +1455,97 @@ def tx18_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_feats"),
         F.round(F.sum("fx") / 10000.0 / F.count(F.lit(1)), 4).alias("avg_llr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML4 — triangle counting (ordered-adjacency 2-path join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ml4_triangle_count",
+    """
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    raw AS (
+      SELECT doc_id AS a, (doc_id + 1) % n AS b FROM documents, nn
+      UNION ALL SELECT doc_id, (doc_id + 2) % n FROM documents, nn
+      UNION ALL SELECT doc_id, (doc_id * 7 + 3) % n FROM documents, nn
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+      FROM raw WHERE a != b
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pernode AS (
+      SELECT unnest([x, y, z]) AS node FROM tri
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, COUNT(*) AS n_triangles
+    FROM pernode GROUP BY node
+    """,
+)
+def ml4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml4 — per-node triangle counting over a deterministic graph
+    (ring edges i→i+1, i→i+2 guarantee local triangles; the affine
+    i→7i+3 edge adds irregular degree), via the canonical ordered-
+    adjacency algorithm: orient every edge low-id → high-id, join
+    edges a<b with b<c to enumerate wedges, then close each wedge
+    against the edge set — each triangle x<y<z is found EXACTLY once
+    (as wedge x-y-z closed by (x,z)), no 3!-fold overcount to divide
+    away. Triangle counting is the fourth graph shape next to CC
+    (dd9), PageRank (ml2) and k-means (ml1), and the standard
+    clustering-coefficient / spam-detection primitive.
+
+    Scale shape: two equi-joins on single int keys over an edge list
+    that carries two longs per row — the classic MapReduce triangle
+    enumeration. The id-orientation bounds each wedge pivot by the
+    pivot node's out-degree; on a skewed 100 TB graph the refinement
+    is DEGREE-ordering the orientation (low-degree → high-degree),
+    which caps pivot fanout at O(sqrt(|E|)) and drops in here by
+    replacing the LEAST/GREATEST orientation with a degree-ranked
+    one — same joins otherwise. Counts are exact integers."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()  # graph order; a literal in both plans (oracle's nn CTE)
+    raw = (
+        d.select(F.col("doc_id").alias("a"), ((F.col("doc_id") + 1) % n).alias("b"))
+        .unionByName(
+            d.select(F.col("doc_id").alias("a"), ((F.col("doc_id") + 2) % n).alias("b"))
+        )
+        .unionByName(
+            d.select(
+                F.col("doc_id").alias("a"), ((F.col("doc_id") * 7 + 3) % n).alias("b")
+            )
+        )
+    )
+    return node_triangle_counts(raw).select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )
+
+
+def node_triangle_counts(edges: DataFrame) -> DataFrame:
+    """Core of ml4, factored for handcrafted-input tests: per-node
+    triangle membership counts from an ``(a, b)`` edge list (any
+    orientation, self-loops and duplicates tolerated)."""
+    und = (
+        edges.where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy(F.col("node").cast("long").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

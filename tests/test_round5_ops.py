@@ -309,3 +309,17 @@ def test_pq_adc_known_codes_and_distances(spark):
         1: (8 * D, 8 * D, 2),            # codebook entry itself -> exact
         3: (8 * D, 8 * 9000 ** 2, 3),    # off-codebook -> estimate vs truth
     }
+
+
+def test_triangle_counts_on_known_graphs(spark):
+    """A 4-clique holds 4 triangles with every node in 3; attaching a
+    pendant edge adds none; duplicate and reversed edges must not
+    inflate counts."""
+    from lavasmart_bank_sync_etl_spark.queries_curation import node_triangle_counts
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a != b]  # both directions
+    edges = spark.createDataFrame(
+        clique + [(3, 9), (0, 1)], "a long, b long"  # pendant + duplicate
+    )
+    got = {r["node"]: r["n_triangles"] for r in node_triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
