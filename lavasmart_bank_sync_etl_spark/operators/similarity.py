@@ -391,16 +391,20 @@ def pq_encode(
     float vector (here 8 codes for 64 floats: a 32× working-set
     compression, the reason PQ is the at-scale ANN memory format).
 
-    The codebook is a deterministic *sampling* codebook — the first
-    ``n_codes`` vectors by id (the classic cheap baseline; a k-means
-    codebook like ml1's drops in without changing any downstream
-    shape). It is collapsed to ONE broadcast row exactly like the IVF
-    centroid array, so encoding is a shuffle-free projection over the
-    corpus scan: per row, ``n_sub × n_codes`` integer subdistances +
-    an ``array_min`` argmin. Ties break to the smallest code id.
+    The codebook is a deterministic *sampling* codebook — the
+    ``n_codes`` lowest-id vectors, whatever those ids are (top-k via
+    sort+limit = TakeOrdered, never a full sort; a k-means codebook
+    like ml1's drops in without changing any downstream shape). It is
+    collapsed to ONE broadcast row exactly like the IVF centroid
+    array, so encoding is a shuffle-free projection over the corpus
+    scan: per row, ``n_sub × n_codes`` integer subdistances + an
+    ``array_min`` argmin. A code is the entry's POSITION in the
+    id-sorted codebook (0-based) — not the entry's id — so downstream
+    ``element_at(cb, code+1)`` lookups hold for ANY id distribution
+    (gaps, offsets). Ties break to the smallest position.
 
     Returns ``(codebook_row, encoded)`` where ``codebook_row`` is the
-    single-row ``cb: array<struct<k, subs>>`` (sorted by k,
+    single-row ``cb: array<struct<k, subs>>`` (position-indexed,
     fixed-point, pre-split into subvectors so no slice runs inside
     the per-row argmin) and ``encoded`` is ``(vid, e, codes)``
     (``e`` fixed-point, kept for exact-rerank calibration; a pure
@@ -409,14 +413,16 @@ def pq_encode(
         F.col(id_col).alias("vid"), _fp(F.col(vec_col)).alias("e")
     )
     cb_row = (
-        fp.where(F.col("vid") < n_codes)
-        .select(F.struct(F.col("vid").alias("k"), F.col("e")).alias("s"))
+        fp.orderBy("vid")
+        .limit(n_codes)
+        .select(F.struct(F.col("vid").alias("vid"), F.col("e")).alias("s"))
         .agg(F.array_sort(F.collect_list("s")).alias("cb0"))
         .select(
             F.transform(
                 F.col("cb0"),
-                lambda c: F.struct(
-                    c["k"].alias("k"), _split_subs(c["e"], n_sub).alias("subs")
+                lambda c, pos: F.struct(
+                    pos.cast("long").alias("k"),
+                    _split_subs(c["e"], n_sub).alias("subs"),
                 ),
             ).alias("cb")
         )
@@ -443,11 +449,25 @@ def pq_encode(
 
 
 def _split_subs(vec: Column, n_sub: int) -> Column:
-    """Split a vector column into ``n_sub`` equal subvectors."""
+    """Split a vector column into ``n_sub`` equal subvectors. A
+    dimension not divisible by ``n_sub`` raises at execution instead
+    of silently truncating the tail dims out of codes/ADC (which
+    would desynchronize them from the full-vector exact distance)."""
     dim_per = (F.size(vec) / n_sub).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        lambda m: F.slice(vec, (m * dim_per + 1).cast("int"), dim_per),
+    ok = F.size(vec) % n_sub == 0
+    return F.when(
+        ok,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_sub - 1)),
+            lambda m: F.slice(vec, (m * dim_per + 1).cast("int"), dim_per),
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pq: vector dim not divisible by n_sub={n_sub}: "),
+                F.size(vec).cast("string"),
+            )
+        )
     )
 
 

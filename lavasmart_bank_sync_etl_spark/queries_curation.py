@@ -1508,15 +1508,18 @@ def ml4_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacing the LEAST/GREATEST orientation with a degree-ranked
     one — same joins otherwise. Counts are exact integers."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
-    n = d.count()  # graph order; a literal in both plans (oracle's nn CTE)
+    # graph order joins in as a broadcast 1-row aggregate (the
+    # oracle's nn CTE) — no eager driver-side count(), the whole
+    # query stays one lazy plan
+    dn = d.crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n"))))
     raw = (
-        d.select(F.col("doc_id").alias("a"), ((F.col("doc_id") + 1) % n).alias("b"))
+        dn.select(F.col("doc_id").alias("a"), ((F.col("doc_id") + 1) % F.col("n")).alias("b"))
         .unionByName(
-            d.select(F.col("doc_id").alias("a"), ((F.col("doc_id") + 2) % n).alias("b"))
+            dn.select(F.col("doc_id").alias("a"), ((F.col("doc_id") + 2) % F.col("n")).alias("b"))
         )
         .unionByName(
-            d.select(
-                F.col("doc_id").alias("a"), ((F.col("doc_id") * 7 + 3) % n).alias("b")
+            dn.select(
+                F.col("doc_id").alias("a"), ((F.col("doc_id") * 7 + 3) % F.col("n")).alias("b")
             )
         )
     )

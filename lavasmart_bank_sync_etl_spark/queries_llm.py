@@ -1535,7 +1535,12 @@ def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
       FROM embeddings
     ),
-    cb AS (SELECT vec_id AS k, e FROM fp WHERE vec_id < 16),
+    -- codebook = 16 lowest-id vectors; k = POSITION in the id-sorted
+    -- codebook (matches pq_encode for any id distribution)
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, e
+      FROM (SELECT * FROM fp ORDER BY vec_id LIMIT 16)
+    ),
     ms AS (SELECT unnest(range(0, 8)) AS m),
     -- per-(vector, subspace, code) exact integer subdistance
     dists AS (

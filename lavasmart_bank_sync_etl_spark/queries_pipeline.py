@@ -458,14 +458,38 @@ def tx19_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Shared staging lifecycle for source-format roundtrip queries
+# ---------------------------------------------------------------------------
+
+#: staging dirs per (applicationId, tag, sf_dir) — written once per
+#: session, reaped at interpreter exit.
+_STAGED_DIRS: dict[tuple, str] = {}
+
+
+def _staged_dir(spark: SparkSession, sf_dir: str, tag: str, write_fn) -> str:
+    """Idempotent per-(session, sf_dir) staging directory: ``write_fn``
+    runs exactly once to materialize the staged files; later
+    invocations reuse the directory (the shared lifecycle of every
+    file-format roundtrip query — jl1/jl2/csv1/orc1/b2)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, tag, sf_dir)
+    staged = _STAGED_DIRS.get(key)
+    if staged is None:
+        staged = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")
+        write_fn(staged)
+        _STAGED_DIRS[key] = staged
+        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    return staged
+
+
 # ---------------------------------------------------------------------------
 # JL1 — JSONL source roundtrip (the training-data interchange format)
 # ---------------------------------------------------------------------------
-
-#: JSONL staging dirs per (applicationId, sf_dir) — written once per
-#: session, reaped at interpreter exit (same pattern as st6 gold dirs).
-_JSONL_DIRS: dict[tuple, str] = {}
-
 
 @query(
     "jl1_jsonl_roundtrip",
@@ -487,19 +511,13 @@ def jl1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Writes are per-session idempotent; splittable line format means
     the read parallelizes like parquet (minus column pruning — which
     is why parquet stays the at-rest format and JSONL the interchange)."""
-    import atexit
-    import shutil
-    import tempfile
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _JSONL_DIRS:
-        staged = tempfile.mkdtemp(prefix="spark_graft_jl1_")
-        read_table(spark, sf_dir, "documents").write.mode("overwrite").json(staged)
-        _JSONL_DIRS[key] = staged
-        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    staged = _staged_dir(
+        spark, sf_dir, "jl1",
+        lambda d: read_table(spark, sf_dir, "documents").write.mode("overwrite").json(d),
+    )
     docs = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
-    ).json(_JSONL_DIRS[key])
+    ).json(staged)
     h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
     return (
         docs.withColumn("h60", h60)
@@ -515,11 +533,6 @@ def jl1_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # CSV1 — CSV source roundtrip with hostile quoting (RFC 4180 path)
 # ---------------------------------------------------------------------------
-
-#: CSV staging dirs per (applicationId, sf_dir) — same lifecycle as
-#: the JSONL staging above.
-_CSV_DIRS: dict[tuple, str] = {}
-
 
 @query(
     "csv1_csv_roundtrip",
@@ -549,31 +562,23 @@ def csv1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the ingest keeps files small-many — or lands data in
     parquet/JSONL instead; this operator exists for the sources that
     only speak CSV."""
-    import atexit
-    import shutil
-    import tempfile
-
     salted = read_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source",
         F.concat(F.col("text"), F.lit(',"'), F.lit("\n"), F.lit("end")).alias("text"),
     )
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _CSV_DIRS:
-        staged = tempfile.mkdtemp(prefix="spark_graft_csv1_")
-        (
-            salted.write.mode("overwrite")
-            .option("header", True)
-            .option("escape", '"')
-            .csv(staged)
-        )
-        _CSV_DIRS[key] = staged
-        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    staged = _staged_dir(
+        spark, sf_dir, "csv1",
+        lambda d: salted.write.mode("overwrite")
+        .option("header", True)
+        .option("escape", '"')
+        .csv(d),
+    )
     docs = (
         spark.read.schema("doc_id long, lang string, source string, text string")
         .option("header", True)
         .option("multiLine", True)
         .option("escape", '"')
-        .csv(_CSV_DIRS[key])
+        .csv(staged)
     )
     h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
     return (
@@ -590,9 +595,6 @@ def csv1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # JL2 — malformed-record ingest (PERMISSIVE + corrupt-record routing)
 # ---------------------------------------------------------------------------
-
-_JL2_DIRS: dict[tuple, str] = {}
-
 
 @query(
     "jl2_malformed_jsonl",
@@ -617,13 +619,7 @@ def jl2_malformed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     router classified every line correctly — the reference's own
     S8-repair philosophy (validate, quarantine, continue;
     Code.gs:362-414) applied to file ingest."""
-    import atexit
-    import shutil
-    import tempfile
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _JL2_DIRS:
-        staged = tempfile.mkdtemp(prefix="spark_graft_jl2_")
+    def write_corrupted(dest: str) -> None:
         d = read_table(spark, sf_dir, "documents")
         line = F.to_json(F.struct("doc_id", "text", "lang", "source", "n_chars"))
         staged_df = d.select("doc_id", line.alias("line")).select(
@@ -636,16 +632,16 @@ def jl2_malformed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("line"))
             .alias("line")
         )
-        staged_df.write.mode("overwrite").text(staged)
-        _JL2_DIRS[key] = staged
-        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+        staged_df.write.mode("overwrite").text(dest)
+
+    staged = _staged_dir(spark, sf_dir, "jl2", write_corrupted)
     docs = (
         spark.read.schema(
             "doc_id long, text string, lang string, source string, n_chars long, _bad string"
         )
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_bad")
-        .json(_JL2_DIRS[key])
+        .json(staged)
     )
     h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
     return (
@@ -664,9 +660,6 @@ def jl2_malformed_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ORC1 — ORC source/sink roundtrip (the other columnar at-rest format)
 # ---------------------------------------------------------------------------
-
-_ORC_DIRS: dict[tuple, str] = {}
-
 
 @query(
     "orc1_orc_roundtrip",
@@ -688,19 +681,13 @@ def orc1_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's native vectorized ORC reader covers it with zero extra
     dependencies; writes are per-session idempotent (same staging
     lifecycle as jl1/csv1)."""
-    import atexit
-    import shutil
-    import tempfile
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _ORC_DIRS:
-        staged = tempfile.mkdtemp(prefix="spark_graft_orc1_")
-        read_table(spark, sf_dir, "documents").write.mode("overwrite").orc(staged)
-        _ORC_DIRS[key] = staged
-        atexit.register(shutil.rmtree, staged, ignore_errors=True)
+    staged = _staged_dir(
+        spark, sf_dir, "orc1",
+        lambda d: read_table(spark, sf_dir, "documents").write.mode("overwrite").orc(d),
+    )
     docs = spark.read.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
-    ).orc(_ORC_DIRS[key])
+    ).orc(staged)
     h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
     return (
         docs.withColumn("h60", h60)
@@ -716,9 +703,6 @@ def orc1_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # B2 — hive-partitioned sink + static partition pruning on read-back
 # ---------------------------------------------------------------------------
-
-_B2_DIRS: dict[tuple, str] = {}
-
 
 @query(
     "b2_partitioned_write_pruning",
@@ -746,25 +730,17 @@ def b2_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned rewrite relocated every row into the right partition
     losslessly (a row in the wrong month directory would flip both
     its own group's hash and its true month's row count)."""
-    import atexit
-    import shutil
-    import tempfile
-
     from .sources.tables import sales_view
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _B2_DIRS:
-        staged = tempfile.mkdtemp(prefix="spark_graft_b2_")
-        (
-            sales_view(spark, sf_dir)
-            .withColumn("month", F.date_format("sale_date", "yyyy-MM"))
-            .write.mode("overwrite")
-            .partitionBy("month")
-            .parquet(staged)
-        )
-        _B2_DIRS[key] = staged
-        atexit.register(shutil.rmtree, staged, ignore_errors=True)
-    landed = spark.read.parquet(_B2_DIRS[key]).where(
+    staged = _staged_dir(
+        spark, sf_dir, "b2",
+        lambda d: sales_view(spark, sf_dir)
+        .withColumn("month", F.date_format("sale_date", "yyyy-MM"))
+        .write.mode("overwrite")
+        .partitionBy("month")
+        .parquet(d),
+    )
+    landed = spark.read.parquet(staged).where(
         F.col("month").isin("1998-03", "1998-04", "1998-05")
     )
     h60 = F.conv(F.substring(F.md5(F.col("folio")), 1, 15), 16, 10).cast("long")

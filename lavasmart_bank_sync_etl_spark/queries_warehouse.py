@@ -1178,9 +1178,20 @@ def merge_on_read(base: DataFrame, delta: DataFrame, key: str, seq: str, op: str
     (``row_number`` over the delta log only — the log is batch-sized,
     the base is the 100 TB side); base rows with any delta are
     anti-joined out on the key (the delta key set broadcasts); 'D'
-    tombstones emit nothing. Payload columns = base columns."""
+    tombstones emit nothing. Payload columns = base columns.
+
+    Ties at the same sequence number resolve deterministically:
+    tombstone beats update beats insert (the safe direction), and
+    same-seq same-op rows order by a payload hash so the winner never
+    depends on partitioning. A well-formed CDC log has unique seqs
+    per key; the tiebreak keeps malformed input reproducible."""
     cols = base.columns
-    w = Window.partitionBy(key).orderBy(F.col(seq).desc())
+    op_rank = (
+        F.when(F.col(op) == "D", 3).when(F.col(op) == "U", 2).otherwise(1)
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq).desc(), op_rank.desc(), F.xxhash64(*cols).asc()
+    )
     latest = (
         delta.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -242,12 +242,12 @@ def test_b2_partition_pruning_in_plan(spark, sf_dir):
     the month filter appears as a partition filter (not a data
     filter), and only the 3 selected months' rows are read."""
     from lavasmart_bank_sync_etl_spark.queries_pipeline import (
-        _B2_DIRS, b2_partitioned_write_pruning,
+        _STAGED_DIRS, b2_partitioned_write_pruning,
     )
 
     df = b2_partitioned_write_pruning(spark, sf_dir)
     assert df.count() == 3  # exactly the three selected months
-    staged = _B2_DIRS[(spark.sparkContext.applicationId, sf_dir)]
+    staged = _STAGED_DIRS[(spark.sparkContext.applicationId, "b2", sf_dir)]
     pruned = spark.read.parquet(staged).where(
         F.col("month").isin("1998-03", "1998-04", "1998-05")
     )
@@ -323,3 +323,51 @@ def test_triangle_counts_on_known_graphs(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in node_triangle_counts(edges).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_pq_handles_offset_and_gapped_ids(spark):
+    """The codebook is the n_codes LOWEST ids whatever they are, and
+    codes are positions in the sorted codebook — so a corpus whose
+    ids start high or have gaps must encode and rank fine (the
+    contiguous-ids-from-0 assumption would throw or mis-look-up)."""
+    from lavasmart_bank_sync_etl_spark.operators.similarity import pq_adc_topk
+
+    rows = [
+        (100, [0.0] * 8),
+        (205, [1.0] * 8),
+        (310, [0.0] * 4 + [1.0] * 4),
+        (999, [0.9] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_adc_topk(df, df.where("vec_id = 100"), n_sub=2, n_codes=2, k=10)
+    got = {r["neighbor_id"]: (r["adc_d2"], r["rank"]) for r in out.collect()}
+    D = 10_000 ** 2
+    assert got == {310: (4 * D, 1), 205: (8 * D, 2), 999: (8 * D, 3)}
+
+
+def test_pq_rejects_indivisible_dims(spark):
+    """A vector dimension not divisible by n_sub must raise, not
+    silently truncate tail dims out of the codes/ADC."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from lavasmart_bank_sync_etl_spark.operators.similarity import pq_adc_topk
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 7), (1, [1.0] * 7)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception) as exc:
+        pq_adc_topk(df, df.where("vec_id = 0"), n_sub=2, n_codes=2, k=5).collect()
+    assert "not divisible" in str(exc.value)
+
+
+def test_merge_on_read_same_seq_tombstone_wins(spark):
+    """At an equal sequence number the tombstone must beat the update
+    deterministically (the safe direction for a malformed CDC log)."""
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import merge_on_read
+
+    base = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    delta = spark.createDataFrame(
+        [("a", 2.0, "U", 1), ("a", 0.0, "D", 1)],
+        "k string, v double, op string, seq int",
+    )
+    assert merge_on_read(base, delta, key="k", seq="seq", op="op").count() == 0
