@@ -385,3 +385,137 @@ def audio_frame_energy(media: DataFrame, frame: int = 256) -> DataFrame:
             })
 
     return media.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Images: real (dependency-free) PPM encode + full decode + perceptual hash
+# ---------------------------------------------------------------------------
+
+PPM_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("mime", StringType()),
+])
+
+DHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dhash_bits", StringType()),
+    StructField("ones", IntegerType()),
+])
+
+_DHASH_W, _DHASH_H = 18, 16  # synth raster; 2x2-averages to the 9x8 dHash grid
+
+
+def _ppm_bytes(gray) -> bytes:
+    """Encode a 2-D uint8 grayscale array as a REAL binary P6 PPM
+    (each gray value tripled to RGB) — any image tool can open it."""
+    import numpy as np
+
+    h, w = gray.shape
+    header = f"P6\n{w} {h}\n255\n".encode()
+    rgb = np.repeat(gray.astype(np.uint8).reshape(h, w, 1), 3, axis=2)
+    return header + rgb.tobytes()
+
+
+def _parse_ppm(payload: bytes):
+    """Full P6 decode: header tokens (comments legal) + raw raster.
+    Returns (w, h, maxval, HxWx3 uint8 array); malformed input raises
+    (the jl2 quarantine philosophy — never silently mis-decode)."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise NotImplementedError("not a binary PPM (P6) payload")
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise NotImplementedError("malformed PPM header")
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while payload[end : end + 1].isdigit():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+        else:
+            raise NotImplementedError("malformed PPM header")
+    if len(tokens) != 3 or not payload[pos : pos + 1].isspace():
+        raise NotImplementedError("malformed PPM header")
+    pos += 1  # single whitespace after maxval, then the raster
+    w, h, maxval = tokens
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if maxval != 255 or len(raster) != need:
+        raise NotImplementedError("unsupported or truncated PPM raster")
+    return w, h, maxval, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def synth_images(df: DataFrame, dup_every: int = 10, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a REAL 18×16 grayscale P6 PPM per row: pixel (x, y)
+    of doc d has value ``((d*31 + y*18 + x) * 7) mod 256`` (pure
+    integer — reproducible in ANSI SQL). Every ``dup_every``-th doc
+    carries an exact COPY of the previous doc's image (effective id =
+    d−1), planting the duplicates the perceptual hash must find."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for d in ids:
+                eff = int(d) - 1 if (int(d) % dup_every == 0 and int(d) > 0) else int(d)
+                y, x = np.mgrid[0:_DHASH_H, 0:_DHASH_W]
+                gray = ((eff * 31 + y * _DHASH_W + x) * 7) % 256
+                payloads.append(_ppm_bytes(gray))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "payload": payloads,
+                "mime": ["image/x-portable-pixmap"] * len(payloads),
+            })
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema=PPM_SCHEMA
+    )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash with a REAL decode: parse the full
+    PPM raster, grayscale (channel 0 — synth images are gray),
+    integer 2×2 block-mean downsample to a 9×8 grid, then one bit per
+    horizontally adjacent cell pair (``grid[r][c] < grid[r][c+1]``) —
+    64 bits as a '0'/'1' string, byte-order-free and sign-safe across
+    engines. All integer arithmetic (floor-div by 4), so the SQL
+    oracle reproduces the hash bit-for-bit from the pixel formula;
+    a match proves encode → decode → downsample → hash is faithful.
+    Arrow-batched ``mapInPandas``; only (id, 64-char hash) leaves the
+    stage — at 100 TB of images the shuffle carries hashes, payloads
+    stay columnar at rest (the dd1 principle for pixels)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "dhash_bits": [], "ones": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, rgb = _parse_ppm(bytes(payload))
+                gray = rgb[:, :, 0].astype(np.int64)
+                grid = (
+                    gray[0::2, 0::2] + gray[0::2, 1::2]
+                    + gray[1::2, 0::2] + gray[1::2, 1::2]
+                ) // 4  # (h/2, w/2) == 8 x 9
+                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)  # 8 x 8
+                s = "".join("1" if b else "0" for b in bits.ravel())
+                out["doc_id"].append(doc_id)
+                out["dhash_bits"].append(s)
+                out["ones"].append(int(bits.sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "dhash_bits": out["dhash_bits"],
+                "ones": pd.Series(out["ones"], dtype="int32"),
+            })
+
+    return media.mapInPandas(run, schema=DHASH_SCHEMA)

@@ -1168,6 +1168,73 @@ def mm4_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_energy(synth_audio(d), frame=256)
 
 
+@query(
+    "mm5_image_dhash_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 AND doc_id > 0
+                  THEN doc_id - 1 ELSE doc_id END AS eff
+      FROM documents
+    ),
+    rc AS (
+      SELECT r.r, c.c
+      FROM (SELECT unnest(range(0, 8)) AS r) r,
+           (SELECT unnest(range(0, 9)) AS c) c
+    ),
+    grid AS (
+      SELECT d.doc_id, rc.r, rc.c,
+             ( ((d.eff * 31 + (2 * rc.r) * 18 + 2 * rc.c) * 7) % 256
+             + ((d.eff * 31 + (2 * rc.r) * 18 + 2 * rc.c + 1) * 7) % 256
+             + ((d.eff * 31 + (2 * rc.r + 1) * 18 + 2 * rc.c) * 7) % 256
+             + ((d.eff * 31 + (2 * rc.r + 1) * 18 + 2 * rc.c + 1) * 7) % 256
+             ) // 4 AS v
+      FROM d, rc
+    ),
+    bits AS (
+      SELECT g1.doc_id, g1.r, g1.c,
+             CASE WHEN g1.v < g2.v THEN 1 ELSE 0 END AS bit
+      FROM grid g1
+      JOIN grid g2 ON g2.doc_id = g1.doc_id AND g2.r = g1.r AND g2.c = g1.c + 1
+      WHERE g1.c < 8
+    ),
+    hashes AS (
+      SELECT doc_id,
+             string_agg(CAST(bit AS VARCHAR), '' ORDER BY r, c) AS dhash_bits,
+             CAST(SUM(bit) AS INTEGER) AS ones
+      FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, dhash_bits, ones,
+           COUNT(*) OVER (PARTITION BY dhash_bits) AS dup_group
+    FROM hashes
+    """,
+)
+def mm5_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM5 — image near-dup detection with a REAL raster decode: a
+    genuine 18×16 binary-PPM file is synthesized per document from an
+    integer pixel formula (every 10th doc an exact copy of its
+    predecessor — the planted duplicates), fully decoded back
+    (header + raster parse, `multimodal/binary_ops.py::_parse_ppm`),
+    perceptual-hashed (dHash: 2×2 integer block-mean to a 9×8 grid,
+    one bit per adjacent-cell comparison), and grouped by hash — the
+    image-pipeline twin of dd1's text dedup: payloads never shuffle,
+    only (id, 64-bit hash). The oracle reproduces the hash
+    arithmetically from the same pixel formula, so a match proves the
+    encode→decode→downsample→hash chain is bit-faithful. Near-dup
+    (hamming ≤ k) escalation is dd7's banded SimHash join applied to
+    these hashes — same machinery, different modality."""
+    from .multimodal.binary_ops import image_dhash, synth_images
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = image_dhash(synth_images(d))
+    from pyspark.sql import Window as W
+
+    return hashes.select(
+        "doc_id", "dhash_bits", "ones",
+        F.count(F.lit(1)).over(W.partitionBy("dhash_bits")).alias("dup_group"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-analog windowed aggregations over events
 # ---------------------------------------------------------------------------

