@@ -154,3 +154,36 @@ def test_wav_roundtrip_and_validation(spark):
     assert len(rows) == 7
     assert all(r["frame_samples"] == 256 for r in rows)
     assert all(0 <= r["rms"] <= 32768 for r in rows)
+
+
+def test_ppm_parser_never_mis_decodes_fuzzed_bytes():
+    """Hostile-input contract for the raster parser (jl2 philosophy):
+    arbitrary byte mutations either decode to a consistent raster or
+    raise NotImplementedError — never a crash of another class, never
+    a silently wrong-sized raster."""
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    from lavasmart_bank_sync_etl_spark.multimodal.binary_ops import (
+        _parse_ppm, _ppm_bytes,
+    )
+
+    base = _ppm_bytes(np.arange(18 * 16, dtype=np.uint8).reshape(16, 18))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(base) - 1),
+        val=st.integers(min_value=0, max_value=255),
+        cut=st.integers(min_value=0, max_value=len(base)),
+    )
+    def fuzz(pos, val, cut):
+        mutated = bytearray(base[:cut])
+        if pos < len(mutated):
+            mutated[pos] = val
+        try:
+            w, h, maxval, rgb = _parse_ppm(bytes(mutated))
+        except NotImplementedError:
+            return  # the documented rejection path
+        assert rgb.shape == (h, w, 3) and maxval == 255
+
+    fuzz()
