@@ -394,3 +394,37 @@ def test_ppm_roundtrip_and_dhash_duplicates(spark):
     # doc 10 is an exact copy of doc 9 -> identical hash
     assert out[10]["dhash_bits"] == out[9]["dhash_bits"]
     assert out[1]["dhash_bits"] != out[2]["dhash_bits"]
+
+
+def test_staged_dir_writes_once_per_session(spark):
+    """The shared staging helper must run its write exactly once per
+    (session, sf_dir, tag) and hand back the same directory after."""
+    from lavasmart_bank_sync_etl_spark.queries_pipeline import _staged_dir
+
+    calls = []
+
+    def write(dest: str) -> None:
+        calls.append(dest)
+
+    a = _staged_dir(spark, "/tmp/x", "t_once", write)
+    b = _staged_dir(spark, "/tmp/x", "t_once", write)
+    c = _staged_dir(spark, "/tmp/y", "t_once", write)
+    assert a == b and len(calls) == 2 and c != a
+
+
+def test_orc_scan_prunes_columns(spark, sf_dir):
+    """The ORC read-back must project only the referenced columns at
+    the scan (ReadSchema) — the columnar contract orc1's docstring
+    claims."""
+    from lavasmart_bank_sync_etl_spark.queries_pipeline import (
+        _staged_dir, orc1_orc_roundtrip,
+    )
+
+    orc1_orc_roundtrip(spark, sf_dir)  # ensures the staged dir exists
+    from lavasmart_bank_sync_etl_spark.queries_pipeline import _STAGED_DIRS
+
+    staged = _STAGED_DIRS[(spark.sparkContext.applicationId, "orc1", sf_dir)]
+    pruned = spark.read.orc(staged).select("doc_id", "lang")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "doc_id" in rs and "lang" in rs and "text" not in rs
