@@ -70,3 +70,43 @@ def test_salted_agg_multi_agg_single_pass(spark, sf_dir):
         for r in out.collect()
     }
     assert salted == plain
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session's AQE skew-join config must actually ENGAGE on a
+    skewed shuffle join: with half the probe side on one hot key and
+    thresholds scaled to test-size data, the final adaptive plan runs
+    ``SortMergeJoin(skew=true)`` — the runtime complement to the
+    explicit salting operators (sk1/sk2) for skew AQE can fix by
+    itself. Result correctness is asserted alongside the plan marker
+    (the split must not duplicate or drop rows)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(0, 5000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        j = left.join(right, "k").select(F.substring("pad", 1, 1).alias("c"))
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # 100k hot-key matches + 2500 odd ids below 5000
+        assert len(rows) == 102_500
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
