@@ -753,3 +753,81 @@ def b2_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h60)").alias("folio_xor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TX20 — boilerplate line removal (corpus-frequency sentence filter)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tx20_boilerplate_lines",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i.i,
+             array_to_string(w[i.i * 10 + 1 : i.i * 10 + 10], ' ') AS sent
+      FROM t, (SELECT unnest(range(0, 10)) AS i) i
+      WHERE len(w) > i.i * 10
+    ),
+    boiler AS (
+      SELECT sent FROM s GROUP BY sent HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+      SELECT s.doc_id, s.i, s.sent,
+             (b.sent IS NULL) AS keep
+      FROM s LEFT JOIN boiler b ON b.sent = s.sent
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sents,
+           CAST(COUNT(*) FILTER (NOT keep) AS BIGINT) AS n_boiler,
+           md5(string_agg(CASE WHEN keep THEN sent END, ' ' ORDER BY i)) AS retained_hash,
+           ROUND(COUNT(*) FILTER (keep) / COUNT(*), 4) AS kept_ratio
+    FROM kept GROUP BY doc_id
+    """,
+)
+def tx20_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX20 — boilerplate removal by corpus frequency (the C4/CCNet
+    move): fixed 10-token sentence windows that appear in ≥2 distinct
+    documents are navigation/template noise, and every occurrence is
+    dropped from every document — frequency-based removal, distinct
+    from dd10's first-wins chunk dedup (which keeps ONE copy).
+
+    Scale shape: pass 1 aggregates (sentence-hash → distinct-doc
+    count) — only hashes shuffle; the boilerplate set is by
+    definition the head of the frequency distribution, so it stays
+    small relative to the corpus and is collapsed to ONE broadcast
+    row. Pass 2 is then a pure per-row projection: re-split, drop
+    members of the broadcast set, rebuild the retained text — zero
+    shuffle of any document text, no re-keying join for reassembly.
+    (At extreme corpus sizes the set is capped by taking only hashes
+    above the threshold — exactly the rows this aggregate emits.)
+    Output fingerprints the retained text so the full cleaned payload
+    never leaves the stage."""
+    d = read_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sents = F.transform(
+        F.sequence(F.lit(0), ((F.size(w) - 1) / 10).cast("int")),
+        lambda i: F.array_join(F.slice(w, i * 10 + 1, 10), " "),
+    )
+    s = d.select("doc_id", F.explode(sents).alias("sent"))
+    boiler_row = (
+        s.groupBy(F.md5("sent").alias("h"))
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .agg(F.array_sort(F.collect_list("h")).alias("boiler"))
+    )
+    keep = lambda x: ~F.array_contains(F.col("boiler"), F.md5(x))  # noqa: E731
+    per_doc = d.crossJoin(F.broadcast(boiler_row)).select(
+        "doc_id",
+        sents.alias("sents"),
+        F.filter(sents, keep).alias("kept"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.size("sents").cast("long").alias("n_sents"),
+        (F.size("sents") - F.size("kept")).cast("long").alias("n_boiler"),
+        F.when(F.size("kept") > 0, F.md5(F.array_join("kept", " "))).alias("retained_hash"),
+        F.round(F.size("kept") / F.size("sents"), 4).alias("kept_ratio"),
+    )

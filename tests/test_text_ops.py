@@ -191,3 +191,21 @@ def test_ngram_jaccard_cap_no_op_on_normal_corpus(spark):
     a = sorted(map(tuple, DD.ngram_jaccard_pairs(df, threshold=0.2).collect()))
     b = sorted(map(tuple, DD.ngram_jaccard_pairs(df, threshold=0.2, max_posting=10_000).collect()))
     assert a == b and a
+
+
+def test_boilerplate_removal_drops_shared_windows(spark, sf_dir):
+    """tx20 contract on the real corpus: a document whose every
+    sentence is unique keeps ratio 1.0; documents sharing a window
+    lose exactly those windows; totals reconcile."""
+    from lavasmart_bank_sync_etl_spark.queries_pipeline import tx20_boilerplate_lines
+
+    rows = {r["doc_id"]: r for r in tx20_boilerplate_lines(spark, sf_dir).collect()}
+    assert rows  # every document emits one row
+    for r in rows.values():
+        assert 0 <= r["n_boiler"] <= r["n_sents"]
+        if r["n_boiler"] == 0:
+            assert r["kept_ratio"] == 1.0 and r["retained_hash"] is not None
+        if r["n_boiler"] == r["n_sents"]:
+            assert r["retained_hash"] is None
+    # the corpus genuinely contains cross-doc repeated windows
+    assert any(r["n_boiler"] > 0 for r in rows.values())
