@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import text as T
-from .functions.vectors import cosine
 from .operators import dedup as DD
 from .operators.clustering import kmeans_assign
 from .operators.graph import dedup_clusters
