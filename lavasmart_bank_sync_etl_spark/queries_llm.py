@@ -1664,3 +1664,71 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     out = pq_adc_topk(e, e.where(F.col("vec_id") < 5), n_sub=8, n_codes=16, k=10)
     return out.select("query_id", "neighbor_id", "adc_d2", "true_d2", "rank")
+
+
+# ---------------------------------------------------------------------------
+# SS7 — ANN scorecard: recall@10 of every approximate index vs exact
+# ---------------------------------------------------------------------------
+
+from .queries import ORACLES as _ORACLES  # populated above  # noqa: E402
+
+_SS7_SQL = f"""
+    WITH ex AS ({_ORACLES['ss1_brute_force_topk']}),
+    m_lsh AS ({_ORACLES['ss2_lsh_topk']}),
+    m_ivf AS ({_ORACLES['ss3_ivf_topk']}),
+    m_pq AS ({_ORACLES['ss6_pq_adc_topk']}),
+    tn AS (SELECT COUNT(*) AS truth_n FROM ex),
+    rates AS (
+      SELECT 'brute' AS method, COUNT(*) AS hits FROM ex
+      UNION ALL
+      SELECT 'lsh', COUNT(*) FROM ex JOIN m_lsh USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'ivf', COUNT(*) FROM ex JOIN m_ivf USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'pq', COUNT(*) FROM ex JOIN m_pq USING (query_id, neighbor_id)
+    )
+    SELECT method, hits, truth_n,
+           CAST((hits * 10000) // truth_n AS BIGINT) AS recall_bp
+    FROM rates, tn
+"""
+
+
+@query("ss7_ann_recall_scorecard", _SS7_SQL)
+def ss7_ann_recall_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS7 — the ANN family's quality scorecard: recall@10 of each
+    approximate index (LSH buckets, IVF probes, PQ+ADC) against the
+    exact brute-force top-10, as exact integer basis points — dd14's
+    measure-the-sketch discipline applied to vector search. This is
+    the number that justifies each index's pruning at 100 TB (and the
+    regression alarm if a parameter change silently tanks recall).
+    At this corpus's deliberately lean parameters (4 hyperplanes,
+    nprobe 4 of 16 cells, 16-entry sampling codebook) the measured
+    recalls sit mid-range — the knobs that raise them (fewer planes,
+    more probes, k-means codebook) each buy recall with candidate
+    count, and this query is where that trade is measured rather
+    than asserted.
+    The four result sets are computed once per session and persisted
+    (`_shared_persist`) — the scorecard reads them, it does not
+    re-run the pipelines on re-invocation."""
+    from .queries import QUERIES as _QUERIES
+
+    def result(name: str) -> DataFrame:
+        return _shared_persist(
+            spark, ("ss7_src", name, sf_dir),
+            lambda: _QUERIES[name](spark, sf_dir).select("query_id", "neighbor_id"),
+        )
+
+    truth = result("ss1_brute_force_topk")
+    truth_n = truth.count()  # tiny (queries × k); a literal in both plans
+    rows = []
+    for method, qname in [
+        ("brute", "ss1_brute_force_topk"),
+        ("lsh", "ss2_lsh_topk"),
+        ("ivf", "ss3_ivf_topk"),
+        ("pq", "ss6_pq_adc_topk"),
+    ]:
+        hits = truth.join(result(qname), ["query_id", "neighbor_id"]).count()
+        rows.append((method, hits, truth_n, hits * 10000 // truth_n))
+    return spark.createDataFrame(
+        rows, "method string, hits long, truth_n long, recall_bp long"
+    )

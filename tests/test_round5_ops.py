@@ -428,3 +428,20 @@ def test_orc_scan_prunes_columns(spark, sf_dir):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     rs = plan.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "doc_id" in rs and "lang" in rs and "text" not in rs
+
+
+def test_ann_scorecard_brute_is_perfect_and_rates_bounded(spark, sf_dir):
+    """ss7 sanity: the brute-force control always scores 10000 bp
+    against itself, every approximate method lands in [0, 10000], and
+    hits never exceed the truth size."""
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+
+    rows = {
+        r["method"]: r
+        for r in QUERIES["ss7_ann_recall_scorecard"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"brute", "lsh", "ivf", "pq"}
+    assert rows["brute"]["recall_bp"] == 10000
+    for r in rows.values():
+        assert 0 <= r["hits"] <= r["truth_n"]
+        assert 0 <= r["recall_bp"] <= 10000
