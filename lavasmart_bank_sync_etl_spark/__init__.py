@@ -15,3 +15,17 @@ Design tenets (SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# Query-registry population: importing these modules registers every
+# driver-facing query in queries.QUERIES/ORACLES. They are imported
+# HERE (not at the bottom of queries.py) because the package __init__
+# always completes a submodule import before the requesting module
+# resumes — so entering the package through any query module (e.g.
+# `import lavasmart_bank_sync_etl_spark.queries_llm`) can never
+# observe a partially-initialized sibling.
+from . import queries  # noqa: E402,F401
+from . import queries_merge  # noqa: E402,F401
+from . import queries_llm  # noqa: E402,F401
+from . import queries_pipeline  # noqa: E402,F401
+from . import queries_warehouse  # noqa: E402,F401
+from . import queries_curation  # noqa: E402,F401

@@ -414,9 +414,11 @@ def w1_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Import side-effect registrations from operator-specific query modules.
-from . import queries_merge  # noqa: E402,F401
-from . import queries_llm  # noqa: E402,F401
-from . import queries_pipeline  # noqa: E402,F401
-from . import queries_warehouse  # noqa: E402,F401
-from . import queries_curation  # noqa: E402,F401
+# Registration side-effects come from the operator-specific query
+# modules, imported by the package __init__ (which ALWAYS runs before
+# any submodule import completes). Re-importing them here as well
+# used to create a partial-module window: entering the package via
+# `import ….queries_llm` ran this cascade while queries_llm was still
+# mid-initialization, so queries_pipeline/queries_curation read
+# half-built constants from it. __init__'s single ordered import list
+# is the one registration path.

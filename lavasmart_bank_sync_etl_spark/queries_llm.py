@@ -19,20 +19,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import text as T
-from .operators import dedup as DD
-from .operators.similarity import (
-    brute_force_topk, embedding_near_dup, ivf_topk, lsh_topk, pq_adc_topk,
-)
-from .multimodal.binary_ops import (
-    attach_payload, audio_frame_energy, decode_features, resize_images,
-    sample_frames, synth_audio,
-)
-from .queries import query
-from .sources.tables import read_table
-
 # ---------------------------------------------------------------------------
-# Shared SQL fragments (DuckDB) mirroring functions/text.py exactly
+# Shared SQL fragments (DuckDB) mirroring functions/text.py exactly.
+# Defined BEFORE any intra-package import: importing .queries below
+# cascades through every query module (queries.py populates the
+# registry at its bottom), and queries_pipeline reads NORM_SQL /
+# SHINGLES_SQL from this module while it is still partially
+# initialized — the constants must already exist at that point.
 # ---------------------------------------------------------------------------
 
 NORM_SQL = (
@@ -41,6 +34,25 @@ NORM_SQL = (
 )
 
 HASH64_SQL = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+SHINGLES_SQL = f"""
+CASE WHEN len(string_split({NORM_SQL}, ' ')) >= 3
+     THEN list_distinct(list_transform(range(0, len(string_split({NORM_SQL}, ' ')) - 2),
+          i -> array_to_string((string_split({NORM_SQL}, ' '))[i+1:i+3], ' ')))
+     ELSE [{NORM_SQL}] END
+"""
+
+from .functions import text as T  # noqa: E402
+from .operators import dedup as DD  # noqa: E402
+from .operators.similarity import (  # noqa: E402
+    brute_force_topk, embedding_near_dup, ivf_topk, lsh_topk, pq_adc_topk,
+)
+from .multimodal.binary_ops import (  # noqa: E402
+    attach_payload, audio_frame_energy, decode_features, resize_images,
+    sample_frames, synth_audio,
+)
+from .queries import query  # noqa: E402
+from .sources.tables import read_table  # noqa: E402
 
 #: st6 gold dirs pending deletion — they back lazily-returned
 #: DataFrames (any of which may still be un-collected), so all are
@@ -55,13 +67,6 @@ _STREAM_SINKS: dict[tuple, str] = {}
 atexit.register(
     lambda: [_shutil.rmtree(d, ignore_errors=True) for d in _ST6_GOLD_DIRS]
 )
-
-SHINGLES_SQL = f"""
-CASE WHEN len(string_split({NORM_SQL}, ' ')) >= 3
-     THEN list_distinct(list_transform(range(0, len(string_split({NORM_SQL}, ' ')) - 2),
-          i -> array_to_string((string_split({NORM_SQL}, ' '))[i+1:i+3], ' ')))
-     ELSE [{NORM_SQL}] END
-"""
 
 MARKER_SQL = {
     "en": "['the','a','of','and','is']",
