@@ -83,3 +83,28 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # engine's warehouse pins explicit StructTypes at read (sources/warehouse.py)
     from lavasmart_bank_sync_etl_spark.sources.warehouse import ALL_TABLES
     assert all(len(s.fields) > 0 for s in ALL_TABLES.values())
+
+
+def test_any_query_module_is_a_safe_first_import():
+    """Entering the package through ANY query module must fully
+    populate the registry — the partial-module window (queries.py's
+    old bottom imports cascading while queries_llm was
+    half-initialized) must not come back. Subprocesses give each
+    candidate a genuinely fresh interpreter."""
+    import subprocess
+    import sys
+
+    mods = [
+        "queries", "queries_merge", "queries_llm",
+        "queries_pipeline", "queries_warehouse", "queries_curation",
+    ]
+    for mod in mods:
+        code = (
+            f"import lavasmart_bank_sync_etl_spark.{mod}\n"
+            "from lavasmart_bank_sync_etl_spark.queries import QUERIES\n"
+            "assert len(QUERIES) >= 117, len(QUERIES)\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+        )
+        assert proc.returncode == 0, f"{mod}-first import failed:\n{proc.stderr[-2000:]}"
