@@ -353,3 +353,36 @@ def test_merge_on_read_broadcasts_delta_keys(q):
     plan = q("t9_merge_on_read")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_windows_share_one_user_exchange(q):
+    """ev4: the lag window, the running sum, and the per-session
+    aggregate must all ride ONE (user)-keyed exchange on top of the
+    tie-collapse aggregate's (user, ts) exchange — exactly two
+    exchanges total, no per-window re-shuffle."""
+    import re
+    plan = q("ev4_batch_sessionization")
+    keys = re.findall(r"Arguments: hashpartitioning\(([^)]*?), \d+\)", plan)
+    assert len(keys) == 2, keys
+    assert plan.count(") Window") == 2
+
+
+def test_boilerplate_shuffles_never_carry_sentence_text(q):
+    """tx20: every exchange partitions on hash/id columns only — the
+    sentence strings (and document text) stay inside their scan
+    stage; the cleaned-text rebuild is a projection, not a join."""
+    import re
+    plan = q("tx20_boilerplate_lines")
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "sent#" not in args and "text#" not in args, args
+    assert "SortMergeJoin" not in plan
+
+
+def test_streaks_ride_one_user_exchange_after_distinct(q):
+    """w4: DISTINCT (user, day) pays its own exchange; the island
+    window and the streak aggregate then share a single (user)-keyed
+    exchange — two total."""
+    import re
+    plan = q("w4_activity_streaks")
+    keys = re.findall(r"Arguments: hashpartitioning\(([^)]*?), \d+\)", plan)
+    assert len(keys) == 2, keys
