@@ -1267,3 +1267,68 @@ def t9_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(h60)").alias("folio_xor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W5 — cumulative distinct users (running distinct via first-seen)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w5_cumulative_unique_users",
+    """
+    WITH act AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    daily AS (
+      SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY day
+    ),
+    fs AS (
+      SELECT user_id, MIN(day) AS first_day FROM act GROUP BY user_id
+    ),
+    newu AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY first_day
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           d.dau,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+             ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+    FROM daily d LEFT JOIN newu n USING (day)
+    """,
+)
+def w5_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 — the growth-dashboard primitive: per day, active users
+    (DAU), first-time users, and the CUMULATIVE distinct-user count.
+    The naive running distinct (COUNT(DISTINCT) over an expanding
+    window) cannot partial-aggregate — every day would re-scan all
+    history. The scalable identity: cumulative distinct at day d =
+    running SUM of first-seen counts ≤ d, so the whole curve costs
+    one per-user MIN, one tiny per-day aggregate, and a running sum
+    over the (small) day axis — each partial-aggregating map-side;
+    the single-partition window runs over one row per day, never per
+    event. ev2's cohort matrix shares the first-seen building block;
+    this query is its cumulative-curve complement."""
+    act = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = act.groupBy("day").agg(F.count_distinct("user_id").alias("dau"))
+    newu = (
+        act.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(newu, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w).cast("long"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau", "new_users", "cumulative_users",
+        )
+    )

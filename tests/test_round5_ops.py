@@ -445,3 +445,37 @@ def test_ann_scorecard_brute_is_perfect_and_rates_bounded(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r["hits"] <= r["truth_n"]
         assert 0 <= r["recall_bp"] <= 10000
+
+
+def test_cumulative_users_first_seen_identity(spark):
+    """w5's scalable identity on a handcrafted log: cumulative
+    distinct equals the running sum of first-seen counts; returning
+    users raise DAU but not new_users or the cumulative curve."""
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import (
+        w5_cumulative_unique_users,  # noqa: F401 — registered via QUERIES
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 09:00:00"), (2, "2024-01-01 10:00:00"),
+        (1, "2024-01-02 09:00:00"),                    # returning only
+        (3, "2024-01-03 09:00:00"), (1, "2024-01-03 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.lit(0).alias("event_id"), F.lit("click").alias("event_type"),
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    )
+    import tempfile
+    d = tempfile.mkdtemp(prefix="w5_test_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r["day"]: (r["dau"], r["new_users"], r["cumulative_users"])
+        for r in QUERIES["w5_cumulative_unique_users"](spark, d).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2, 2),
+        "2024-01-02": (1, 0, 2),
+        "2024-01-03": (2, 1, 3),
+    }
