@@ -203,13 +203,24 @@ class SyncJob:
         wh = self.wh
         now = F.current_timestamp()
 
-        # ⓪ A4 counts — cheap single passes over the scratch-backed plan
-        summary_rows = classified.groupBy("action").count().collect()
-        counts: dict[str, int] = {r["action"]: r["count"] for r in summary_rows}
-        counts["conflicts"] = conflicts.count()
-        counts["auto_moves"] = auto_moves.count()
-        counts["deletions_detected"] = deletions.count()
-        counts["duplicates"] = dups.count()
+        # ⓪ A4 counts — ONE driver action: the per-action groupBy and the
+        #    four side-output counts union into a single labeled-count
+        #    plan over the scratch-backed inputs (5 collect/count jobs
+        #    would re-launch scheduling overhead per sync run for no
+        #    benefit — everything reads already-materialized scratch)
+        def _cnt(df: DataFrame, label: str) -> DataFrame:
+            return df.agg(F.count(F.lit(1)).alias("count")).select(
+                F.lit(label).alias("action"), "count"
+            )
+
+        summary = (
+            classified.groupBy("action").count()
+            .unionByName(_cnt(conflicts, "conflicts"))
+            .unionByName(_cnt(auto_moves, "auto_moves"))
+            .unionByName(_cnt(deletions, "deletions_detected"))
+            .unionByName(_cnt(dups, "duplicates"))
+        )
+        counts: dict[str, int] = {r["action"]: r["count"] for r in summary.collect()}
 
         # ① review-queue append for conflicted moves (S6; Code.gs:1422-1437).
         #    The parked row carries the destination's ACTUAL human work —

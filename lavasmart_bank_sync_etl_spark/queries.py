@@ -35,6 +35,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Single source of truth for "how many queries are registered" — tests
+# and docs assert EQUALITY against this so a silently dropped
+# registration fails loudly instead of slipping under a >= bound.
+EXPECTED_QUERY_COUNT = 120
+
 
 def query(name: str, oracle: str | None = None):
     """Register a driver-facing query; ``oracle`` is DuckDB SQL over the

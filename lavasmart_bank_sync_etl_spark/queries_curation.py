@@ -659,6 +659,9 @@ def tx16_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tx17 — bigram LM scoring (perplexity-style quality filter)
 # ---------------------------------------------------------------------------
 
+_TX17_B = 10007  # hashed-LM buckets: fixed, so both count tables broadcast
+
+
 @query(
     "tx17_bigram_lm_score",
     f"""
@@ -667,17 +670,21 @@ def tx16_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE {NORM_SQL} <> ''
     ),
     bg AS (
-      SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1, toks[CAST(i AS INTEGER) + 1] AS w2
+      SELECT doc_id,
+             {HASH64_SQL.format(expr="'1|' || toks[CAST(i AS INTEGER)]")}
+               % {_TX17_B} AS b1,
+             {HASH64_SQL.format(
+                 expr="'2|' || toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1]"
+             )} % {_TX17_B} AS b2
       FROM w, UNNEST(range(1, len(toks))) AS t(i)
     ),
-    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
-    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
-    v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM c1),
+    c2 AS (SELECT b2, COUNT(*) AS n2 FROM bg GROUP BY b2),
+    c1 AS (SELECT b1, COUNT(*) AS n1 FROM bg GROUP BY b1),
     scored AS (
       SELECT bg.doc_id,
-             CAST(round(round(ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)), 4) * 10000)
+             CAST(round(round(ln((c2.n2 + 1.0) / (c1.n1 + {_TX17_B})), 4) * 10000)
                   AS BIGINT) AS fx
-      FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      FROM bg JOIN c2 USING (b2) JOIN c1 USING (b1)
     )
     SELECT doc_id, COUNT(*) AS n_bigrams,
            ROUND(SUM(fx) / 10000.0 / COUNT(*), 4) AS avg_logprob
@@ -688,12 +695,20 @@ def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tx17 — bigram language-model scoring: train add-one-smoothed
     bigram stats ON the corpus itself, then score each document by its
     mean bigram log-probability — the cheap perplexity-style filter
-    (KenLM-shaped) that flags token salad and degenerate text. Two
-    hash aggregates build the LM; scoring joins the bigram stream
-    against it on (w1, w2) — at 100 TB the LM for a capped vocab
-    broadcasts and scoring stays map-side. Cross-engine determinism:
-    each log-prob is rounded to 4dp, then summed in integer
-    fixed-point, so shuffle order cannot move the mean."""
+    (KenLM-shaped) that flags token salad and degenerate text.
+
+    Scale design (tx18's hashed-feature shape): bigrams and their
+    unigram contexts hash into a FIXED 10007 buckets (seeds 2/1 of
+    the shared md5 hash), so both LM count tables are ≤10007 rows
+    and BROADCAST — scoring is map-side over the bigram stream, no
+    shuffle of the Zipf-tailed vocabulary (plan-pinned in
+    ``tests/test_plans.py::test_tx17_lm_joins_broadcast``). Smoothing
+    adds the bucket count (the hashed vocabulary size) to each
+    context count, the standard add-one form under feature hashing.
+    Corpus-sized work: the two bucket-count hash aggregates, both
+    map-side partial into ≤10007 groups. Cross-engine
+    determinism: each log-prob is rounded to 4dp, then summed in
+    integer fixed-point, so shuffle order cannot move the mean."""
     d = read_table(spark, sf_dir, "documents")
     norm = DD.normalized_text("text")
     w = d.select("doc_id", norm.alias("_n")).where(F.col("_n") != "").select(
@@ -701,26 +716,29 @@ def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = w.select(
         "doc_id",
-        F.posexplode(
+        F.explode(
             F.when(
                 F.size("toks") >= 2,
                 F.zip_with(
                     F.slice("toks", 1, F.size("toks") - 1),
                     F.slice("toks", 2, F.size("toks") - 1),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                    lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("w12")),
                 ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("_i", "p"),
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
-    v = c1.agg(F.count_distinct("w1").alias("vocab"))
+            ).otherwise(F.array().cast("array<struct<w1:string,w12:string>>"))
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.pmod(DD._hash64(F.col("p.w1"), 1), F.lit(_TX17_B)).alias("b1"),
+        F.pmod(DD._hash64(F.col("p.w12"), 2), F.lit(_TX17_B)).alias("b2"),
+    )
+    c2 = bg.groupBy("b2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("b1").agg(F.count(F.lit(1)).alias("n1"))
     scored = (
-        bg.join(c2, ["w1", "w2"]).join(c1, "w1").crossJoin(F.broadcast(v))
+        bg.join(F.broadcast(c2), "b2").join(F.broadcast(c1), "b1")
         .select(
             "doc_id",
             F.round(
-                F.round(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("vocab"))), 4)
+                F.round(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.lit(_TX17_B))), 4)
                 * 10000
             ).cast("long").alias("fx"),
         )

@@ -21,11 +21,11 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB) mirroring functions/text.py exactly.
-# Defined BEFORE any intra-package import: importing .queries below
-# cascades through every query module (queries.py populates the
-# registry at its bottom), and queries_pipeline reads NORM_SQL /
-# SHINGLES_SQL from this module while it is still partially
-# initialized — the constants must already exist at that point.
+# Defined BEFORE any intra-package import: the package __init__ imports
+# the query modules in order (queries_llm completes before
+# queries_pipeline starts), and queries_pipeline reads NORM_SQL /
+# SHINGLES_SQL from this module at its own import time — the constants
+# must exist before anything below can trigger that sibling import.
 # ---------------------------------------------------------------------------
 
 NORM_SQL = (

@@ -491,3 +491,91 @@ def t1_lookback_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("monto"), 2).alias("total"))
         .select(F.col("sale_date").cast("string").alias("sale_date_iso"), "n", "total")
     )
+
+
+# ---------------------------------------------------------------------------
+# A11 — daily reconciliation variance (the xlsx `totales` sheet's job)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a11_daily_recon_variance",
+    merge_cte(
+        """
+        , t AS (
+          SELECT sale_date AS dia,
+                 SUM(CAST(round(monto * 100) AS BIGINT)) AS t_cents,
+                 COUNT(*) AS n_transfers
+          FROM sales WHERE metodo = 'TRANSFERENCIA' GROUP BY sale_date
+        ),
+        b AS (
+          SELECT dia,
+                 SUM(CAST(round(abono * 100) AS BIGINT)) AS b_cents,
+                 COUNT(*) AS n_bank_movs
+          FROM (SELECT sale_date + CAST((CAST(folio AS BIGINT) % 5) - 2 AS INTEGER) AS dia,
+                       monto + CASE WHEN CAST(folio AS BIGINT) % 7 = 0
+                                    THEN 0.004 ELSE 0.0 END AS abono
+                FROM sales WHERE CAST(folio AS BIGINT) % 3 = 0)
+          GROUP BY dia
+        )
+        SELECT CAST(COALESCE(t.dia, b.dia) AS VARCHAR) AS dia_iso,
+               COALESCE(t.t_cents, 0) / 100.0 AS transfers_total,
+               CAST(COALESCE(t.n_transfers, 0) AS BIGINT) AS n_transfers,
+               COALESCE(b.b_cents, 0) / 100.0 AS bank_total,
+               CAST(COALESCE(b.n_bank_movs, 0) AS BIGINT) AS n_bank_movs,
+               (COALESCE(t.t_cents, 0) - COALESCE(b.b_cents, 0)) / 100.0 AS variance
+        FROM t FULL OUTER JOIN b ON t.dia = b.dia
+        """
+    ),
+)
+def a11_daily_recon_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — the per-day bank-vs-transfers reconciliation view: the
+    xlsx ``totales`` sheet pairs a per-day SUMIFS over
+    Conciliacion_Transferencias with the per-day ``Banco`` column and
+    humans read the delta (sheet 7, 396 rows; SURVEY §1.3). Here the
+    transfer side is the classified sales view summed per day and the
+    bank side is j5's deterministic statement synthesis summed per
+    day; a full-outer join on the day keeps days that exist on only
+    one side (exactly where reconciliation breaks), variance =
+    transfers − bank.
+
+    Scale: two map-side-partial aggregates collapse both fact streams
+    to at-most-one-row-per-day BEFORE the join, so the full-outer join
+    is over day-cardinality inputs (tiny at any corpus size) — never a
+    row-level fact-to-fact join. Determinism: both sides sum integer
+    cents (fixed-point) and divide once at the end, so double
+    summation order cannot move any total."""
+    s = sales_view(spark, sf_dir)
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    t = (
+        s.where(F.col("metodo") == "TRANSFERENCIA")
+        .groupBy(F.col("sale_date").alias("t_dia"))
+        .agg(
+            F.sum(cents("monto")).alias("t_cents"),
+            F.count(F.lit(1)).alias("n_transfers"),
+        )
+    )
+    k = F.col("folio").cast("long")
+    b = (
+        s.where(k % 3 == 0)
+        .select(
+            F.date_add(F.col("sale_date"), ((k % 5) - 2).cast("int")).alias("b_dia"),
+            (F.col("monto") + F.when(k % 7 == 0, 0.004).otherwise(0.0)).alias("abono"),
+        )
+        .groupBy("b_dia")
+        .agg(
+            F.sum(cents("abono")).alias("b_cents"),
+            F.count(F.lit(1)).alias("n_bank_movs"),
+        )
+    )
+    j = t.join(b, t["t_dia"] == b["b_dia"], "full_outer")
+    zero = F.lit(0).cast("long")
+    t_cents = F.coalesce(F.col("t_cents"), zero)
+    b_cents = F.coalesce(F.col("b_cents"), zero)
+    return j.select(
+        F.coalesce(F.col("t_dia"), F.col("b_dia")).cast("string").alias("dia_iso"),
+        (t_cents / 100.0).alias("transfers_total"),
+        F.coalesce(F.col("n_transfers"), zero).alias("n_transfers"),
+        (b_cents / 100.0).alias("bank_total"),
+        F.coalesce(F.col("n_bank_movs"), zero).alias("n_bank_movs"),
+        ((t_cents - b_cents) / 100.0).alias("variance"),
+    )

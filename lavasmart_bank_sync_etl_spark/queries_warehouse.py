@@ -1093,11 +1093,14 @@ def binned_preceding_join(
     ``(cuser, cts)`` of the same user strictly before it and within
     ``window_us`` microseconds, via bin-replicated equi-join (see
     j10_binned_interval_join for the scale rationale)."""
+    # floor, not truncate-toward-zero: a pre-1970 timestamp has negative
+    # microseconds, and truncation would fold -1µs and +1µs into bin 0,
+    # breaking the same-or-next-bin pairing invariant.
     err = targets.withColumn(
-        "bin", (F.unix_micros("ets") / F.lit(window_us)).cast("long")
+        "bin", F.floor(F.unix_micros("ets") / F.lit(window_us)).cast("long")
     )
     clk = sources.withColumn(
-        "cbin0", (F.unix_micros("cts") / F.lit(window_us)).cast("long")
+        "cbin0", F.floor(F.unix_micros("cts") / F.lit(window_us)).cast("long")
     ).select(
         "cuser", "cts",
         F.explode(F.array(F.col("cbin0"), F.col("cbin0") + 1)).alias("cbin"),

@@ -59,6 +59,14 @@ ALL_TABLES: dict[str, StructType] = {
 #: S9 — legacy rename migration (Code.gs:247-258).
 LEGACY_RENAMES = {"conciliacion_bancaria": "transfers"}
 
+#: S9's sibling: the older 5-col audit-log v1 shape the shipped xlsx
+#: still carries (Timestamp, Folio, Campo Modificado, Valor Anterior,
+#: Valor Nuevo — SURVEY §1.3 note). Detected by column set, widened to
+#: the canonical 6-col schema (+run_id) on migrate.
+AUDIT_V1_COLUMNS = frozenset(
+    {"ts", "folio", "campo_modificado", "valor_anterior", "valor_nuevo"}
+)
+
 _CURRENT = "_CURRENT"
 
 
@@ -113,10 +121,30 @@ class Warehouse:
 
     # -- DDL -----------------------------------------------------------
     def migrate_legacy(self) -> None:
-        """S9 — one-shot rename of legacy table directories."""
+        """S9 — one-shot rename of legacy table directories, plus the
+        v1→v2 audit-log widening (a v1 row records one field-level
+        update, so it becomes an ACTUALIZACIÓN whose detalle names the
+        modified field; run_id null — pre-engine history carries no
+        idempotence stamp). Both are idempotent: a canonical-shaped
+        audit table passes through untouched."""
         for old, new in LEGACY_RENAMES.items():
             if os.path.isdir(self.path(old)) and not self.exists(new):
                 os.rename(self.path(old), self.path(new))
+        if not self.exists("audit_log"):
+            return
+        current = self.spark.read.parquet(self._data_path("audit_log"))
+        if set(current.columns) != AUDIT_V1_COLUMNS:
+            return
+        widened = current.select(
+            F.col("ts"),
+            F.col("folio"),
+            F.lit("ACTUALIZACIÓN").alias("accion"),
+            F.col("campo_modificado").alias("detalle"),
+            F.col("valor_anterior").alias("valores_anteriores"),
+            F.col("valor_nuevo").alias("valores_nuevos"),
+            F.lit(None).cast("string").alias("run_id"),
+        )
+        self.rewrite("audit_log", widened)
 
     def ensure(self, table: str) -> None:
         """S7 — create-if-missing with the canonical schema

@@ -101,8 +101,9 @@ def test_any_query_module_is_a_safe_first_import():
     for mod in mods:
         code = (
             f"import lavasmart_bank_sync_etl_spark.{mod}\n"
-            "from lavasmart_bank_sync_etl_spark.queries import QUERIES\n"
-            "assert len(QUERIES) >= 117, len(QUERIES)\n"
+            "from lavasmart_bank_sync_etl_spark.queries import ("
+            "QUERIES, EXPECTED_QUERY_COUNT)\n"
+            "assert len(QUERIES) == EXPECTED_QUERY_COUNT, len(QUERIES)\n"
         )
         proc = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=120

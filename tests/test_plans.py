@@ -386,3 +386,18 @@ def test_streaks_ride_one_user_exchange_after_distinct(q):
     plan = q("w4_activity_streaks")
     keys = re.findall(r"Arguments: hashpartitioning\(([^)]*?), \d+\)", plan)
     assert len(keys) == 2, keys
+
+
+def test_tx17_lm_joins_broadcast(q):
+    """tx17: both hashed-LM count tables (≤10007 rows each) broadcast
+    into the scoring joins — the Zipf-tailed bigram stream is never
+    shuffled on vocabulary keys, only the two fixed-bucket aggregates
+    exchange."""
+    import re
+    plan = q("tx17_bigram_lm_score")
+    # formatted explain lists each node twice (tree + "(N) Op" detail);
+    # count the detail entries for an exact node count
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "w1#" not in args and "w12#" not in args and "text#" not in args, args

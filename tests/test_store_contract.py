@@ -98,3 +98,40 @@ def test_catalog_rewrite_crash_leaves_recoverable_state(spark, tmp_path):
     recovered = store.read("audit_log")  # read -> ensure -> recovery
     assert recovered.count() == 3
     assert not spark.catalog.tableExists(f"{target}__old")
+
+
+def test_migrate_legacy_widens_v1_audit(spark, tmp_path):
+    """S9 sibling: a warehouse whose audit_log still has the older
+    5-col shape (the shipped xlsx's Bitácora_Cambios v1 — SURVEY §1.3)
+    is widened to the canonical 6-col schema on migrate_legacy();
+    a canonical table passes through untouched (idempotence)."""
+    import datetime as dt
+    import os
+
+    root = str(tmp_path / "store")
+    legacy_dir = os.path.join(root, "audit_log")
+    v1 = spark.createDataFrame(
+        [(dt.datetime(2025, 11, 23, 22, 34, 28), "0-18758", "Banco", "", "SCOTIABANK")],
+        "ts timestamp, folio string, campo_modificado string, "
+        "valor_anterior string, valor_nuevo string",
+    )
+    v1.write.mode("overwrite").parquet(legacy_dir)
+
+    wh = Warehouse(spark, root)
+    wh.migrate_legacy()
+    out = wh.read("audit_log")
+    assert [f.name for f in out.schema.fields] == [
+        "ts", "folio", "accion", "detalle",
+        "valores_anteriores", "valores_nuevos", "run_id",
+    ]
+    row = out.collect()[0]
+    assert row["accion"] == "ACTUALIZACIÓN"
+    assert row["detalle"] == "Banco"
+    assert row["valores_nuevos"] == "SCOTIABANK"
+    assert row["run_id"] is None
+
+    # idempotent: a second migrate leaves the widened state alone
+    before = wh.current_version("audit_log")
+    wh.migrate_legacy()
+    assert wh.current_version("audit_log") == before
+    assert wh.read("audit_log").count() == 1

@@ -1,0 +1,222 @@
+"""XLSX ingest/egress (sources/xlsx.py): golden assertions against the
+SHIPPED reference workbook — the reference's acceptance data
+(requerimientos.md:184) — plus writer↔reader roundtrip properties and
+the v1→v2 audit-log widening migration."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lavasmart_bank_sync_etl_spark.sources.xlsx import (
+    coerce_checkbox_py,
+    extract_tables,
+    read_workbook,
+    serial_to_datetime,
+    stage_workbook,
+    widen_audit_v1,
+    write_workbook,
+)
+
+WORKBOOK = "/root/reference/Hoja de conciliación de movimientos bancarios.xlsx"
+
+needs_workbook = pytest.mark.skipif(
+    not os.path.exists(WORKBOOK), reason="reference workbook not present"
+)
+
+
+# ---------------------------------------------------------------------------
+# golden: the shipped workbook
+# ---------------------------------------------------------------------------
+
+@needs_workbook
+def test_shipped_workbook_sheets_and_headers():
+    book = read_workbook(WORKBOOK)
+    assert set(book) == {
+        "Conciliacion_Transferencias", "Banco", "cat", "Conciliacion_Tarjetas",
+        "Cierres_Lotes", "📢 Bitácora_Hallazgos", "totales", "📝 Bitácora_Cambios",
+    }
+    assert book["Conciliacion_Transferencias"][0][:6] == [
+        "Fecha", "Folio", "Cliente", "Servicio (s)", "Banco", "Monto",
+    ]
+    assert book["totales"][0] == ["Fecha", "Transferencia", "Banco"]
+    # older 5-col audit v1 variant (SURVEY §1.3 note); the grid itself
+    # is padded one column wider by a stray cell in a data row
+    assert book["📝 Bitácora_Cambios"][0][:5] == [
+        "Timestamp", "Folio", "Campo Modificado", "Valor Anterior", "Valor Nuevo",
+    ]
+
+
+@needs_workbook
+def test_shipped_workbook_extracted_row_counts():
+    """Non-empty data rows per staged table (blank styled rows in the
+    sheet grid don't count — the reference reads data rows only,
+    Code.gs:716 / requerimientos.md:73)."""
+    t = extract_tables(WORKBOOK)
+    assert len(t["transfers"]) == 129
+    assert len(t["cards"]) == 40
+    assert len(t["bank_statement"]) == 768
+    assert len(t["daily_totals"]) == 396
+    assert len(t["audit_log"]) == 48
+
+
+@needs_workbook
+def test_shipped_workbook_typed_values():
+    t = extract_tables(WORKBOOK)
+    first = t["transfers"][0]
+    assert first["folio"] == "0-18592"
+    assert first["fecha"] == dt.date(2025, 11, 16)
+    assert first["monto"] == 900.0
+    assert first["conciliado"] is True
+    card = t["cards"][0]
+    # 'SI'/1-style checkbox variants coerce to real booleans
+    assert isinstance(card["recibo"], bool)
+    # numeric lot cells read back as clean strings, not '14.0'
+    assert card["lote"] == "14"
+    bank = t["bank_statement"][0]
+    assert bank["abono"] == 900.0 and bank["cargo"] is None
+    assert t["daily_totals"][0]["fecha"] == dt.date(2025, 1, 1)
+
+
+@needs_workbook
+def test_shipped_workbook_audit_v1_widened():
+    rows = extract_tables(WORKBOOK)["audit_log"]
+    first = rows[0]
+    assert set(first) == {
+        "ts", "folio", "accion", "detalle",
+        "valores_anteriores", "valores_nuevos", "run_id",
+    }
+    assert first["accion"] == "ACTUALIZACIÓN"
+    assert isinstance(first["ts"], dt.datetime)
+    assert first["run_id"] is None
+
+
+@needs_workbook
+def test_stage_workbook_lands_typed_parquet(spark, tmp_path):
+    paths = stage_workbook(spark, WORKBOOK, str(tmp_path))
+    assert set(paths) == {
+        "transfers", "cards", "bank_statement", "daily_totals", "audit_log",
+    }
+    transfers = spark.read.parquet(paths["transfers"])
+    assert transfers.count() == 129
+    assert dict(transfers.dtypes)["fecha"] == "date"
+    assert dict(transfers.dtypes)["conciliado"] == "boolean"
+    audit = spark.read.parquet(paths["audit_log"])
+    assert audit.count() == 48
+    assert [f.name for f in audit.schema.fields] == [
+        "ts", "folio", "accion", "detalle",
+        "valores_anteriores", "valores_nuevos", "run_id",
+    ]
+    # staged daily_totals reproduces the totales sheet's per-day pairing
+    totals = spark.read.parquet(paths["daily_totals"])
+    assert totals.count() == 396
+
+
+# ---------------------------------------------------------------------------
+# writer ↔ reader roundtrip
+# ---------------------------------------------------------------------------
+
+def test_roundtrip_typed_cells(tmp_path):
+    p = str(tmp_path / "rt.xlsx")
+    rows = [
+        ["s", "n", "d", "ts", "b", "neg"],
+        ['a<&>" b ', 12.5, dt.date(2024, 2, 29),
+         dt.datetime(2024, 1, 2, 3, 4, 5), True, -3],
+        [" leading and trailing  ", 0, dt.date(1999, 12, 31),
+         dt.datetime(2025, 11, 16, 1, 0, 0), False, -0.25],
+        [None, None, None, None, None, None],
+        ["last", 1, dt.date(2026, 1, 1), dt.datetime(2026, 1, 1), True, 7],
+    ]
+    write_workbook(p, {"Sheet One": rows, "Other": [["x"], [42]]})
+    book = read_workbook(p)
+    assert book["Sheet One"] == rows
+    assert book["Other"] == [["x"], [42]]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(),
+                st.booleans(),
+                st.integers(min_value=-10**12, max_value=10**12),
+                st.floats(allow_nan=False, allow_infinity=False, width=32),
+                # XML 1.0 cannot carry C0 controls and parsers
+                # normalize \r — printable-only strings roundtrip exactly
+                st.text(
+                    alphabet=st.characters(min_codepoint=0x20),
+                    max_size=40,
+                ),
+                st.dates(min_value=dt.date(1901, 1, 1), max_value=dt.date(2200, 1, 1)),
+            ),
+            min_size=1, max_size=6,
+        ),
+        min_size=1, max_size=8,
+    )
+)
+def test_roundtrip_property(tmp_path_factory, rows):
+    width = max(len(r) for r in rows)
+    rows = [r + [None] * (width - len(r)) for r in rows]
+    # the reader trims trailing all-empty rows by contract
+    while rows and not any(v is not None and v != "" for v in rows[-1]):
+        rows.pop()
+    p = str(tmp_path_factory.mktemp("xlsx") / "prop.xlsx")
+    write_workbook(p, {"s": rows})
+    back = read_workbook(p)["s"]
+    assert len(back) == len(rows)
+    for got, want in zip(back, rows):
+        for g, w in zip(got, want):
+            if isinstance(w, float):
+                assert g == pytest.approx(w, rel=0, abs=0) or g == w
+            else:
+                assert g == w
+
+
+def test_serial_datetime_inverse():
+    base = dt.datetime(2025, 11, 16, 1, 0, 0)
+    serial = (base - dt.datetime(1899, 12, 30)).total_seconds() / 86400
+    assert serial_to_datetime(serial) == base
+
+
+# ---------------------------------------------------------------------------
+# coercions + migration units
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        (True, True), (False, False), ("TRUE", True), ("true", True),
+        ("SI", True), ("sí", True), (1, True), (1.0, True),
+        (0, False), ("FALSE", False), ("no", False), ("", False), (None, False),
+        (2, False),
+    ],
+)
+def test_checkbox_coercion_py(value, expected):
+    assert coerce_checkbox_py(value) is expected
+
+
+def test_widen_audit_v1_fixture():
+    v1 = [
+        {
+            "ts": dt.datetime(2025, 11, 23, 22, 34, 28),
+            "folio": "0-18758",
+            "campo_modificado": "Banco",
+            "valor_anterior": "",
+            "valor_nuevo": "SCOTIABANK",
+        }
+    ]
+    (row,) = widen_audit_v1(v1)
+    assert row == {
+        "ts": dt.datetime(2025, 11, 23, 22, 34, 28),
+        "folio": "0-18758",
+        "accion": "ACTUALIZACIÓN",
+        "detalle": "Banco",
+        "valores_anteriores": "",
+        "valores_nuevos": "SCOTIABANK",
+        "run_id": None,
+    }
