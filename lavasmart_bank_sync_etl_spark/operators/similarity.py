@@ -259,13 +259,33 @@ def ivf_topk(
     return cands.withColumn("rank", F.row_number().over(wk).cast("long")).where(F.col("rank") <= k)
 
 
+def auto_num_blocks(
+    n_rows: int,
+    dim: int,
+    target_block_bytes: int = 64 << 20,
+    max_blocks: int = 4096,
+) -> int:
+    """Self-sizing block count for the blocked all-pairs kernel: the
+    smallest B such that one block's dense float64 matrix (n/B rows ×
+    dim × 8 bytes) fits ``target_block_bytes`` of executor memory.
+    Monotone non-decreasing in both ``n_rows`` and ``dim``; clamped to
+    [1, max_blocks] so block-pair task count B·(B+1)/2 stays bounded
+    (past that, the LSH ``planes`` path is the right tool, not more
+    blocks)."""
+    if n_rows <= 0 or dim <= 0:
+        return 1
+    rows_per_block = max(1, target_block_bytes // (dim * 8))
+    b = -(-n_rows // rows_per_block)  # ceil division
+    return max(1, min(b, max_blocks))
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,
     planes: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int = 16,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold). With ``planes``, candidates come from LSH buckets
@@ -275,11 +295,15 @@ def embedding_near_dup(
     block×block score matrix is computed with one vectorized numpy
     matmul per pair (Arrow-batched ``applyInPandas`` cogroup).
 
-    Scale notes: shuffle volume is (B+1)/2 copies of the corpus —
-    tune ``num_blocks`` so a block fits executor memory; work is
-    B·(B+1)/2 independent tasks. All-pairs is inherently O(n²) score
-    work at any engine; beyond memory-feasible n, put the LSH bucketer
-    (``planes``) in front so only same-bucket pairs are scored.
+    Scale notes: shuffle volume is (B+1)/2 copies of the corpus.
+    ``num_blocks=None`` self-sizes via ``auto_num_blocks`` — one
+    count+width metadata job at plan-build time derives the smallest B
+    whose per-block matrix fits a 64 MiB budget, so the kernel holds
+    its memory bound as the corpus grows instead of relying on a
+    hand-tuned constant. Work is B·(B+1)/2 independent tasks.
+    All-pairs is inherently O(n²) score work at any engine; beyond
+    memory-feasible n, put the LSH bucketer (``planes``) in front so
+    only same-bucket pairs are scored.
     """
     if planes is not None:
         a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
@@ -295,6 +319,11 @@ def embedding_near_dup(
         )
 
     spark = corpus.sparkSession
+    if num_blocks is None:
+        meta = corpus.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size(F.col(vec_col))).alias("dim")
+        ).first()
+        num_blocks = auto_num_blocks(int(meta["n"] or 0), int(meta["dim"] or 0))
     B = num_blocks
     base = corpus.select(
         F.col(id_col).alias("vid"),
@@ -471,6 +500,25 @@ def _split_subs(vec: Column, n_sub: int) -> Column:
     )
 
 
+def _adc_d2(codes: Column, qsubs: Column, cb: Column) -> Column:
+    """Asymmetric distance: Σ over subspaces of exact integer
+    d²(query subvector, codebook[code]) — the PQ search kernel,
+    shared by the flat (ss6) and IVF-restricted (ss8) scorers."""
+    return F.aggregate(
+        F.transform(
+            codes,
+            lambda code, m: _sub_d2(
+                F.element_at(qsubs, m + 1),
+                F.element_at(
+                    F.element_at(cb, (code + 1).cast("int"))["subs"], m + 1
+                ),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -503,19 +551,7 @@ def pq_adc_topk(
         F.col(id_col).alias("query_id"),
         _fp(F.col(vec_col)).alias("qe"),
     ).withColumn("qsubs", _split_subs(F.col("qe"), n_sub))
-    adc = F.aggregate(
-        F.transform(
-            F.col("codes"),
-            lambda code, m: _sub_d2(
-                F.element_at(F.col("qsubs"), m + 1),
-                F.element_at(
-                    F.element_at(F.col("cb"), (code + 1).cast("int"))["subs"], m + 1
-                ),
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_d2(F.col("codes"), F.col("qsubs"), F.col("cb"))
     pairs = (
         F.broadcast(q)
         .crossJoin(encoded)
@@ -526,6 +562,87 @@ def pq_adc_topk(
             F.col("vid").alias("neighbor_id"),
             adc.alias("adc_d2"),
             _sub_d2(F.col("qe"), F.col("e")).alias("true_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the production ANN composition
+    (Jégou et al., the FAISS ``IVFx,PQy`` shape): the inverted file
+    restricts WHICH vectors are scored (ss3's candidate pruning) and
+    product quantization decides HOW they are scored (ss6's 8-byte
+    codes + integer ADC). Index build joins the two per-vector keys —
+    ``(vid, cell)`` from nearest-centroid assignment and ``(vid,
+    codes)`` from PQ encoding — into one index relation; queries
+    probe their ``nprobe`` nearest cells and ADC-score only those
+    inverted lists.
+
+    Scale shape: at 100 TB the index relation is the stored table
+    (cell = partition/bucket column, codes ≈ 3% of the float column —
+    the only per-vector payload the search ever reads; the raw
+    embedding column stays behind for reranking). Candidate volume is
+    nprobe/n_cells of the corpus and each candidate moves 8 longs,
+    which is the whole reason this composition is the at-scale
+    default. Probes broadcast (queries are small); centroids and
+    codebook are one-row broadcast arrays; the corpus never shuffles
+    in the search path — the only corpus-wide shuffle is the
+    build-time vid-equi-join assembling the index, the analog of
+    writing the index table once per snapshot.
+
+    Fixed-point integer ADC end-to-end (ss6's rationale): ranks are
+    bit-identical across engines by construction.
+
+    Output: query_id, neighbor_id, adc_d2, rank (≤ k).
+    """
+    seeded = _seeded(corpus, n_cells, id_col, vec_col)
+    cent_arr = _centroid_array(_build_centroids(seeded)).persist()
+    assignment = _assign(seeded, cent_arr).select("vid", "cell")
+    cb_row, encoded = pq_encode(corpus, n_sub, n_codes, id_col, vec_col)
+    index = encoded.select("vid", "codes").join(assignment, on="vid")
+
+    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probes = (
+        qs.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "query_id",
+            _fp(F.col("q_vec")).alias("qe"),
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_scores(F.col("q_vec")))),
+                    1,
+                    nprobe,
+                )["cell"]
+            ).alias("cell"),
+        )
+        .withColumn("qsubs", _split_subs(F.col("qe"), n_sub))
+        .drop("qe")
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(index, on="cell")
+        .where(F.col("query_id") != F.col("vid"))
+        .crossJoin(F.broadcast(cb_row))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            _adc_d2(F.col("codes"), F.col("qsubs"), F.col("cb")).alias("adc_d2"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

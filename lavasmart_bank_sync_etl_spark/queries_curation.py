@@ -699,16 +699,22 @@ def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale design (tx18's hashed-feature shape): bigrams and their
     unigram contexts hash into a FIXED 10007 buckets (seeds 2/1 of
-    the shared md5 hash), so both LM count tables are ≤10007 rows
-    and BROADCAST — scoring is map-side over the bigram stream, no
-    shuffle of the Zipf-tailed vocabulary (plan-pinned in
-    ``tests/test_plans.py::test_tx17_lm_joins_broadcast``). Smoothing
-    adds the bucket count (the hashed vocabulary size) to each
-    context count, the standard add-one form under feature hashing.
-    Corpus-sized work: the two bucket-count hash aggregates, both
-    map-side partial into ≤10007 groups. Cross-engine
-    determinism: each log-prob is rounded to 4dp, then summed in
-    integer fixed-point, so shuffle order cannot move the mean."""
+    the shared md5 hash), so the whole LM is ≤2×10007 counts. Both
+    histograms build in ONE fused pass over the bigram stream (each
+    bigram explodes into a (kind=1, b1) and a (kind=2, b2) count row
+    — one map-side partial aggregate into ≤20014 groups), collapse
+    into a single row of two long→long maps, and broadcast; scoring
+    is then a pure projection (two ``element_at`` lookups), so the
+    corpus-sized work is exactly TWO passes of the tokenize/explode
+    pipeline (counts + scoring) with no join of the Zipf-tailed
+    bigram stream at all (plan-pinned in
+    ``tests/test_plans.py::test_tx17_lm_joins_broadcast``; the
+    previous two-broadcast-join form paid a third pass to build each
+    broadcast separately). Smoothing adds the bucket count (the
+    hashed vocabulary size) to each context count, the standard
+    add-one form under feature hashing. Cross-engine determinism:
+    each log-prob is rounded to 4dp, then summed in integer
+    fixed-point, so shuffle order cannot move the mean."""
     d = read_table(spark, sf_dir, "documents")
     norm = DD.normalized_text("text")
     w = d.select("doc_id", norm.alias("_n")).where(F.col("_n") != "").select(
@@ -731,17 +737,36 @@ def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(DD._hash64(F.col("p.w1"), 1), F.lit(_TX17_B)).alias("b1"),
         F.pmod(DD._hash64(F.col("p.w12"), 2), F.lit(_TX17_B)).alias("b2"),
     )
-    c2 = bg.groupBy("b2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("b1").agg(F.count(F.lit(1)).alias("n1"))
-    scored = (
-        bg.join(F.broadcast(c2), "b2").join(F.broadcast(c1), "b1")
-        .select(
-            "doc_id",
-            F.round(
-                F.round(F.log((F.col("n2") + 1.0) / (F.col("n1") + F.lit(_TX17_B))), 4)
-                * 10000
-            ).cast("long").alias("fx"),
+    counts = (
+        bg.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit(1).alias("kind"), F.col("b1").alias("b")),
+                    F.struct(F.lit(2).alias("kind"), F.col("b2").alias("b")),
+                )
+            ).alias("kb")
         )
+        .groupBy(F.col("kb.kind").alias("kind"), F.col("kb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the whole LM as ONE row of two long→long maps (collect_list
+    # drops the nulls of the other kind) — the ss3 centroid-array
+    # device applied to LM counts
+    lm_row = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.when(F.col("kind") == 1, F.struct("b", "n")))
+        ).alias("m1"),
+        F.map_from_entries(
+            F.collect_list(F.when(F.col("kind") == 2, F.struct("b", "n")))
+        ).alias("m2"),
+    )
+    n2 = F.element_at(F.col("m2"), F.col("b2"))
+    n1 = F.element_at(F.col("m1"), F.col("b1"))
+    scored = bg.crossJoin(F.broadcast(lm_row)).select(
+        "doc_id",
+        F.round(
+            F.round(F.log((n2 + 1.0) / (n1 + F.lit(_TX17_B))), 4) * 10000
+        ).cast("long").alias("fx"),
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),

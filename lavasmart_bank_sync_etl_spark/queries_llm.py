@@ -45,7 +45,8 @@ CASE WHEN len(string_split({NORM_SQL}, ' ')) >= 3
 from .functions import text as T  # noqa: E402
 from .operators import dedup as DD  # noqa: E402
 from .operators.similarity import (  # noqa: E402
-    brute_force_topk, embedding_near_dup, ivf_topk, lsh_topk, pq_adc_topk,
+    brute_force_topk, embedding_near_dup, ivf_pq_topk, ivf_topk, lsh_topk,
+    pq_adc_topk,
 )
 from .multimodal.binary_ops import (  # noqa: E402
     attach_payload, audio_frame_energy, decode_features, resize_images,
@@ -1672,6 +1673,113 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SS8 — IVF-PQ: inverted-file candidate pruning + ADC scoring composed
+# ---------------------------------------------------------------------------
+
+@query(
+    "ss8_ivfpq_topk",
+    f"""
+    WITH seeded AS (
+      SELECT vec_id AS vid, embedding AS vec, vec_id % 16 AS cell0 FROM embeddings
+    ),
+    by_pos AS (
+      SELECT cell0, i - 1 AS pos, CAST(vec[i] AS DOUBLE) AS val
+      FROM seeded, UNNEST(range(1, len(vec) + 1)) AS t(i)
+    ),
+    centroids AS (
+      SELECT cell0 AS cell, list(cv ORDER BY pos) AS cvec
+      FROM (SELECT cell0, pos, ROUND(AVG(val), 6) AS cv FROM by_pos GROUP BY cell0, pos)
+      GROUP BY cell0
+    ),
+    cnorm AS (
+      SELECT cell,
+             CASE WHEN sqrt({{dot_cc}}) > 0
+                  THEN list_transform(cvec, x -> x / sqrt({{dot_cc}}))
+                  ELSE list_transform(cvec, x -> x * 0.0) END AS cvec_n
+      FROM centroids
+    ),
+    assignment AS (
+      SELECT vid, cell FROM (
+        SELECT s.vid, c.cell,
+               row_number() OVER (PARTITION BY s.vid
+                                  ORDER BY {{dot_sc}} DESC, c.cell ASC) AS r
+        FROM seeded s CROSS JOIN cnorm c) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cell,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {{dot_qc}} DESC, c.cell ASC) AS r
+        FROM q CROSS JOIN cnorm c) WHERE r <= 4
+    ),
+    fp AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS k, e
+      FROM (SELECT * FROM fp ORDER BY vec_id LIMIT 16)
+    ),
+    ms AS (SELECT unnest(range(0, 8)) AS m),
+    dists AS (
+      SELECT v.vec_id, ms.m, cb.k,
+             list_sum(list_transform(range(1, 9),
+               i -> (v.e[ms.m * 8 + i] - cb.e[ms.m * 8 + i])
+                  * (v.e[ms.m * 8 + i] - cb.e[ms.m * 8 + i]))) AS d2
+      FROM fp v CROSS JOIN ms CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, m, k AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.query_id, a.vid AS neighbor_id
+      FROM probes p JOIN assignment a USING (cell)
+      WHERE p.query_id <> a.vid
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, CAST(SUM(d.d2) AS BIGINT) AS adc_d2
+      FROM cand c
+      JOIN enc e ON e.vec_id = c.neighbor_id
+      JOIN dists d ON d.vec_id = c.query_id AND d.m = e.m AND d.k = e.code
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= 10
+    """.format(
+        dot_cc=DOT_SQL.format(a="cvec", b="cvec"),
+        dot_sc=DOT_SQL.format(a="s.vec", b="c.cvec_n"),
+        dot_qc=DOT_SQL.format(a="q.q_vec", b="c.cvec_n"),
+    ),
+)
+def ss8_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS8 — IVF-PQ, the production ANN composition (FAISS
+    ``IVF16,PQ8``): ss3's inverted file decides WHICH vectors are
+    scored (queries probe 4 of 16 cells), ss6's product quantization
+    decides HOW (8-byte codes, integer asymmetric distance). The
+    per-vector search payload is (cell, 8 codes) — at 100 TB the cell
+    is the partition column and the codes column is ~3% of the floats,
+    so candidate volume is nprobe/n_cells of the corpus and each
+    candidate moves 8 longs; the raw embedding column never enters the
+    search path. Fixed-point integer ADC end-to-end, so ranks are
+    bit-identical across engines; the oracle materializes the same
+    IVF assignment + (m, code) LUT relationally."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        e, e.where(F.col("vec_id") < 5),
+        n_cells=16, nprobe=4, n_sub=8, n_codes=16, k=10,
+    )
+
+
+# ---------------------------------------------------------------------------
 # SS7 — ANN scorecard: recall@10 of every approximate index vs exact
 # ---------------------------------------------------------------------------
 
@@ -1682,6 +1790,7 @@ _SS7_SQL = f"""
     m_lsh AS ({_ORACLES['ss2_lsh_topk']}),
     m_ivf AS ({_ORACLES['ss3_ivf_topk']}),
     m_pq AS ({_ORACLES['ss6_pq_adc_topk']}),
+    m_ivfpq AS ({_ORACLES['ss8_ivfpq_topk']}),
     tn AS (SELECT COUNT(*) AS truth_n FROM ex),
     rates AS (
       SELECT 'brute' AS method, COUNT(*) AS hits FROM ex
@@ -1691,6 +1800,8 @@ _SS7_SQL = f"""
       SELECT 'ivf', COUNT(*) FROM ex JOIN m_ivf USING (query_id, neighbor_id)
       UNION ALL
       SELECT 'pq', COUNT(*) FROM ex JOIN m_pq USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'ivfpq', COUNT(*) FROM ex JOIN m_ivfpq USING (query_id, neighbor_id)
     )
     SELECT method, hits, truth_n,
            CAST((hits * 10000) // truth_n AS BIGINT) AS recall_bp
@@ -1701,7 +1812,7 @@ _SS7_SQL = f"""
 @query("ss7_ann_recall_scorecard", _SS7_SQL)
 def ss7_ann_recall_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SS7 — the ANN family's quality scorecard: recall@10 of each
-    approximate index (LSH buckets, IVF probes, PQ+ADC) against the
+    approximate index (LSH buckets, IVF probes, PQ+ADC, IVF-PQ) against the
     exact brute-force top-10, as exact integer basis points — dd14's
     measure-the-sketch discipline applied to vector search. This is
     the number that justifies each index's pruning at 100 TB (and the
@@ -1731,6 +1842,7 @@ def ss7_ann_recall_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh", "ss2_lsh_topk"),
         ("ivf", "ss3_ivf_topk"),
         ("pq", "ss6_pq_adc_topk"),
+        ("ivfpq", "ss8_ivfpq_topk"),
     ]:
         hits = truth.join(result(qname), ["query_id", "neighbor_id"]).count()
         rows.append((method, hits, truth_n, hits * 10000 // truth_n))

@@ -87,6 +87,24 @@ def test_merge_human_cols_come_from_dest_verbatim(q):
     assert "coalesce(observaciones" not in plan
 
 
+def test_ivfpq_search_path_is_code_only(q):
+    """ss8: the IVF-PQ search path moves only (cell, codes) — every
+    exchange carries narrow key/code columns, never a float vector
+    (the raw embedding stays behind for reranking); probes broadcast
+    into the candidate join, so the corpus never shuffles to meet the
+    queries."""
+    import re
+    plan = q("ss8_ivfpq_topk")
+    # candidate join: broadcast probes × index on cell
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 1
+    assert "CartesianProduct" not in plan
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding#" not in args, args
+        assert not re.search(r"\bvec#", args), args
+        assert not re.search(r"\be#\d", args), args
+        assert not re.search(r"\bqe#", args), args
+
+
 def test_no_unbounded_cartesian_anywhere(q):
     """Cross joins are only ever bounded-broadcast (query set × corpus,
     n_cells × corpus, B² block keys) — never a shuffle cartesian of
@@ -110,6 +128,38 @@ def test_blocked_near_dup_uses_cogroup_kernel(q):
     """dd6: the exact all-pairs scorer runs as the blocked cogroup
     numpy kernel, not an expression-interpreted nested loop."""
     assert "FlatMapCoGroupsInPandas" in q("dd6_embedding_near_dup")
+
+
+def test_auto_num_blocks_self_sizes():
+    """dd6: the block count derives from corpus rows × vector width so
+    the per-block matrix honours the memory budget — monotone in both
+    inputs, exact at the budget boundary, clamped at both ends."""
+    from hypothesis import given, settings, strategies as st
+
+    from lavasmart_bank_sync_etl_spark.operators.similarity import auto_num_blocks
+
+    budget = 64 << 20
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=10**12),
+        dim=st.integers(min_value=0, max_value=65536),
+        dn=st.integers(min_value=0, max_value=10**9),
+        ddim=st.integers(min_value=0, max_value=1024),
+    )
+    def check(n, dim, dn, ddim):
+        b = auto_num_blocks(n, dim)
+        assert 1 <= b <= 4096
+        # monotone: more rows / wider vectors never shrink B
+        assert auto_num_blocks(n + dn, dim) >= b
+        assert auto_num_blocks(n, dim + ddim) >= b
+        # the budget actually holds (unless clamped at max_blocks):
+        # expected rows per block never exceed what the budget allows
+        # (floor of 1 row when a single vector alone exceeds it)
+        if 0 < n and 0 < dim and b < 4096:
+            assert -(-n // b) <= max(1, budget // (dim * 8))
+
+    check()
 
 
 def n_scans(plan: str) -> int:
@@ -389,15 +439,17 @@ def test_streaks_ride_one_user_exchange_after_distinct(q):
 
 
 def test_tx17_lm_joins_broadcast(q):
-    """tx17: both hashed-LM count tables (≤10007 rows each) broadcast
-    into the scoring joins — the Zipf-tailed bigram stream is never
-    shuffled on vocabulary keys, only the two fixed-bucket aggregates
-    exchange."""
+    """tx17: the whole hashed LM (≤2×10007 counts) collapses into one
+    broadcast row of maps and scoring is a pure projection — the
+    Zipf-tailed bigram stream joins NOTHING on vocabulary keys; the
+    only exchanges are the tiny fused (kind, bucket) aggregate and the
+    per-doc rollup."""
     import re
     plan = q("tx17_bigram_lm_score")
     # formatted explain lists each node twice (tree + "(N) Op" detail);
     # count the detail entries for an exact node count
-    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 1
+    assert "BroadcastHashJoin" not in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "w1#" not in args and "w12#" not in args and "text#" not in args, args
