@@ -519,3 +519,48 @@ def image_dhash(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def synth_frames(
+    df: DataFrame, n_frames: int = 4, dup_every: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL "video" per row as ``n_frames`` 18×16 binary
+    P6 PPM frames (a 1→N ``mapInPandas``, ``sample_frames``' fan-out
+    shape with genuine rasters): frame f of video d carries content id
+    ``eff·16+f`` where ``eff = d−1`` for every ``dup_every``-th video
+    (a bit-exact RE-UPLOAD of its predecessor — the planted
+    cross-video duplicates) and ``eff = d`` otherwise. Pixel (x, y)
+    is ``((cid·31 + y·18 + x)·7 + (x+3)·(y+5)·(cid mod 97)) mod 256``
+    — the multiplicative mixing term keeps distinct frames' dHashes
+    distinct (the plain gradient of ``synth_images`` collapses to
+    ~64 hash classes, which would drown the pair join in
+    collisions), and stays pure integer so ANSI SQL reproduces every
+    pixel. Output rows are keyed ``doc_id = video·16 + frame`` so the
+    unmodified ``image_dhash`` stage consumes them directly."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids: list[int] = []
+            payloads: list[bytes] = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                base = d - 1 if (d % dup_every == 0 and d > 0) else d
+                for f in range(n_frames):
+                    cid = base * 16 + f
+                    y, x = np.mgrid[0:_DHASH_H, 0:_DHASH_W]
+                    gray = (
+                        (cid * 31 + y * _DHASH_W + x) * 7
+                        + (x + 3) * (y + 5) * (cid % 97)
+                    ) % 256
+                    out_ids.append(d * 16 + f)
+                    payloads.append(_ppm_bytes(gray))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "payload": payloads,
+                "mime": ["video/x-frames+ppm"] * len(payloads),
+            })
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        run, schema=PPM_SCHEMA
+    )

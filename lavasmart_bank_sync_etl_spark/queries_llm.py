@@ -1241,6 +1241,105 @@ def mm5_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MM6_PIX = (
+    "(((d.eff * 31 + {y} * 18 + {x}) * 7)"
+    " + (({x} + 3) * ({y} + 5) * (d.eff % 97))) % 256"
+)
+
+
+@query(
+    "mm6_video_frame_dedup",
+    f"""
+    WITH v AS (SELECT doc_id AS video_id FROM documents),
+    f AS (SELECT video_id, unnest(range(0, 4)) AS fidx FROM v),
+    d AS (
+      SELECT video_id * 16 + fidx AS frame_key,
+             (CASE WHEN video_id % 10 = 0 AND video_id > 0
+                   THEN video_id - 1 ELSE video_id END) * 16 + fidx AS eff
+      FROM f
+    ),
+    rc AS (SELECT r.r, c.c FROM (SELECT unnest(range(0, 8)) AS r) r,
+                                (SELECT unnest(range(0, 9)) AS c) c),
+    grid AS (
+      SELECT d.frame_key, rc.r, rc.c,
+             ( {_MM6_PIX.format(y='(2 * rc.r)', x='(2 * rc.c)')}
+             + {_MM6_PIX.format(y='(2 * rc.r)', x='(2 * rc.c + 1)')}
+             + {_MM6_PIX.format(y='(2 * rc.r + 1)', x='(2 * rc.c)')}
+             + {_MM6_PIX.format(y='(2 * rc.r + 1)', x='(2 * rc.c + 1)')}
+             ) // 4 AS v
+      FROM d, rc
+    ),
+    bits AS (
+      SELECT g1.frame_key, g1.r, g1.c,
+             CASE WHEN g1.v < g2.v THEN 1 ELSE 0 END AS bit
+      FROM grid g1
+      JOIN grid g2 ON g2.frame_key = g1.frame_key AND g2.r = g1.r AND g2.c = g1.c + 1
+      WHERE g1.c < 8
+    ),
+    hashes AS (
+      SELECT frame_key,
+             string_agg(CAST(bit AS VARCHAR), '' ORDER BY r, c) AS dhash_bits
+      FROM bits GROUP BY frame_key
+    ),
+    fh AS (
+      SELECT frame_key // 16 AS video_id, frame_key % 16 AS fidx, dhash_bits
+      FROM hashes
+    ),
+    pairs AS (
+      SELECT a.video_id AS video_a, b.video_id AS video_b,
+             COUNT(DISTINCT b.fidx) AS matched_frames
+      FROM fh a JOIN fh b USING (dhash_bits)
+      WHERE a.video_id < b.video_id
+      GROUP BY 1, 2
+    )
+    SELECT video_a, video_b, matched_frames,
+           ROUND(matched_frames / 4.0, 4) AS match_frac
+    FROM pairs WHERE matched_frames >= 2
+    """,
+)
+def mm6_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM6 — cross-video duplicate detection at FRAME granularity (the
+    video twin of mm5, composed like a production pipeline): each
+    document becomes a 4-frame "video" of real binary PPM rasters
+    (every 10th video a bit-exact re-upload of its predecessor), each
+    frame is fully decoded and perceptual-hashed by the unmodified
+    ``image_dhash`` stage, and videos pair by the fraction of frames
+    whose hashes match — re-uploads surface at match_frac 1.0, chance
+    2-3-frame hash collisions rank below them. Scale shape: the
+    frame-synth/decode/hash path is ``mapInPandas`` with bounded 1→4
+    fan-out and NO shuffle; the only exchange after hashing carries
+    (video_id, frame_idx, 64-bit hash) — payloads never move (dd1's
+    principle at video scale, plan-pinned). The pair join is an
+    equi-join on the hash; per-hash fanout is bounded by hash
+    diversity (measured max multiplicity 3 here) and dd4's
+    posting-list cap is the drop-in guard for degenerate content.
+    Hamming-tolerant escalation is dd7's banded join on these same
+    hashes."""
+    from .multimodal.binary_ops import image_dhash, synth_frames
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    fh = image_dhash(synth_frames(d)).select(
+        F.floor(F.col("doc_id") / 16).cast("long").alias("video_id"),
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("fidx"),
+        "dhash_bits",
+    )
+    a = fh.select(F.col("video_id").alias("video_a"), "dhash_bits")
+    b = fh.select(
+        F.col("video_id").alias("video_b"), F.col("fidx").alias("fb"), "dhash_bits"
+    )
+    return (
+        a.join(b, "dhash_bits")
+        .where(F.col("video_a") < F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(F.countDistinct("fb").alias("matched_frames"))
+        .where(F.col("matched_frames") >= 2)
+        .select(
+            "video_a", "video_b", "matched_frames",
+            F.round(F.col("matched_frames") / 4.0, 4).alias("match_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-analog windowed aggregations over events
 # ---------------------------------------------------------------------------

@@ -187,3 +187,44 @@ def test_ppm_parser_never_mis_decodes_fuzzed_bytes():
         assert rgb.shape == (h, w, 3) and maxval == 255
 
     fuzz()
+
+
+def test_synth_frames_planted_reupload_detected(spark):
+    """mm6's operator contract on a handcrafted corpus: every video
+    emits exactly n_frames real PPM frames keyed video·16+f, the
+    dup_every-th video is a bit-exact re-upload of its predecessor
+    (all 4 frame payloads equal), and non-dup videos share no frame
+    payload with their neighbors."""
+    from lavasmart_bank_sync_etl_spark.multimodal.binary_ops import (
+        _parse_ppm, synth_frames,
+    )
+
+    d = spark.range(0, 22).select(F.col("id").alias("doc_id"))
+    rows = synth_frames(d, n_frames=4, dup_every=10).collect()
+    assert len(rows) == 22 * 4
+    by_frame = {r["doc_id"]: bytes(r["payload"]) for r in rows}
+    # every payload is a parseable 18x16 PPM
+    w, h, _, _ = _parse_ppm(by_frame[0])
+    assert (w, h) == (18, 16)
+    for vid in (10, 20):
+        for f in range(4):
+            assert by_frame[vid * 16 + f] == by_frame[(vid - 1) * 16 + f], (vid, f)
+    for vid in (5, 13):
+        for f in range(4):
+            assert by_frame[vid * 16 + f] != by_frame[(vid - 1) * 16 + f], (vid, f)
+
+
+def test_mm6_reuploads_rank_at_full_match(spark):
+    """End-to-end mm6 on a small slice: every planted re-upload pair
+    (d-1, d) for d % 10 == 0 appears with match_frac 1.0."""
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+
+    out = QUERIES["mm6_video_frame_dedup"](spark, "/root/testdata/sf0.001")
+    got = {(r["video_a"], r["video_b"]): r for r in out.collect()}
+    n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    planted = [(d - 1, d) for d in range(10, n_docs, 10)]
+    assert planted, "fixture should plant at least one re-upload"
+    for pair in planted:
+        assert pair in got, pair
+        assert got[pair]["matched_frames"] == 4
+        assert got[pair]["match_frac"] == 1.0

@@ -87,6 +87,18 @@ def test_merge_human_cols_come_from_dest_verbatim(q):
     assert "coalesce(observaciones" not in plan
 
 
+def test_mm6_shuffle_carries_hashes_not_payload(q):
+    """mm6: after the mapInPandas synth/decode/hash stage, every
+    exchange carries (video, frame, 64-bit hash) — the frame payload
+    bytes never shuffle (dd1's principle applied to video frames)."""
+    import re
+    plan = q("mm6_video_frame_dedup")
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" not in plan  # hash path is mapInPandas only
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "payload#" not in args, args
+
+
 def test_ivfpq_search_path_is_code_only(q):
     """ss8: the IVF-PQ search path moves only (cell, codes) — every
     exchange carries narrow key/code columns, never a float vector
