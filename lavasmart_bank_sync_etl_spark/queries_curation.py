@@ -20,6 +20,7 @@ from .operators.graph import dedup_clusters
 from .queries import query
 from .queries_llm import (
     EMB_DUP_SQL,
+    _hits_sql,
     HASH64_SQL,
     NEAR_DUP_SQL,
     NORM_SQL,
@@ -1593,4 +1594,105 @@ def node_triangle_counts(edges: DataFrame) -> DataFrame:
         tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy(F.col("node").cast("long").alias("node"))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml5 — trained-classifier inference as pure column expressions
+# ---------------------------------------------------------------------------
+
+# "Offline-trained" linear quality classifier (the fasttext /
+# fineweb-edu deployment shape: training happens elsewhere, the
+# engine's job is applying the frozen model to the whole corpus).
+# Integer weights over integer fixed-point features, so the logit —
+# and therefore the keep decision — is bit-identical across engines.
+_ML5_BIAS = -20000
+_ML5_W = {"tok": 100, "mwl": 20, "punct": -6, "sw": 9, "digit": -4}
+
+
+@query(
+    "ml5_classifier_inference",
+    f"""
+    WITH f AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             CAST({{ntok}} AS BIGINT) AS n_tok,
+             len({{norm}}) AS n_nc,
+             {{hits_en}} AS sw
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, n_tok,
+        CAST(CASE WHEN n_tok > 0
+                  THEN ((n_nc - n_tok + 1) * 100) // n_tok ELSE 0 END AS BIGINT) AS f_mwl,
+        CAST(CASE WHEN len(t) > 0
+                  THEN (len(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) * 10000) // len(t)
+                  ELSE 0 END AS BIGINT) AS f_punct_bp,
+        CAST(CASE WHEN n_tok > 0
+                  THEN (sw * 10000) // n_tok ELSE 0 END AS BIGINT) AS f_sw_bp,
+        CAST(CASE WHEN len(t) > 0
+                  THEN (len(regexp_replace(t, '[^0-9]', '', 'g')) * 10000) // len(t)
+                  ELSE 0 END AS BIGINT) AS f_digit_bp
+      FROM f
+    )
+    SELECT doc_id, n_tok, f_mwl, f_punct_bp, f_sw_bp, f_digit_bp,
+           CAST({_ML5_BIAS}
+                + {_ML5_W['tok']} * LEAST(n_tok, 200) + {_ML5_W['mwl']} * f_mwl
+                + {_ML5_W['punct']} * f_punct_bp + {_ML5_W['sw']} * f_sw_bp
+                + {_ML5_W['digit']} * f_digit_bp AS BIGINT) AS logit,
+           ({_ML5_BIAS}
+                + {_ML5_W['tok']} * LEAST(n_tok, 200) + {_ML5_W['mwl']} * f_mwl
+                + {_ML5_W['punct']} * f_punct_bp + {_ML5_W['sw']} * f_sw_bp
+                + {_ML5_W['digit']} * f_digit_bp) >= 0 AS keep
+    FROM feat
+    """.format(
+        ntok="__NTOK__", norm="__NORM__", hits_en="__HITS__",
+    ).replace("__NTOK__", _NTOK_SQL).replace("__NORM__", NORM_SQL).replace(
+        "__HITS__", _hits_sql("en")
+    ),
+)
+def ml5_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml5 — model INFERENCE at corpus scale (the fasttext-classifier /
+    fineweb-edu stage of a pretraining pipeline): a frozen linear
+    quality classifier — weights "trained offline", stated as integer
+    constants — scores every document from five integer fixed-point
+    features (capped token count, mean word length ×100, punctuation /
+    stopword / digit rates in basis points). Inference is a PURE
+    per-row projection: no UDF, no shuffle, no model server — the
+    model IS a codegen'd expression, which is the cheapest possible
+    way to run a linear model over 100 TB (the scan is the cost;
+    scoring rides it for free). Integer weights × integer features ⇒
+    the logit and keep decision are bit-identical across engines; the
+    oracle recomputes the same arithmetic relationally."""
+    d = read_table(spark, sf_dir, "documents")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    norm = DD.normalized_text("text")
+    n_tok = T.token_count_ws("text").cast("long")
+    n_nc = F.length(norm)
+    length = F.length(raw)
+    punct = F.length(F.regexp_replace(raw, r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(raw, r"[^0-9]", ""))
+    sw = T.stopword_hits("text", "en").cast("long")
+    feat = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.when(n_tok > 0, F.floor((n_nc - n_tok + 1) * 100 / n_tok))
+        .otherwise(F.lit(0)).cast("long").alias("f_mwl"),
+        F.when(length > 0, F.floor(punct * 10000 / length))
+        .otherwise(F.lit(0)).cast("long").alias("f_punct_bp"),
+        F.when(n_tok > 0, F.floor(sw * 10000 / n_tok))
+        .otherwise(F.lit(0)).cast("long").alias("f_sw_bp"),
+        F.when(length > 0, F.floor(digits * 10000 / length))
+        .otherwise(F.lit(0)).cast("long").alias("f_digit_bp"),
+    )
+    logit = (
+        F.lit(_ML5_BIAS)
+        + F.lit(_ML5_W["tok"]) * F.least(F.col("n_tok"), F.lit(200))
+        + F.lit(_ML5_W["mwl"]) * F.col("f_mwl")
+        + F.lit(_ML5_W["punct"]) * F.col("f_punct_bp")
+        + F.lit(_ML5_W["sw"]) * F.col("f_sw_bp")
+        + F.lit(_ML5_W["digit"]) * F.col("f_digit_bp")
+    ).cast("long")
+    return feat.select(
+        "doc_id", "n_tok", "f_mwl", "f_punct_bp", "f_sw_bp", "f_digit_bp",
+        logit.alias("logit"), (logit >= 0).alias("keep"),
     )

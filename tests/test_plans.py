@@ -87,6 +87,18 @@ def test_merge_human_cols_come_from_dest_verbatim(q):
     assert "coalesce(observaciones" not in plan
 
 
+def test_ml5_inference_is_pure_projection(q):
+    """ml5: the frozen classifier runs as codegen'd expressions over
+    the scan — zero exchanges, zero Python evaluation nodes; at 100 TB
+    the scan is the entire cost and scoring rides it for free."""
+    plan = q("ml5_classifier_inference")
+    assert "Exchange" not in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+    assert "codegen id" in plan  # formatted explain's whole-stage marker
+
+
 def test_mm6_shuffle_carries_hashes_not_payload(q):
     """mm6: after the mapInPandas synth/decode/hash stage, every
     exchange carries (video, frame, 64-bit hash) — the frame payload
