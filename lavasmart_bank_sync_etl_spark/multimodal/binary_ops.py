@@ -540,6 +540,9 @@ def synth_frames(
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:_DHASH_H, 0:_DHASH_W]  # shared raster coords
+        lin = y * _DHASH_W + x
+        mix = (x + 3) * (y + 5)
         for pdf in batches:
             out_ids: list[int] = []
             payloads: list[bytes] = []
@@ -548,11 +551,7 @@ def synth_frames(
                 base = d - 1 if (d % dup_every == 0 and d > 0) else d
                 for f in range(n_frames):
                     cid = base * 16 + f
-                    y, x = np.mgrid[0:_DHASH_H, 0:_DHASH_W]
-                    gray = (
-                        (cid * 31 + y * _DHASH_W + x) * 7
-                        + (x + 3) * (y + 5) * (cid % 97)
-                    ) % 256
+                    gray = ((cid * 31 + lin) * 7 + mix * (cid % 97)) % 256
                     out_ids.append(d * 16 + f)
                     payloads.append(_ppm_bytes(gray))
             yield pd.DataFrame({

@@ -652,3 +652,61 @@ def ivf_pq_topk(
         pairs.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist_k: int = 30,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval — the full production ANN pipeline: IVF-PQ
+    produces a ``shortlist_k`` candidate set per query from codes
+    alone (ss8), then ONLY those candidates' raw vectors are fetched
+    and re-scored exactly, and the final top-``k`` ranks by true
+    distance. This is the standard shape (shortlist by compressed
+    index, rerank by exact distance) that recovers most of the recall
+    PQ quantization loses while still never scanning raw vectors.
+
+    Scale shape: the shortlist is |queries|·shortlist_k rows —
+    broadcast into the rerank join, so fetching candidate vectors is
+    a broadcast-hash lookup against the corpus (the storage analog:
+    point reads of shortlist ids), and the corpus never shuffles.
+    Exact scoring touches shortlist_k vectors per query instead of
+    the whole corpus. Fixed-point integer distances throughout, so
+    ranks are bit-identical across engines.
+
+    Output: query_id, neighbor_id, true_d2, rank (≤ k).
+    """
+    short = ivf_pq_topk(
+        corpus, queries, n_cells, nprobe, n_sub, n_codes,
+        k=shortlist_k, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    fpc = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _fp(F.col(vec_col)).alias("ce")
+    )
+    fpq = queries.select(
+        F.col(id_col).alias("query_id"), _fp(F.col(vec_col)).alias("qe")
+    )
+    rescored = (
+        F.broadcast(short.join(F.broadcast(fpq), "query_id"))
+        .join(fpc, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sub_d2(F.col("qe"), F.col("ce")).alias("true_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("true_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )

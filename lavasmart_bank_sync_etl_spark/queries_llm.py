@@ -45,8 +45,8 @@ CASE WHEN len(string_split({NORM_SQL}, ' ')) >= 3
 from .functions import text as T  # noqa: E402
 from .operators import dedup as DD  # noqa: E402
 from .operators.similarity import (  # noqa: E402
-    brute_force_topk, embedding_near_dup, ivf_pq_topk, ivf_topk, lsh_topk,
-    pq_adc_topk,
+    brute_force_topk, embedding_near_dup, ivf_pq_rerank_topk, ivf_pq_topk,
+    ivf_topk, lsh_topk, pq_adc_topk,
 )
 from .multimodal.binary_ops import (  # noqa: E402
     attach_payload, audio_frame_energy, decode_features, resize_images,
@@ -1775,9 +1775,10 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SS8 — IVF-PQ: inverted-file candidate pruning + ADC scoring composed
 # ---------------------------------------------------------------------------
 
-@query(
-    "ss8_ivfpq_topk",
-    f"""
+def _ss8_sql(k: int) -> str:
+    """IVF-PQ shortlist SQL, top-``k`` by ADC — the ss8 oracle and,
+    at a larger k, the shortlist CTE of ss9's rerank oracle."""
+    return f"""
     WITH seeded AS (
       SELECT vec_id AS vid, embedding AS vec, vec_id % 16 AS cell0 FROM embeddings
     ),
@@ -1852,13 +1853,15 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
       FROM adc
     )
-    SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= 10
+    SELECT query_id, neighbor_id, adc_d2, rank FROM ranked WHERE rank <= {k}
     """.format(
         dot_cc=DOT_SQL.format(a="cvec", b="cvec"),
         dot_sc=DOT_SQL.format(a="s.vec", b="c.cvec_n"),
         dot_qc=DOT_SQL.format(a="q.q_vec", b="c.cvec_n"),
-    ),
-)
+    )
+
+
+@query("ss8_ivfpq_topk", _ss8_sql(10))
 def ss8_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SS8 — IVF-PQ, the production ANN composition (FAISS
     ``IVF16,PQ8``): ss3's inverted file decides WHICH vectors are
@@ -1875,6 +1878,52 @@ def ss8_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(
         e, e.where(F.col("vec_id") < 5),
         n_cells=16, nprobe=4, n_sub=8, n_codes=16, k=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS9 — two-stage retrieval: IVF-PQ shortlist + exact rerank
+# ---------------------------------------------------------------------------
+
+@query(
+    "ss9_ivfpq_rerank",
+    f"""
+    WITH short AS ({_ss8_sql(30)}),
+    fpv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    re AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(list_sum(list_transform(q.e, (x, i) -> (x - c.e[i]) * (x - c.e[i]))) AS BIGINT) AS true_d2
+      FROM short s
+      JOIN fpv q ON q.vec_id = s.query_id
+      JOIN fpv c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, true_d2, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY true_d2 ASC, neighbor_id ASC) AS rank
+      FROM re
+    ) WHERE rank <= 10
+    """,
+)
+def ss9_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS9 — two-stage retrieval, completing the production ANN
+    pipeline: ss8's IVF-PQ index produces a 30-candidate shortlist
+    per query from 8-byte codes alone, then ONLY those candidates'
+    raw vectors are fetched (broadcast-hash point lookups — the
+    corpus never shuffles) and re-scored by exact fixed-point
+    distance; final top-10 ranks by true distance. Rerank recovers
+    the recall PQ quantization loses while exact scoring touches 30
+    vectors per query instead of the corpus — the candidate-
+    generation / compressed-scoring / exact-rerank split every
+    at-scale vector store runs. Integer distances end-to-end ⇒
+    bit-identical ranks across engines."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return ivf_pq_rerank_topk(
+        e, e.where(F.col("vec_id") < 5), shortlist_k=30, k=10,
+        n_cells=16, nprobe=4, n_sub=8, n_codes=16,
     )
 
 

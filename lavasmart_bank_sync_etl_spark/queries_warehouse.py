@@ -465,6 +465,59 @@ def a10_approx_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# A12 — mergeable-sketch rollup (incremental COUNT DISTINCT maintenance)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a12_sketch_merge_rollup",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY 1
+    """,
+)
+def a12_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — sketch MERGEABILITY, the property a9 doesn't exercise and
+    the one that matters most at 100 TB: per-day HLL sketches
+    (Datasketches ``hll_sketch_agg``, lgK 14 → ~16 KB each) are built
+    once as the stored incremental state, and the monthly distinct
+    estimate per event_type comes from ``hll_union_agg`` over ~30
+    daily sketch rows —
+    t7's incremental-view maintenance applied to COUNT DISTINCT,
+    which unlike SUM is not algebraic and can ONLY be maintained
+    incrementally through a mergeable sketch. In production the daily
+    sketch table is appended per ingest batch and the events scan
+    never re-runs; the exact side here exists purely as calibration.
+    The estimate is engine-specific, so the driver contract is a9's:
+    (exact count, Spark-computed ``within_bound`` = merged estimate
+    within 5% of exact — ~25 standard errors at lgK 14), oracle
+    expects TRUE everywhere."""
+    e = read_table(spark, sf_dir, "events")
+    daily = (
+        e.select("event_type", F.to_date("ts").alias("day"), "user_id")
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users")) / F.col("exact_users") <= 0.05
+        ).alias("within_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # EV3 — daily conversion funnel
 # ---------------------------------------------------------------------------
 

@@ -87,6 +87,33 @@ def test_merge_human_cols_come_from_dest_verbatim(q):
     assert "coalesce(observaciones" not in plan
 
 
+def test_a12_sketch_agg_and_broadcast_calibration(q):
+    """a12: the HLL sketches build through ObjectHashAggregate
+    (mergeable fixed-size state, map-side partials) and the tiny
+    merged/exact sides meet in a broadcast join — no corpus-sized
+    shuffle beyond the two aggregates."""
+    import re
+    plan = q("a12_sketch_merge_rollup")
+    assert "ObjectHashAggregate" in plan  # datasketches HLL agg path
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_ss9_rerank_fetch_is_broadcast_lookup(q):
+    """ss9: the rerank stage fetches candidate vectors via a
+    broadcast-hash lookup (shortlist broadcast into the corpus scan)
+    — the corpus never shuffles, and no exchange carries a
+    fixed-point vector column."""
+    import re
+    plan = q("ss9_ivfpq_rerank")
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 2
+    assert "CartesianProduct" not in plan
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding#" not in args, args
+        for col in (r"\bvec#", r"\be#\d", r"\bqe#", r"\bce#"):
+            assert not re.search(col, args), args
+
+
 def test_ml5_inference_is_pure_projection(q):
     """ml5: the frozen classifier runs as codegen'd expressions over
     the scan — zero exchanges, zero Python evaluation nodes; at 100 TB
