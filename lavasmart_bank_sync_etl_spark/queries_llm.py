@@ -1596,6 +1596,81 @@ def _st6_result(spark: SparkSession, gold_path: str) -> DataFrame:
 
 
 @query(
+    "st9_watermark_dedup",
+    """
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) AS folio,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events
+    """,
+)
+def st9_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST9 — the engine's BUILT-IN bounded-state streaming dedup:
+    ``dropDuplicatesWithinWatermark`` over the same re-delivered
+    stream st6 salts (every 13th event delivered twice). The operator
+    the custom ``applyInPandasWithState`` registry (st3) should be
+    preferred over whenever plain exactly-once-per-key semantics
+    suffice: per-key state is EVICTED once the watermark passes the
+    key's event time + delay, so state size tracks keys-per-window —
+    unlike streaming ``dropDuplicates``, whose state grows with total
+    distinct keys forever (the operator that OOMs a 100 TB/day
+    pipeline weeks after launch). One input file → one micro-batch,
+    so the appended output equals the distinct event set — the batch
+    oracle. Sink retained per (session, sf_dir) (st3's checkpoint-
+    idempotence note)."""
+    import os
+    import shutil
+
+    cache_key = (spark.sparkContext.applicationId, "st9", sf_dir)
+    cached_sink = _STREAM_SINKS.get(cache_key)
+    if cached_sink is not None:
+        return _st9_result(spark, cached_sink)
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").cast("string").alias("folio"),
+        F.col("ts").alias("sale_ts"),
+    )
+    staged = e.unionByName(e.where(F.col("event_id") % 13 == 0))
+    src_dir = tempfile.mkdtemp(prefix="st9_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="st9_ckpt_")
+    staged.coalesce(4).write.mode("overwrite").parquet(src_dir)
+
+    stream = spark.readStream.schema(staged.schema).parquet(src_dir)
+    deduped = stream.withWatermark("sale_ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"st9_wm_dedup_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("st9: streaming query did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    _STREAM_SINKS[cache_key] = sink
+    return _st9_result(spark, sink)
+
+
+def _st9_result(spark: SparkSession, sink: str) -> DataFrame:
+    return spark.table(sink).select(
+        "event_id", "folio",
+        F.date_format("sale_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+@query(
     "st7_stream_stream_join",
     """
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
@@ -1939,6 +2014,7 @@ _SS7_SQL = f"""
     m_ivf AS ({_ORACLES['ss3_ivf_topk']}),
     m_pq AS ({_ORACLES['ss6_pq_adc_topk']}),
     m_ivfpq AS ({_ORACLES['ss8_ivfpq_topk']}),
+    m_rerank AS ({_ORACLES['ss9_ivfpq_rerank']}),
     tn AS (SELECT COUNT(*) AS truth_n FROM ex),
     rates AS (
       SELECT 'brute' AS method, COUNT(*) AS hits FROM ex
@@ -1950,6 +2026,8 @@ _SS7_SQL = f"""
       SELECT 'pq', COUNT(*) FROM ex JOIN m_pq USING (query_id, neighbor_id)
       UNION ALL
       SELECT 'ivfpq', COUNT(*) FROM ex JOIN m_ivfpq USING (query_id, neighbor_id)
+      UNION ALL
+      SELECT 'rerank', COUNT(*) FROM ex JOIN m_rerank USING (query_id, neighbor_id)
     )
     SELECT method, hits, truth_n,
            CAST((hits * 10000) // truth_n AS BIGINT) AS recall_bp
@@ -1960,7 +2038,7 @@ _SS7_SQL = f"""
 @query("ss7_ann_recall_scorecard", _SS7_SQL)
 def ss7_ann_recall_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SS7 — the ANN family's quality scorecard: recall@10 of each
-    approximate index (LSH buckets, IVF probes, PQ+ADC, IVF-PQ) against the
+    approximate index (LSH buckets, IVF probes, PQ+ADC, IVF-PQ, IVF-PQ+rerank) against the
     exact brute-force top-10, as exact integer basis points — dd14's
     measure-the-sketch discipline applied to vector search. This is
     the number that justifies each index's pruning at 100 TB (and the
@@ -1991,6 +2069,7 @@ def ss7_ann_recall_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", "ss3_ivf_topk"),
         ("pq", "ss6_pq_adc_topk"),
         ("ivfpq", "ss8_ivfpq_topk"),
+        ("rerank", "ss9_ivfpq_rerank"),
     ]:
         hits = truth.join(result(qname), ["query_id", "neighbor_id"]).count()
         rows.append((method, hits, truth_n, hits * 10000 // truth_n))

@@ -440,7 +440,7 @@ def test_ann_scorecard_brute_is_perfect_and_rates_bounded(spark, sf_dir):
         r["method"]: r
         for r in QUERIES["ss7_ann_recall_scorecard"](spark, sf_dir).collect()
     }
-    assert set(rows) == {"brute", "lsh", "ivf", "pq", "ivfpq"}
+    assert set(rows) == {"brute", "lsh", "ivf", "pq", "ivfpq", "rerank"}
     assert rows["brute"]["recall_bp"] == 10000
     for r in rows.values():
         assert 0 <= r["hits"] <= r["truth_n"]
