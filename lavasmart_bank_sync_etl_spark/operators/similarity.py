@@ -583,6 +583,7 @@ def ivf_pq_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the production ANN composition
     (Jégou et al., the FAISS ``IVFx,PQy`` shape): the inverted file
@@ -611,12 +612,51 @@ def ivf_pq_topk(
 
     Output: query_id, neighbor_id, adc_d2, rank (≤ k).
     """
+    if index is None:
+        index = ivf_pq_index(corpus, n_cells, n_sub, n_codes, id_col, vec_col)
+    return ivf_pq_search(
+        index, queries, nprobe=nprobe, n_sub=n_sub, k=k,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVF-PQ index once per corpus snapshot — the three
+    stored relations a production deployment writes and every search
+    reads: ``cent_arr`` (one-row centroid array, persisted),
+    ``cb_row`` (one-row PQ codebook), and ``index`` (vid, codes,
+    cell) — the only per-vector payload the search path touches.
+    Callers that run several searches against the same corpus (ss8's
+    flat search, ss9's shortlist) share one build instead of paying
+    the corpus-wide assembly join per query."""
     seeded = _seeded(corpus, n_cells, id_col, vec_col)
     cent_arr = _centroid_array(_build_centroids(seeded)).persist()
     assignment = _assign(seeded, cent_arr).select("vid", "cell")
     cb_row, encoded = pq_encode(corpus, n_sub, n_codes, id_col, vec_col)
     index = encoded.select("vid", "codes").join(assignment, on="vid")
+    return cent_arr, cb_row, index
 
+
+def ivf_pq_search(
+    index_parts: tuple[DataFrame, DataFrame, DataFrame],
+    queries: DataFrame,
+    nprobe: int = 4,
+    n_sub: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the stored IVF-PQ index (``ivf_pq_index`` output):
+    queries probe their ``nprobe`` nearest cells and ADC-score only
+    those inverted lists. Probes broadcast; the corpus never moves."""
+    cent_arr, cb_row, index = index_parts
     qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probes = (
         qs.crossJoin(F.broadcast(cent_arr))
@@ -665,6 +705,7 @@ def ivf_pq_rerank_topk(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Two-stage retrieval — the full production ANN pipeline: IVF-PQ
     produces a ``shortlist_k`` candidate set per query from codes
@@ -686,7 +727,7 @@ def ivf_pq_rerank_topk(
     """
     short = ivf_pq_topk(
         corpus, queries, n_cells, nprobe, n_sub, n_codes,
-        k=shortlist_k, id_col=id_col, vec_col=vec_col,
+        k=shortlist_k, id_col=id_col, vec_col=vec_col, index=index,
     ).select("query_id", "neighbor_id")
     fpc = corpus.select(
         F.col(id_col).alias("neighbor_id"), _fp(F.col(vec_col)).alias("ce")

@@ -45,8 +45,8 @@ CASE WHEN len(string_split({NORM_SQL}, ' ')) >= 3
 from .functions import text as T  # noqa: E402
 from .operators import dedup as DD  # noqa: E402
 from .operators.similarity import (  # noqa: E402
-    brute_force_topk, embedding_near_dup, ivf_pq_rerank_topk, ivf_pq_topk,
-    ivf_topk, lsh_topk, pq_adc_topk,
+    brute_force_topk, embedding_near_dup, ivf_pq_index, ivf_pq_rerank_topk,
+    ivf_pq_search, ivf_pq_topk, ivf_topk, lsh_topk, pq_adc_topk,
 )
 from .multimodal.binary_ops import (  # noqa: E402
     attach_payload, audio_frame_energy, decode_features, resize_images,
@@ -255,7 +255,7 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identical by construction — it is the same materialized data. At
 # 100 TB the equivalent is writing the signature table to scratch
 # parquet once per corpus snapshot and reading it back per consumer.
-_SHARED: dict[tuple, DataFrame] = {}
+_SHARED: dict[tuple, object] = {}  # DataFrames or tuples of DataFrames (shared index parts)
 
 
 def _shared_persist(spark: SparkSession, key: tuple, build) -> DataFrame:
@@ -1850,6 +1850,21 @@ def ss6_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SS8 — IVF-PQ: inverted-file candidate pruning + ADC scoring composed
 # ---------------------------------------------------------------------------
 
+def _ivfpq_parts(spark: SparkSession, sf_dir: str):
+    """The IVF-PQ index built ONCE per (session, corpus snapshot) and
+    shared by every search against it (ss8 flat search, ss9 shortlist)
+    — the in-session analog of the stored index tables a deployment
+    writes per snapshot; persisted like the dd/ss shared artifacts."""
+    key = (spark.sparkContext.applicationId, "ivfpq_idx", sf_dir)
+    parts = _SHARED.get(key)
+    if parts is None:
+        e = read_table(spark, sf_dir, "embeddings")
+        cent, cb, idx = ivf_pq_index(e, n_cells=16, n_sub=8, n_codes=16)
+        parts = (cent, cb.persist(), idx.persist())
+        _SHARED[key] = parts
+    return parts
+
+
 def _ss8_sql(k: int) -> str:
     """IVF-PQ shortlist SQL, top-``k`` by ADC — the ss8 oracle and,
     at a larger k, the shortlist CTE of ss9's rerank oracle."""
@@ -1949,10 +1964,10 @@ def ss8_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     search path. Fixed-point integer ADC end-to-end, so ranks are
     bit-identical across engines; the oracle materializes the same
     IVF assignment + (m, code) LUT relationally."""
-    e = read_table(spark, sf_dir, "embeddings")
-    return ivf_pq_topk(
-        e, e.where(F.col("vec_id") < 5),
-        n_cells=16, nprobe=4, n_sub=8, n_codes=16, k=10,
+    return ivf_pq_search(
+        _ivfpq_parts(spark, sf_dir),
+        read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5),
+        nprobe=4, n_sub=8, k=10,
     )
 
 
@@ -1999,6 +2014,7 @@ def ss9_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_rerank_topk(
         e, e.where(F.col("vec_id") < 5), shortlist_k=30, k=10,
         n_cells=16, nprobe=4, n_sub=8, n_codes=16,
+        index=_ivfpq_parts(spark, sf_dir),
     )
 
 
