@@ -153,6 +153,46 @@ def cmd_sql(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run one registered analytics query by name against a
+    testdata-shaped table directory and print JSON lines (rows capped
+    by --limit; --explain prints the formatted physical plan instead
+    of executing). The registry is the same 126-query surface the
+    driver verifies — this is the user-facing way to run any of them
+    standalone."""
+    from .queries import QUERIES
+    from .session import get_spark
+
+    if args.name not in QUERIES:
+        close = sorted(n for n in QUERIES if args.name.split("_")[0] in n)[:5]
+        print(
+            json.dumps({"error": f"unknown query: {args.name}", "did_you_mean": close}),
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark("lavasmart-query")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    for row in df.limit(args.limit).toJSON().collect():
+        print(row)
+    return 0
+
+
+def cmd_list_queries(args: argparse.Namespace) -> int:
+    """List the registered query surface, one JSON line per query
+    (name + first docstring line), importable without a JVM."""
+    import inspect
+
+    from .queries import QUERIES
+
+    for name, fn in sorted(QUERIES.items()):
+        doc = (inspect.getdoc(fn) or "").split("\n")[0]
+        print(json.dumps({"name": name, "doc": doc}, sort_keys=True))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lavasmart-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -189,6 +229,18 @@ def main(argv: list[str] | None = None) -> int:
     ql.add_argument("--limit", type=int, default=1000, help="max rows printed")
     ql.add_argument("query", help="SQL over the registered table views")
     ql.set_defaults(fn=cmd_sql)
+
+    qr = sub.add_parser("query", help="run one registered analytics query by name")
+    qr.add_argument("name", help="query name (see the `queries` subcommand)")
+    qr.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="directory of the parquet tables the query reads")
+    qr.add_argument("--limit", type=int, default=1000, help="max rows printed")
+    qr.add_argument("--explain", action="store_true",
+                    help="print the formatted physical plan instead of running")
+    qr.set_defaults(fn=cmd_query)
+
+    lq = sub.add_parser("queries", help="list the registered query surface")
+    lq.set_defaults(fn=cmd_list_queries)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -142,3 +142,31 @@ def test_cli_sql_over_warehouse(spark, tmp_path, capsys):
     ]) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert lines and lines[0]["folio"] == "0-1" and lines[0]["monto"] == 1200.5
+
+
+def test_cli_list_queries(capsys):
+    """`queries` lists exactly the registered surface as JSON lines,
+    without needing a JVM."""
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+
+    assert main(["queries"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    names = {json.loads(line)["name"] for line in lines}
+    assert names == set(QUERIES)
+
+
+def test_cli_run_query_by_name(spark, capsys):
+    """`query <name>` runs a registered query against an sf dir and
+    prints row JSON; unknown names fail with exit 2 + suggestions."""
+    rc = main([
+        "query", "a1_sum_by_lot",
+        "--sf-dir", "/root/testdata/sf0.001", "--limit", "5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert 0 < len(out) <= 5
+    assert {"lote", "total"} <= set(json.loads(out[0]))
+
+    assert main(["query", "a1_definitely_not_registered"]) == 2
+    err = capsys.readouterr().err
+    assert "unknown query" in err and "a1_sum_by_lot" in err
