@@ -1609,15 +1609,14 @@ def node_triangle_counts(edges: DataFrame) -> DataFrame:
 _ML5_BIAS = -20000
 _ML5_W = {"tok": 100, "mwl": 20, "punct": -6, "sw": 9, "digit": -4}
 
-
-@query(
-    "ml5_classifier_inference",
-    f"""
+#: The shared integer feature frame (doc_id + five fixed-point
+#: features) — the WITH prefix of the ml5 and ml6 oracles.
+_ML5_FEAT_SQL = """
     WITH f AS (
       SELECT doc_id, coalesce(text, '') AS t,
-             CAST({{ntok}} AS BIGINT) AS n_tok,
-             len({{norm}}) AS n_nc,
-             {{hits_en}} AS sw
+             CAST({ntok} AS BIGINT) AS n_tok,
+             len({norm}) AS n_nc,
+             {hits_en} AS sw
       FROM documents
     ),
     feat AS (
@@ -1634,6 +1633,42 @@ _ML5_W = {"tok": 100, "mwl": 20, "punct": -6, "sw": 9, "digit": -4}
                   ELSE 0 END AS BIGINT) AS f_digit_bp
       FROM f
     )
+""".format(ntok="__NTOK__", norm="__NORM__", hits_en="__HITS__").replace(
+    "__NTOK__", _NTOK_SQL
+).replace("__NORM__", NORM_SQL).replace("__HITS__", _hits_sql("en"))
+
+
+def _ml5_features(d: DataFrame) -> DataFrame:
+    """The five integer fixed-point document features both frozen
+    models (ml5 linear, ml6 tree ensemble) score from — one
+    expression-only projection, shared so the two models provably
+    read identical inputs."""
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    norm = DD.normalized_text("text")
+    n_tok = T.token_count_ws("text").cast("long")
+    n_nc = F.length(norm)
+    length = F.length(raw)
+    punct = F.length(F.regexp_replace(raw, r"[A-Za-z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(raw, r"[^0-9]", ""))
+    sw = T.stopword_hits("text", "en").cast("long")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.when(n_tok > 0, F.floor((n_nc - n_tok + 1) * 100 / n_tok))
+        .otherwise(F.lit(0)).cast("long").alias("f_mwl"),
+        F.when(length > 0, F.floor(punct * 10000 / length))
+        .otherwise(F.lit(0)).cast("long").alias("f_punct_bp"),
+        F.when(n_tok > 0, F.floor(sw * 10000 / n_tok))
+        .otherwise(F.lit(0)).cast("long").alias("f_sw_bp"),
+        F.when(length > 0, F.floor(digits * 10000 / length))
+        .otherwise(F.lit(0)).cast("long").alias("f_digit_bp"),
+    )
+
+
+@query(
+    "ml5_classifier_inference",
+    f"""
+    {_ML5_FEAT_SQL}
     SELECT doc_id, n_tok, f_mwl, f_punct_bp, f_sw_bp, f_digit_bp,
            CAST({_ML5_BIAS}
                 + {_ML5_W['tok']} * LEAST(n_tok, 200) + {_ML5_W['mwl']} * f_mwl
@@ -1644,11 +1679,7 @@ _ML5_W = {"tok": 100, "mwl": 20, "punct": -6, "sw": 9, "digit": -4}
                 + {_ML5_W['punct']} * f_punct_bp + {_ML5_W['sw']} * f_sw_bp
                 + {_ML5_W['digit']} * f_digit_bp) >= 0 AS keep
     FROM feat
-    """.format(
-        ntok="__NTOK__", norm="__NORM__", hits_en="__HITS__",
-    ).replace("__NTOK__", _NTOK_SQL).replace("__NORM__", NORM_SQL).replace(
-        "__HITS__", _hits_sql("en")
-    ),
+    """,
 )
 def ml5_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ml5 — model INFERENCE at corpus scale (the fasttext-classifier /
@@ -1663,27 +1694,7 @@ def ml5_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring rides it for free). Integer weights × integer features ⇒
     the logit and keep decision are bit-identical across engines; the
     oracle recomputes the same arithmetic relationally."""
-    d = read_table(spark, sf_dir, "documents")
-    raw = F.coalesce(F.col("text"), F.lit(""))
-    norm = DD.normalized_text("text")
-    n_tok = T.token_count_ws("text").cast("long")
-    n_nc = F.length(norm)
-    length = F.length(raw)
-    punct = F.length(F.regexp_replace(raw, r"[A-Za-z0-9\s]", ""))
-    digits = F.length(F.regexp_replace(raw, r"[^0-9]", ""))
-    sw = T.stopword_hits("text", "en").cast("long")
-    feat = d.select(
-        "doc_id",
-        n_tok.alias("n_tok"),
-        F.when(n_tok > 0, F.floor((n_nc - n_tok + 1) * 100 / n_tok))
-        .otherwise(F.lit(0)).cast("long").alias("f_mwl"),
-        F.when(length > 0, F.floor(punct * 10000 / length))
-        .otherwise(F.lit(0)).cast("long").alias("f_punct_bp"),
-        F.when(n_tok > 0, F.floor(sw * 10000 / n_tok))
-        .otherwise(F.lit(0)).cast("long").alias("f_sw_bp"),
-        F.when(length > 0, F.floor(digits * 10000 / length))
-        .otherwise(F.lit(0)).cast("long").alias("f_digit_bp"),
-    )
+    feat = _ml5_features(read_table(spark, sf_dir, "documents"))
     logit = (
         F.lit(_ML5_BIAS)
         + F.lit(_ML5_W["tok"]) * F.least(F.col("n_tok"), F.lit(200))
@@ -1695,4 +1706,76 @@ def ml5_classifier_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.select(
         "doc_id", "n_tok", "f_mwl", "f_punct_bp", "f_sw_bp", "f_digit_bp",
         logit.alias("logit"), (logit >= 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml6 — tree-ensemble inference as nested CASE expressions
+# ---------------------------------------------------------------------------
+
+#: "Offline-trained" gradient-boosted ensemble: 3 depth-2 trees over
+#: the ml5 feature frame, encoded as (feature, threshold, (left pair),
+#: (right pair)) with integer leaf margins. The deployment pattern is
+#: scoring an XGBoost/LightGBM dump inside the engine — each tree is a
+#: nested CASE, the margin a sum of integer leaves.
+_ML6_TREES = [
+    ("n_tok", 20, ("f_sw_bp", 500, -800, -200), ("f_punct_bp", 800, 900, -300)),
+    ("f_mwl", 250, ("f_digit_bp", 1500, -100, -700), ("f_sw_bp", 1000, 200, 700)),
+    ("f_punct_bp", 1200, ("f_digit_bp", 2000, 400, -500), ("n_tok", 50, -900, -400)),
+]
+_ML6_BASE = 100
+
+
+def _ml6_tree_expr(tree) -> F.Column:
+    root_f, root_t, (lf, lt, ll, lr), (rf, rt, rl, rr) = tree
+    left = F.when(F.col(lf) < F.lit(lt), F.lit(ll)).otherwise(F.lit(lr))
+    right = F.when(F.col(rf) < F.lit(rt), F.lit(rl)).otherwise(F.lit(rr))
+    return F.when(F.col(root_f) < F.lit(root_t), left).otherwise(right)
+
+
+def _ml6_tree_sql(tree) -> str:
+    root_f, root_t, (lf, lt, ll, lr), (rf, rt, rl, rr) = tree
+    return (
+        f"(CASE WHEN {root_f} < {root_t} "
+        f"THEN (CASE WHEN {lf} < {lt} THEN {ll} ELSE {lr} END) "
+        f"ELSE (CASE WHEN {rf} < {rt} THEN {rl} ELSE {rr} END) END)"
+    )
+
+
+_ML6_MARGIN_SQL = " + ".join([str(_ML6_BASE)] + [_ml6_tree_sql(t) for t in _ML6_TREES])
+
+
+@query(
+    "ml6_tree_ensemble_inference",
+    f"""
+    {_ML5_FEAT_SQL}
+    SELECT doc_id,
+           CAST({_ML6_MARGIN_SQL} AS BIGINT) AS margin,
+           CASE WHEN ({_ML6_MARGIN_SQL}) >= 2000 THEN 'high'
+                WHEN ({_ML6_MARGIN_SQL}) >= 600 THEN 'mid'
+                ELSE 'low' END AS grade
+    FROM feat
+    """,
+)
+def ml6_tree_ensemble_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml6 — TREE-ensemble inference (the XGBoost/LightGBM deployment
+    companion of ml5's linear model): a frozen 3-tree depth-2 boosted
+    ensemble over the same shared integer feature frame, each tree
+    compiled to a nested CASE expression and the margin to a sum of
+    integer leaves — how a trained GBDT dump is scored inside a SQL
+    engine when a model server per row is unaffordable. Same scale
+    property as ml5: pure per-row projection in the scan stage, zero
+    exchanges, zero Python (covered by the ml5 plan-shape test
+    pattern); integer thresholds and leaves ⇒ margins and grades are
+    bit-identical across engines. Tree depth/count scale the
+    expression linearly — a 100-tree dump is the same codegen shape."""
+    feat = _ml5_features(read_table(spark, sf_dir, "documents"))
+    margin = F.lit(_ML6_BASE)
+    for tree in _ML6_TREES:
+        margin = margin + _ml6_tree_expr(tree)
+    margin = margin.cast("long")
+    return feat.select(
+        "doc_id",
+        margin.alias("margin"),
+        F.when(margin >= 2000, "high").when(margin >= 600, "mid").otherwise("low").alias("grade"),
     )

@@ -114,16 +114,18 @@ def test_ss9_rerank_fetch_is_broadcast_lookup(q):
             assert not re.search(col, args), args
 
 
-def test_ml5_inference_is_pure_projection(q):
-    """ml5: the frozen classifier runs as codegen'd expressions over
-    the scan — zero exchanges, zero Python evaluation nodes; at 100 TB
-    the scan is the entire cost and scoring rides it for free."""
-    plan = q("ml5_classifier_inference")
-    assert "Exchange" not in plan
-    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-                 "FlatMapGroupsInPandas"):
-        assert node not in plan, node
-    assert "codegen id" in plan  # formatted explain's whole-stage marker
+def test_ml5_ml6_inference_is_pure_projection(q):
+    """ml5/ml6: both frozen models (linear, tree ensemble) run as
+    codegen'd expressions over the scan — zero exchanges, zero Python
+    evaluation nodes; at 100 TB the scan is the entire cost and
+    scoring rides it for free."""
+    for name in ("ml5_classifier_inference", "ml6_tree_ensemble_inference"):
+        plan = q(name)
+        assert "Exchange" not in plan, name
+        for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                     "FlatMapGroupsInPandas"):
+            assert node not in plan, (name, node)
+        assert "codegen id" in plan  # formatted explain's whole-stage marker
 
 
 def test_mm6_shuffle_carries_hashes_not_payload(q):
