@@ -1388,3 +1388,60 @@ def w5_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau", "new_users", "cumulative_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W6 — rolling 7-day distinct users (bounded replication, no range join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w6_rolling_distinct_users",
+    """
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM daily),
+    expanded AS (
+      SELECT day + CAST(i AS INTEGER) AS anchor, user_id
+      FROM daily, UNNEST(range(0, 7)) AS t(i)
+    ),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM daily GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS rolling_7d_users
+    FROM days d
+    JOIN expanded e ON e.anchor = d.day
+    JOIN dau ON dau.day = d.day
+    GROUP BY d.day, dau.dau
+    """,
+)
+def w6_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — rolling 7-day distinct users per day, the growth-dashboard
+    primitive COUNT DISTINCT windows can't express (distinct is not
+    algebraic over sliding frames). Scale shape: collapse events to
+    day-grain DISTINCT (day, user) pairs FIRST (the only events-sized
+    shuffle), then replicate each pair to the ≤7 anchor days it
+    contributes to — a bounded ×7 fan-out equi-aggregated on anchor,
+    instead of the range join (nested-loop at scale) or a per-day
+    re-scan of 7 days of raw events. Anchors past the observed day
+    range drop out via the semi-join with the day list. When 7×
+    replication of the day grain is still too much (billions of DAU),
+    a12's mergeable HLL sketches are the approximate path: union 7
+    daily sketches per anchor."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = daily.select("day").distinct()
+    expanded = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day", "user_id"
+    ).select(F.expr("date_add(day, i)").alias("anchor"), "user_id")
+    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    rolling = (
+        days.join(expanded, days["day"] == expanded["anchor"])
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("rolling_7d_users"))
+    )
+    return (
+        rolling.join(dau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau", "rolling_7d_users",
+        )
+    )

@@ -114,6 +114,15 @@ def test_ss9_rerank_fetch_is_broadcast_lookup(q):
             assert not re.search(col, args), args
 
 
+def test_w6_rolling_window_is_equi_not_range_join(q):
+    """w6: the 7-day sliding distinct resolves as bounded replication
+    + equi-joins — a range-predicate join would fall back to a
+    nested loop and die at scale."""
+    plan = q("w6_rolling_distinct_users")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ml5_ml6_inference_is_pure_projection(q):
     """ml5/ml6: both frozen models (linear, tree ensemble) run as
     codegen'd expressions over the scan — zero exchanges, zero Python

@@ -155,3 +155,36 @@ def test_ml6_tree_walk_by_hand(spark):
     expected = _ML6_BASE + sum(tree[2][2] for tree in _ML6_TREES)
     assert r["margin"] == expected
     assert r["grade"] == "low"
+
+
+def test_w6_rolling_window_boundaries(spark):
+    """w6's 7-day window by hand: a user active on day 1 counts in
+    every window anchored through day 7 and is gone on day 8; the
+    window is [anchor-6, anchor] inclusive."""
+    from lavasmart_bank_sync_etl_spark.queries_warehouse import (
+        w6_rolling_distinct_users,
+    )
+    import lavasmart_bank_sync_etl_spark.queries_warehouse as qw
+
+    rows = [
+        (100, "2024-03-01 10:00:00"),
+        (200, "2024-03-07 10:00:00"),
+        (200, "2024-03-08 10:00:00"),
+        (300, "2024-03-08 11:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    orig = qw.read_table
+    qw.read_table = lambda s, d, t: df
+    try:
+        got = {r["day"]: r for r in w6_rolling_distinct_users(spark, "x").collect()}
+    finally:
+        qw.read_table = orig
+    # only observed days are anchors
+    assert set(got) == {"2024-03-01", "2024-03-07", "2024-03-08"}
+    assert (got["2024-03-01"]["dau"], got["2024-03-01"]["rolling_7d_users"]) == (1, 1)
+    # day 7: user 100 (from day 1, 7th day inclusive) + user 200
+    assert (got["2024-03-07"]["dau"], got["2024-03-07"]["rolling_7d_users"]) == (1, 2)
+    # day 8: user 100 aged out; 200 + 300 remain
+    assert (got["2024-03-08"]["dau"], got["2024-03-08"]["rolling_7d_users"]) == (2, 2)
