@@ -541,19 +541,20 @@ def synth_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         y, x = np.mgrid[0:_DHASH_H, 0:_DHASH_W]  # shared raster coords
-        lin = y * _DHASH_W + x
-        mix = (x + 3) * (y + 5)
+        lin = (y * _DHASH_W + x)[None, :, :]
+        mix = ((x + 3) * (y + 5))[None, :, :]
+        fidx = np.arange(n_frames, dtype=np.int64)
         for pdf in batches:
-            out_ids: list[int] = []
-            payloads: list[bytes] = []
-            for d in pdf[id_col].astype("int64"):
-                d = int(d)
-                base = d - 1 if (d % dup_every == 0 and d > 0) else d
-                for f in range(n_frames):
-                    cid = base * 16 + f
-                    gray = ((cid * 31 + lin) * 7 + mix * (cid % 97)) % 256
-                    out_ids.append(d * 16 + f)
-                    payloads.append(_ppm_bytes(gray))
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            base = np.where((ids % dup_every == 0) & (ids > 0), ids - 1, ids)
+            cids = (base[:, None] * 16 + fidx).ravel()  # (n·F,) content ids
+            # one vectorized raster computation for the whole batch
+            gray = (
+                (cids[:, None, None] * 31 + lin) * 7
+                + mix * (cids % 97)[:, None, None]
+            ) % 256
+            out_ids = (ids[:, None] * 16 + fidx).ravel()
+            payloads = [_ppm_bytes(g) for g in gray]
             yield pd.DataFrame({
                 "doc_id": pd.Series(out_ids, dtype="int64"),
                 "payload": payloads,

@@ -545,3 +545,75 @@ def duplicate_passage_spans(
         .where(F.col("span_tokens") >= min_tokens)
         .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.9,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: containment (overlap coefficient) —
+    ``|A∩B| / min(|A|, |B|)`` over k-shingle sets. Catches the case
+    symmetric Jaccard misses by construction: a document quoted IN
+    FULL inside a much larger one scores Jaccard ≈ |A|/|B| (→ 0 as B
+    grows) but containment 1.0 — the embedded-duplicate rule curation
+    pipelines (C4/RealNews lineage) apply beside symmetric dedup.
+
+    Same machinery and scale bounds as ``ngram_jaccard_pairs`` (one
+    shingle shuffle, grouped pair emission, ``max_posting`` skew cap
+    — the cap can only under-count intersections of boilerplate-only
+    pairs); only the denominator differs, so both scores ride one
+    pass and are emitted together for contrast.
+
+    Output: id_a < id_b, containment (4dp), jaccard (4dp).
+    """
+    sh = _shingle_rows(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    wsh = Window.partitionBy("shingle").orderBy(F.col(id_col).asc())
+    capped = (
+        sh.withColumn("_rn", F.row_number().over(wsh))
+        .where(F.col("_rn") <= max_posting)
+        .select("shingle", id_col)
+    )
+    ids = F.col("ids")
+    groups = (
+        capped.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size(ids) > 1)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = (
+        pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least("sz_a", "sz_b"), 4),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )

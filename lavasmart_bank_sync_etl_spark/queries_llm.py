@@ -390,6 +390,75 @@ def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_true_pairs(spark, sf_dir)
 
 
+#: dd17 corpus: every 25th document re-published QUOTED IN FULL
+#: inside its successor article — containment ~1.0, Jaccard ~0.5.
+_CONTAIN_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT a.doc_id + 200000 AS doc_id,
+       coalesce(h.text, '') || ' quoted material follows '
+         || coalesce(a.text, '') AS text
+FROM documents a JOIN documents h ON h.doc_id = a.doc_id + 1
+WHERE a.doc_id % 25 = 0
+"""
+
+
+@query(
+    "dd17_containment_pairs",
+    f"""
+    WITH corpus AS ({_CONTAIN_SQL}),
+    sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM corpus),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    capped AS (
+      SELECT doc_id, shingle FROM sh
+      QUALIFY row_number() OVER (PARTITION BY shingle ORDER BY doc_id) <= 1000
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / LEAST(sa.sz, sb.sz), 4) AS containment,
+           ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / LEAST(sa.sz, sb.sz) >= 0.9
+    """,
+)
+def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd17 — ASYMMETRIC near-dup by containment (overlap
+    coefficient): the quoted-in-full case symmetric Jaccard misses by
+    construction — a document embedded verbatim inside a larger one
+    scores Jaccard ≈ |A|/|B| (vanishing as B grows) but containment
+    1.0. Every 25th document is planted re-published quoted in full
+    inside its successor article; the query must flag each
+    (original, republication) pair at containment ~1.0 while their
+    Jaccard decays to |A|/(|A|+|H|) — under dd4's 0.6 bar whenever
+    the host is comparably long (0.29 for the first planted pair at
+    sf0.01; both scores ride each pair to show exactly that gap; the
+    host article is flagged contained too, which is correct). Same
+    single-shingle-shuffle machinery and 1000-id posting cap as dd4
+    (``operators/dedup.ngram_containment_pairs``); at 100 TB the LSH
+    prefilter slots in front identically."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    host = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("host_text")
+    )
+    planted = (
+        d.where(F.col("doc_id") % 25 == 0)
+        .join(host, "doc_id")
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(
+                F.coalesce(F.col("host_text"), F.lit("")),
+                F.lit(" quoted material follows "),
+                F.coalesce(F.col("text"), F.lit("")),
+            ).alias("text"),
+        )
+    )
+    return DD.ngram_containment_pairs(d.unionByName(planted), threshold=0.9)
+
+
 _JACCARD_EXACT_SQL = (
     "len(list_intersect(a.sh, b.sh)) / "
     "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
