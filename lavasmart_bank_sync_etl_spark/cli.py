@@ -157,7 +157,7 @@ def cmd_query(args: argparse.Namespace) -> int:
     """Run one registered analytics query by name against a
     testdata-shaped table directory and print JSON lines (rows capped
     by --limit; --explain prints the formatted physical plan instead
-    of executing). The registry is the same 126-query surface the
+    of executing). The registry is the same oracle-checked surface the
     driver verifies — this is the user-facing way to run any of them
     standalone."""
     from .queries import QUERIES

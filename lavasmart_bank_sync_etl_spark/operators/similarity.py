@@ -751,3 +751,32 @@ def ivf_pq_rerank_topk(
         rescored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def save_ivf_pq_index(
+    index_parts: tuple[DataFrame, DataFrame, DataFrame], path: str
+) -> None:
+    """Persist the IVF-PQ index as three parquet relations under
+    ``path`` (centroids/, codebook/, index/) — the literal form of
+    "the index is a stored table written once per corpus snapshot".
+    The index/ relation is written partitioned BY CELL, so a search
+    that probes nprobe cells prunes to nprobe/n_cells of the index
+    files at scan time (the inverted-file access pattern expressed as
+    partition pruning)."""
+    cent_arr, cb_row, index = index_parts
+    cent_arr.write.mode("overwrite").parquet(f"{path}/centroids")
+    cb_row.write.mode("overwrite").parquet(f"{path}/codebook")
+    index.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/index")
+
+
+def load_ivf_pq_index(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load a saved IVF-PQ index; the returned parts drop into
+    ``ivf_pq_search`` / ``ivf_pq_rerank_topk(index=...)`` unchanged.
+    Searches against the loaded index read sketch-sized relations and
+    never touch the raw corpus (rerank excepted, by design)."""
+    cent_arr = spark.read.parquet(f"{path}/centroids")
+    cb_row = spark.read.parquet(f"{path}/codebook")
+    index = spark.read.parquet(f"{path}/index")
+    return cent_arr, cb_row, index

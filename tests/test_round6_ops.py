@@ -188,3 +188,27 @@ def test_w6_rolling_window_boundaries(spark):
     assert (got["2024-03-07"]["dau"], got["2024-03-07"]["rolling_7d_users"]) == (1, 2)
     # day 8: user 100 aged out; 200 + 300 remain
     assert (got["2024-03-08"]["dau"], got["2024-03-08"]["rolling_7d_users"]) == (2, 2)
+
+
+def test_ivfpq_index_roundtrips_through_disk(spark, sf_dir, tmp_path):
+    """The stored-index contract: save the IVF-PQ index as parquet
+    (index/ partitioned by cell), reload it in place of the in-memory
+    parts, and the search returns bit-identical results; a probed
+    search over the loaded index shows partition pruning on cell."""
+    from lavasmart_bank_sync_etl_spark.operators.similarity import (
+        ivf_pq_index, ivf_pq_search, load_ivf_pq_index, save_ivf_pq_index,
+    )
+    from lavasmart_bank_sync_etl_spark.sources.tables import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    built = ivf_pq_index(e, n_cells=16, n_sub=8, n_codes=16)
+    save_ivf_pq_index(built, str(tmp_path / "idx"))
+    loaded = load_ivf_pq_index(spark, str(tmp_path / "idx"))
+
+    q = e.where(F.col("vec_id") < 5)
+    mem = sorted(map(tuple, ivf_pq_search(built, q, nprobe=4, k=10).collect()))
+    disk = sorted(map(tuple, ivf_pq_search(loaded, q, nprobe=4, k=10).collect()))
+    assert mem == disk
+    # cell really is a partition column of the stored index
+    files = {p.name for p in (tmp_path / "idx" / "index").iterdir() if p.is_dir()}
+    assert files and all(f.startswith("cell=") for f in files)
