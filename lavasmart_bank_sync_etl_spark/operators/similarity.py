@@ -627,6 +627,7 @@ def ivf_pq_index(
     n_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the IVF-PQ index once per corpus snapshot — the three
     stored relations a production deployment writes and every search
@@ -641,6 +642,14 @@ def ivf_pq_index(
     assignment = _assign(seeded, cent_arr).select("vid", "cell")
     cb_row, encoded = pq_encode(corpus, n_sub, n_codes, id_col, vec_col)
     index = encoded.select("vid", "codes").join(assignment, on="vid")
+    if meta_cols:
+        # filtered search needs the predicate columns IN the index —
+        # the metadata rides the 8-byte codes, so a filter never
+        # touches the raw corpus (the attribute-payload of a real
+        # vector store's index segment)
+        index = index.join(
+            corpus.select(F.col(id_col).alias("vid"), *meta_cols), on="vid"
+        )
     return cent_arr, cb_row, index
 
 
@@ -652,16 +661,28 @@ def ivf_pq_search(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    match_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Search the stored IVF-PQ index (``ivf_pq_index`` output):
     queries probe their ``nprobe`` nearest cells and ADC-score only
-    those inverted lists. Probes broadcast; the corpus never moves."""
+    those inverted lists. Probes broadcast; the corpus never moves.
+
+    ``match_cols`` is FILTERED search: columns present in both the
+    query set and the index (built with ``meta_cols``) are added to
+    the candidate join key, so e.g. ``("label",)`` restricts each
+    query to same-label candidates inside the hash join itself — no
+    post-filter pass, no corpus access, and at scale the equi-key
+    (cell, label) is exactly the composite the index layout prunes
+    by."""
     cent_arr, cb_row, index = index_parts
-    qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), *match_cols
+    )
     probes = (
         qs.crossJoin(F.broadcast(cent_arr))
         .select(
             "query_id",
+            *match_cols,
             _fp(F.col("q_vec")).alias("qe"),
             F.explode(
                 F.slice(
@@ -676,7 +697,7 @@ def ivf_pq_search(
     )
     pairs = (
         F.broadcast(probes)
-        .join(index, on="cell")
+        .join(index, on=["cell", *match_cols])
         .where(F.col("query_id") != F.col("vid"))
         .crossJoin(F.broadcast(cb_row))
         .select(

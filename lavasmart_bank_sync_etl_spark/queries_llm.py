@@ -1934,12 +1934,15 @@ def _ivfpq_parts(spark: SparkSession, sf_dir: str):
     return parts
 
 
-def _ss8_sql(k: int) -> str:
-    """IVF-PQ shortlist SQL, top-``k`` by ADC — the ss8 oracle and,
-    at a larger k, the shortlist CTE of ss9's rerank oracle."""
+def _ss8_sql(k: int, match_label: bool = False) -> str:
+    """IVF-PQ shortlist SQL, top-``k`` by ADC — the ss8 oracle; at a
+    larger k, the shortlist CTE of ss9's rerank oracle; with
+    ``match_label``, ss10's filtered search (candidates restricted to
+    the query's label inside the candidate join)."""
+    lbl_match = "AND a.label = p.label" if match_label else ""
     return f"""
     WITH seeded AS (
-      SELECT vec_id AS vid, embedding AS vec, vec_id % 16 AS cell0 FROM embeddings
+      SELECT vec_id AS vid, embedding AS vec, label, vec_id % 16 AS cell0 FROM embeddings
     ),
     by_pos AS (
       SELECT cell0, i - 1 AS pos, CAST(vec[i] AS DOUBLE) AS val
@@ -1958,16 +1961,17 @@ def _ss8_sql(k: int) -> str:
       FROM centroids
     ),
     assignment AS (
-      SELECT vid, cell FROM (
-        SELECT s.vid, c.cell,
+      SELECT vid, label, cell FROM (
+        SELECT s.vid, s.label, c.cell,
                row_number() OVER (PARTITION BY s.vid
                                   ORDER BY {{dot_sc}} DESC, c.cell ASC) AS r
         FROM seeded s CROSS JOIN cnorm c) WHERE r = 1
     ),
-    q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec, label
+          FROM embeddings WHERE vec_id < 5),
     probes AS (
-      SELECT query_id, cell FROM (
-        SELECT q.query_id, c.cell,
+      SELECT query_id, label, cell FROM (
+        SELECT q.query_id, q.label, c.cell,
                row_number() OVER (PARTITION BY q.query_id
                                   ORDER BY {{dot_qc}} DESC, c.cell ASC) AS r
         FROM q CROSS JOIN cnorm c) WHERE r <= 4
@@ -1997,7 +2001,7 @@ def _ss8_sql(k: int) -> str:
     ),
     cand AS (
       SELECT p.query_id, a.vid AS neighbor_id
-      FROM probes p JOIN assignment a USING (cell)
+      FROM probes p JOIN assignment a ON a.cell = p.cell {lbl_match}
       WHERE p.query_id <> a.vid
     ),
     adc AS (
@@ -2037,6 +2041,39 @@ def ss8_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ivfpq_parts(spark, sf_dir),
         read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5),
         nprobe=4, n_sub=8, k=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# SS10 — filtered vector search: metadata predicate inside the index join
+# ---------------------------------------------------------------------------
+
+@query("ss10_filtered_ivfpq", _ss8_sql(10, match_label=True))
+def ss10_filtered_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SS10 — FILTERED vector search, the production requirement plain
+    ANN benchmarks skip: each query retrieves top-10 among candidates
+    sharing its ``label`` (the "same tenant/category/language only"
+    predicate). The filter lives IN the index: ``ivf_pq_index`` built
+    with ``meta_cols=('label',)`` carries the attribute beside the
+    8-byte codes, and the search adds it to the candidate join key —
+    (cell, label) — so filtering happens inside the hash join with no
+    post-filter pass and no corpus access (a post-filter top-k would
+    silently return < k rows when the filter bites; pre-filtering
+    inside the join keeps k semantics). Separate shared index cache
+    entry from ss8/ss9's unlabeled index."""
+    key = (spark.sparkContext.applicationId, "ivfpq_idx_labeled", sf_dir)
+    parts = _SHARED.get(key)
+    if parts is None:
+        e = read_table(spark, sf_dir, "embeddings")
+        cent, cb, idx = ivf_pq_index(
+            e, n_cells=16, n_sub=8, n_codes=16, meta_cols=("label",)
+        )
+        parts = (cent, cb.persist(), idx.persist())
+        _SHARED[key] = parts
+    return ivf_pq_search(
+        parts,
+        read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 5),
+        nprobe=4, n_sub=8, k=10, match_cols=("label",),
     )
 
 

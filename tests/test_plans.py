@@ -167,6 +167,18 @@ def test_ivfpq_search_path_is_code_only(q):
         assert not re.search(r"\bqe#", args), args
 
 
+def test_ss10_filter_is_inside_the_candidate_join(q):
+    """ss10: the label predicate is part of the candidate hash-join
+    key — (cell, label) — not a post-filter over unfiltered
+    candidates; no exchange carries a vector column."""
+    import re
+    plan = q("ss10_filtered_ivfpq")
+    keys = [l for l in plan.splitlines() if "keys" in l.lower() and "cell#" in l]
+    assert any("label#" in l for l in keys), keys
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "embedding#" not in args and not re.search(r"vec#", args), args
+
+
 def test_no_unbounded_cartesian_anywhere(q):
     """Cross joins are only ever bounded-broadcast (query set × corpus,
     n_cells × corpus, B² block keys) — never a shuffle cartesian of

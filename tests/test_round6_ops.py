@@ -212,3 +212,27 @@ def test_ivfpq_index_roundtrips_through_disk(spark, sf_dir, tmp_path):
     # cell really is a partition column of the stored index
     files = {p.name for p in (tmp_path / "idx" / "index").iterdir() if p.is_dir()}
     assert files and all(f.startswith("cell=") for f in files)
+
+
+def test_ss10_returns_only_same_label_neighbors(spark, sf_dir):
+    """ss10's contract: every (query, neighbor) pair shares a label,
+    and per query the result is exactly the ADC top-10 of the
+    same-label candidate pool (no post-filter shortfall)."""
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+    from lavasmart_bank_sync_etl_spark.sources.tables import read_table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label").collect()
+    }
+    rows = QUERIES["ss10_filtered_ivfpq"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert labels[r["query_id"]] == labels[r["neighbor_id"]], r
+    # ranks are dense 1..n per query (k semantics, not post-filter gaps)
+    by_q: dict[int, list[int]] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
