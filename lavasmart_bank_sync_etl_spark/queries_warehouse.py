@@ -1445,3 +1445,78 @@ def w6_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dau", "rolling_7d_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A13 — rolling distinct via sketch union (w6's scale path, calibrated)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a13_rolling_sketch_users",
+    """
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM daily),
+    expanded AS (
+      SELECT day AS src_day, day + CAST(i AS INTEGER) AS anchor, user_id
+      FROM daily, UNNEST(range(0, 7)) AS t(i)
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT e.src_day) AS BIGINT) AS n_days_in_window,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_rolling_users,
+           TRUE AS within_bound
+    FROM days d JOIN expanded e ON e.anchor = d.day
+    GROUP BY d.day
+    """,
+)
+def a13_rolling_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — w6's sliding distinct at the scale where even the
+    day-grain replication is too much: ONE fixed-size HLL sketch per
+    day is the stored state, and each anchor's rolling estimate is
+    ``hll_union_agg`` over its ≤7 daily sketches — kilobytes moved
+    per anchor regardless of DAU, the sketch-union form of sliding
+    COUNT DISTINCT (a12's mergeability applied along the time axis;
+    in production the daily sketch table is what the ingest job
+    appends, and this query never touches raw events). Contract is
+    the a9/a12 calibration shape: exact rolling count (computed
+    w6's way) + Spark-verified ``within_bound`` (merged estimate
+    within 5% — ~6σ at lgK 14); the oracle checks the exact side and
+    expects TRUE everywhere. ``n_days_in_window`` pins the window
+    arithmetic (ramps 1..7 then stays 7)."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = daily.select("day").distinct()
+    daily_sk = daily.groupBy("day").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+    )
+    sk_expanded = daily_sk.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day", "sk"
+    ).select(F.expr("date_add(day, i)").alias("anchor"), "sk")
+    est = (
+        days.join(sk_expanded, days["day"] == sk_expanded["anchor"])
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_in_window"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        )
+    )
+    exact_expanded = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "day", "user_id"
+    ).select(F.expr("date_add(day, i)").alias("anchor"), "user_id")
+    exact = (
+        days.join(exact_expanded, days["day"] == exact_expanded["anchor"])
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_rolling_users"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_days_in_window",
+            "exact_rolling_users",
+            (
+                F.abs(F.col("est") - F.col("exact_rolling_users"))
+                / F.col("exact_rolling_users")
+                <= 0.05
+            ).alias("within_bound"),
+        )
+    )
