@@ -1,0 +1,441 @@
+"""Driver-facing queries: data-quality & pipeline-analytics wave —
+the Deequ-style checks and sequence analytics a 100 TB training-data
+pipeline runs before and after every ingest: per-column profiling,
+volume-anomaly detection, referential-integrity orphan counts,
+event-transition matrices, dedup-weighted corpus mass, top-k per
+group, and exponential smoothing over daily series.
+
+Same oracle conventions as queries.py: identical aliases on both
+sides, floats rounded (2dp money, 4dp ratios) so cross-engine
+summation order cannot flip the value hash, money summed as exact
+integer cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources.tables import read_table
+
+# ---------------------------------------------------------------------------
+# DQ1 — per-column profile of a table in one scan
+# ---------------------------------------------------------------------------
+
+# (column, null-safe min/max representation) — money is profiled in
+# exact integer cents and dates as ISO day strings so the min/max
+# REPRESENTATION is engine-independent (Java's Double.toString uses
+# scientific notation above 1e7; DuckDB's never does).
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_repr(name: str, aggregated):
+    """Engine-stable string representation of an aggregated VALUE
+    extreme — applied AFTER min/max so ordering is value order, never
+    lexicographic over the repr."""
+    if name == "o_totalprice":
+        return F.round(aggregated * 100).cast("long").cast("string")
+    if name == "o_orderdate":
+        return aggregated.cast("date").cast("string")
+    return aggregated.cast("string")
+
+
+_PROFILE_ORACLE_REPR = {
+    "o_totalprice": "CAST(CAST(round({c} * 100) AS BIGINT) AS VARCHAR)",
+    "o_orderdate": "CAST(CAST({c} AS DATE) AS VARCHAR)",
+}
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name in _PROFILE_COLS:
+        rep = _PROFILE_ORACLE_REPR.get(name, "CAST({c} AS VARCHAR)")
+        parts.append(
+            f"""
+            SELECT '{name}' AS column_name,
+                   COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({name}) AS n_null,
+                   COUNT(DISTINCT {name}) AS n_distinct,
+                   {rep.format(c=f"MIN({name})")} AS min_repr,
+                   {rep.format(c=f"MAX({name})")} AS max_repr
+            FROM orders
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("dq1_column_profile", _profile_oracle())
+def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ1 — one-scan column profile (the Deequ/great-expectations
+    shape): per column emit row count, null count, distinct count and
+    min/max representation, as a long-format table.
+
+    Scale shape: ONE pass over the fact table. All per-column
+    aggregates ride the same scan; the multi-column COUNT(DISTINCT)
+    lowers to Spark's Expand (5 rows per input row of only the
+    profiled columns, never the full payload), partial-aggregated
+    map-side. The result is 5 rows — the explode to long format
+    happens on a one-row DataFrame, driver-weight zero. At 100 TB the
+    exact distinct swaps for approx_count_distinct (a9 calibrates the
+    HLL error) and Expand drops out entirely.
+
+    Min/max aggregate the VALUE and only then convert the extreme to
+    an engine-stable representation (exact cents / ISO day / raw
+    string) — representing first and aggregating the strings would
+    silently turn value order into lexicographic order, and Java's
+    Double.toString (scientific notation above 1e7) would diverge from
+    DuckDB's float formatting.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    per_col = [
+        F.struct(
+            F.lit(name).alias("column_name"),
+            F.sum(F.col(name).isNull().cast("long")).alias("n_null"),
+            F.count_distinct(F.col(name)).alias("n_distinct"),
+            _profile_repr(name, F.min(name)).alias("min_repr"),
+            _profile_repr(name, F.max(name)).alias("max_repr"),
+        ).alias(name)
+        for name in _PROFILE_COLS
+    ]
+    one = o.agg(F.count(F.lit(1)).alias("n_rows"), *per_col)
+    exploded = one.select(
+        "n_rows", F.explode(F.array(*[F.col(n) for n in _PROFILE_COLS])).alias("p")
+    )
+    return exploded.select(
+        F.col("p.column_name").alias("column_name"),
+        "n_rows",
+        F.col("p.n_null").alias("n_null"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_repr").alias("min_repr"),
+        F.col("p.max_repr").alias("max_repr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ2 — daily volume anomaly (z-score against the table's own history)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dq2_volume_anomaly",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT AVG(n_events) AS mu, STDDEV_SAMP(n_events) AS sigma FROM daily
+    )
+    SELECT day, n_events,
+           ROUND((n_events - mu) / sigma, 4) AS z,
+           ABS(ROUND((n_events - mu) / sigma, 4)) > 2.0 AS is_anomaly
+    FROM daily, stats
+    """,
+)
+def dq2_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ2 — ingest-volume anomaly check: per-day row counts z-scored
+    against the mean/stddev of the table's own daily history; |z| > 2
+    flags the day. The check every scheduled pipeline runs before
+    promoting a partition.
+
+    Scale shape: first aggregate collapses the fact table to one row
+    per day (partial-agg absorbs everything map-side); the second
+    collapses the day axis to a ONE-ROW stats frame that broadcasts
+    back onto it. No unpartitioned window over the data, no second
+    scan of the facts — the z-score join touches only the tiny daily
+    rollup. The anomaly flag tests the ROUNDED z on both sides so the
+    boolean can never disagree with the printed score."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    stats = daily.agg(
+        F.avg("n_events").alias("mu"), F.stddev_samp("n_events").alias("sigma")
+    )
+    z = F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4)
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_events",
+        z.alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ3 — referential-integrity orphan counts across the star schema
+# ---------------------------------------------------------------------------
+
+_RELATIONSHIPS = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+]
+
+
+def _orphan_oracle() -> str:
+    parts = []
+    for child, ckey, parent, pkey in _RELATIONSHIPS:
+        parts.append(
+            f"""
+            SELECT '{child}.{ckey}->{parent}' AS relationship,
+                   COUNT(*) AS n_child_rows,
+                   CAST(COALESCE(SUM(CASE WHEN p.{pkey} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_orphans
+            FROM {child} c LEFT JOIN {parent} p ON c.{ckey} = p.{pkey}
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("dq3_referential_orphans", _orphan_oracle())
+def dq3_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3 — referential-integrity audit: for each FK edge of the star
+    schema, count child rows and orphans (child keys with no parent).
+    Parent keys are primary keys (unique), so the left join preserves
+    child cardinality on both engines.
+
+    Scale shape: each edge is a key-only equi-join — the child side
+    projects JUST the FK column before joining, so no payload
+    shuffles; the parent side projects its PK. Dimension parents
+    (customer/part/supplier) broadcast at typical star ratios; the
+    lineitem→orders edge shuffles keys only, with the count folded
+    into partial aggregates. Output is 4 rows."""
+    frames = []
+    for child, ckey, parent, pkey in _RELATIONSHIPS:
+        c = read_table(spark, sf_dir, child).select(ckey)
+        p = read_table(spark, sf_dir, parent).select(pkey)
+        joined = c.join(p, c[ckey] == p[pkey], "left")
+        frames.append(
+            joined.agg(
+                F.lit(f"{child}.{ckey}->{parent}").alias("relationship"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.coalesce(
+                    F.sum(F.col(pkey).isNull().cast("long")), F.lit(0)
+                ).alias("n_orphans"),
+            ).select("relationship", "n_child_rows", "n_orphans")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EV5 — event-transition matrix (first-order Markov over user streams)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ev5_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, event_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    totals AS (
+      SELECT prev_type, SUM(n) AS tot FROM counts GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.event_type, c.n,
+           ROUND(c.n / t.tot, 4) AS p
+    FROM counts c JOIN totals t USING (prev_type)
+    """,
+)
+def ev5_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV5 — first-order transition matrix over per-user event
+    streams: LAG within (user, time) order, then (prev → next) counts
+    and row-normalized probabilities. The funnel-debugging view next
+    to ev3's fixed funnel.
+
+    Scale shape: the window partitions by user_id — millions of
+    independent partitions, no global sort; (ts, event_id) ordering
+    makes ties deterministic. The transition table is at most
+    |types|² rows, so its row-normalization is a broadcast join, and
+    n/tot divides exact integers — both engines produce the identical
+    double before the shared 4dp round."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return counts.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 4).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A14 — top-k per group (monthly top spenders)
+# ---------------------------------------------------------------------------
+
+@query(
+    "a14_topk_per_group",
+    """
+    WITH per_cust AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey,
+             ROUND(SUM(o_totalprice), 2) AS total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT month, o_custkey, total, rk FROM (
+      SELECT month, o_custkey, total,
+             ROW_NUMBER() OVER (PARTITION BY month ORDER BY total DESC, o_custkey) AS rk
+      FROM per_cust
+    ) WHERE rk <= 3
+    """,
+)
+def a14_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — top-3 customers by spend per month: pre-aggregate, then
+    rank within group. The per-group leaderboard every reporting layer
+    needs.
+
+    Scale shape: the heavy lifting is the (month, custkey) aggregate
+    — partial-agg absorbs the fact table map-side and the window then
+    runs over the SMALL rollup, partitioned by month (no global
+    sort). Ranking on the ROUNDED total with custkey as tiebreak makes
+    row_number deterministic across engines. At extreme group
+    cardinality the window swaps for a per-partition top-k
+    (min-heap in applyInPandas), but month × customer is nowhere near
+    that."""
+    o = read_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_custkey"
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    w = Window.partitionBy("month").orderBy(
+        F.col("total").desc(), F.col("o_custkey")
+    )
+    return (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("month", "o_custkey", "total", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CU5 — dedup-weighted corpus mass per source
+# ---------------------------------------------------------------------------
+
+@query(
+    "cu5_dedup_weighted_mass",
+    """
+    WITH docs AS (
+      SELECT doc_id, source, md5(text) AS h,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    sizes AS (
+      SELECT h, COUNT(*) AS csize FROM docs GROUP BY h
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT d.h) AS BIGINT) AS n_unique_texts,
+           ROUND(SUM(1.0 / s.csize), 4) AS effective_docs,
+           ROUND(SUM(CAST(d.n_tokens AS DOUBLE) / s.csize), 4) AS effective_tokens
+    FROM docs d JOIN sizes s USING (h)
+    GROUP BY d.source
+    """,
+)
+def cu5_dedup_weighted_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CU5 — duplication-adjusted corpus mass: each document counts
+    1/cluster_size (exact-dup clusters via content digest), giving the
+    per-source share of UNIQUE data — the number mixture weighting
+    (cu2) should be fed instead of raw doc counts, since raw counts
+    double-fund duplicated sources.
+
+    Scale shape: cluster sizes aggregate on the 32-char digest only;
+    the join back to documents is digest↔digest with (doc_id, source,
+    n_tokens) as the only payload — full text never shuffles (tokens
+    are counted before the join). Cluster-size table ≈ corpus
+    cardinality but 40 bytes/row; per-source rollup partial-aggs.
+    Weights are 1/int sums rounded 4dp on both sides."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    sizes = d.groupBy("h").agg(F.count(F.lit(1)).alias("csize"))
+    joined = d.join(sizes, "h")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("h").alias("n_unique_texts"),
+        F.round(F.sum(F.lit(1.0) / F.col("csize")), 4).alias("effective_docs"),
+        F.round(
+            F.sum(F.col("n_tokens").cast("double") / F.col("csize")), 4
+        ).alias("effective_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W7 — exponential moving average over daily series (deterministic fold)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w7_ema_daily_value",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(day) AS last_day,
+           ROUND(list_reduce(list(CAST(cents AS DOUBLE) ORDER BY day),
+                             (acc, x) -> (acc + x) / 2) / 100, 4) AS ema
+    FROM daily GROUP BY event_type
+    """,
+)
+def w7_ema_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 — exponential moving average (α = 0.5) of daily value per
+    event type, as a LEFT FOLD over the day-ordered series: the
+    recurrence s₁ = x₁, sₜ = (sₜ₋₁ + xₜ)/2. The trend line next to
+    w1's running total; α = ½ keeps every step a power-of-two scale.
+
+    Determinism: Spark's ``F.aggregate`` and DuckDB's ``list_reduce``
+    execute the IDENTICAL sequence of IEEE doubles ops over the same
+    day-sorted list of exact integer cents, so the fold is bitwise
+    reproducible across engines (same device as
+    operators/clustering.py). Scale shape: the fact table collapses to
+    (type, day) partials first; only the tiny daily rollup is
+    collected into per-group arrays (state = O(#days), bounded axis —
+    documented like w5). An unbounded-key variant would move the fold
+    into applyInPandasWithState; the day axis never needs it."""
+    e = read_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    grouped = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.array_sort(F.collect_list(F.struct("day", "cents"))).alias("xs"),
+    )
+    vals = F.transform("xs", lambda s: s.getField("cents").cast("double"))
+    ema = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise((acc + x) / 2),
+    )
+    return grouped.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        F.round(ema / 100, 4).alias("ema"),
+    )

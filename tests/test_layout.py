@@ -97,6 +97,7 @@ def test_any_query_module_is_a_safe_first_import():
     mods = [
         "queries", "queries_merge", "queries_llm",
         "queries_pipeline", "queries_warehouse", "queries_curation",
+        "queries_quality",
     ]
     for mod in mods:
         code = (
