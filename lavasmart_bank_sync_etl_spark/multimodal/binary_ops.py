@@ -316,12 +316,19 @@ def _parse_wav(payload: bytes):
     return sample_rate, channels, np.frombuffer(data, dtype="<i2")
 
 
-def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_audio(
+    df: DataFrame, id_col: str = "doc_id", silence_gate: bool = False
+) -> DataFrame:
     """Synthesize a REAL WAV binary per row: sample i of doc d is
     ``((d*2654435761 + i*40503) mod 65536) - 32768`` (pure integer —
     reproducible in ANSI SQL), n_samples = 1024 + (d mod 4)*256.
     Stands in for reading an audio table; the payload is a genuine
-    RIFF/WAVE file any audio tool can open."""
+    RIFF/WAVE file any audio tool can open.
+
+    ``silence_gate=True`` zeroes every sample whose 256-sample frame
+    index j satisfies ``j mod 4 < 2`` — deterministic quiet spans for
+    the segmentation operator (mm7), same construction discipline as
+    the base formula."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -332,6 +339,8 @@ def synth_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 n = 1024 + (int(d) % 4) * 256
                 i = np.arange(n, dtype=np.int64)
                 s = (int(d) * 2654435761 + i * 40503) % 65536 - 32768
+                if silence_gate:
+                    s = np.where((i // 256) % 4 < 2, 0, s)
                 payloads.append(_wav_bytes(s))
             yield pd.DataFrame({
                 "doc_id": ids,

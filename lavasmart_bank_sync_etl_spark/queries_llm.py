@@ -1244,6 +1244,85 @@ def mm4_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm7_audio_silence_segments",
+    """
+    WITH d AS (
+      SELECT doc_id, (1024 + (doc_id % 4) * 256) // 256 AS n_frames
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, CAST(j AS INTEGER) AS frame_idx
+      FROM d, UNNEST(range(0, n_frames)) AS t(j)
+      WHERE (j % 4) < 2
+    ),
+    runs AS (
+      SELECT doc_id,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+      FROM f
+    ),
+    seg AS (
+      SELECT doc_id, grp, COUNT(*) AS run_len FROM runs GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(run_len) AS n_silent, COUNT(*) AS n_segments,
+             MAX(run_len) AS longest FROM seg GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.n_frames AS BIGINT) AS n_frames,
+           CAST(COALESCE(p.n_silent, 0) AS BIGINT) AS n_silent_frames,
+           CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(p.longest, 0) AS BIGINT) AS longest_silence
+    FROM d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def mm7_audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM7 — VAD-style silence segmentation over REAL decoded audio:
+    gated WAVs (every frame j with j mod 4 < 2 is zeroed at synthesis)
+    are decoded back through the genuine RIFF parser, reduced to
+    per-frame RMS (mm4's kernel), and the zero-energy frames are
+    grouped into maximal runs with the gaps-and-islands device
+    (frame_idx − row_number). Output per clip: frame count, silent
+    frames, segment count, longest silence — the trim/split decision
+    data an audio-curation pipeline needs. The oracle recomputes the
+    gate from the construction, so a hash match proves the
+    synth→encode→decode→RMS→islands chain reproduces the planted
+    silence exactly.
+
+    Scale shape: decode + RMS stay in the Arrow ``mapInPandas`` scan
+    stage (payloads never shuffle); only (doc_id, frame_idx) of
+    SILENT frames reaches the islands window, which partitions by
+    doc_id — per-clip frame counts are bounded, so no skew. At 100 TB
+    the threshold becomes `rms < ε` instead of == 0; the plan is
+    identical."""
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    frames = audio_frame_energy(synth_audio(d, silence_gate=True), frame=256)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    runs = (
+        frames.where(F.col("rms") == 0.0)
+        .select("doc_id", "frame_idx")
+        .withColumn("grp", F.col("frame_idx") - F.row_number().over(w))
+    )
+    seg = runs.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    per_doc = seg.groupBy("doc_id").agg(
+        F.sum("run_len").alias("n_silent"),
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("run_len").alias("longest"),
+    )
+    totals = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        F.coalesce("n_silent", F.lit(0)).alias("n_silent_frames"),
+        F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+        F.coalesce("longest", F.lit(0)).alias("longest_silence"),
+    )
+
+
+@query(
     "mm5_image_dhash_dedup",
     """
     WITH d AS (
@@ -1831,6 +1910,92 @@ def st7_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("st7: streaming query did not finish within 300s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(stream_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+    _STREAM_SINKS[cache_key] = sink
+    return spark.table(sink)
+
+
+@query(
+    "st10_stream_static_enrichment",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS mktsegment,
+           n.n_name AS nation,
+           CAST(round(e.value * 100) AS BIGINT) AS cents
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def st10_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10 — STREAM-STATIC enrichment: the event stream joined to a
+    batch dimension (customer ⨝ nation, pre-joined once) per
+    micro-batch. The streaming twin of j6's broadcast enrichment and
+    the shape every real-time feature pipeline starts with.
+
+    Scale notes: a stream-static equi-join is STATELESS — no state
+    store, no watermark, nothing to evict; the dimension broadcasts
+    into each micro-batch (dim-side hash relation built once per
+    trigger) and the stream side never shuffles. Unlike st7's
+    stream-stream join there is no correctness dependence on
+    watermark progress, so availableNow emits every enriched row
+    exactly once in append mode. Same harness + per-session sink
+    retention as st3/st6/st7."""
+    import os
+    import shutil
+
+    cache_key = (spark.sparkContext.applicationId, "st10", sf_dir)
+    cached_sink = _STREAM_SINKS.get(cache_key)
+    if cached_sink is not None:
+        return spark.table(cached_sink)
+
+    stream_dir = tempfile.mkdtemp(prefix="st10_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="st10_ckpt_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(stream_dir, "events.parquet"))
+
+    from .sources.tables import read_parquet_robust, read_table
+
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(read_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+    raw_schema = read_parquet_robust(spark, f"{sf_dir}/events.parquet").schema
+    raw = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    enriched = (
+        raw.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "mktsegment", "nation", "cents")
+    )
+    sink = f"st10_enrich_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("st10: streaming query did not finish within 300s")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         shutil.rmtree(stream_dir, ignore_errors=True)

@@ -1224,6 +1224,87 @@ def j10_binned_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned_preceding_join(err, clk)
 
 
+@query(
+    "j11_interval_overlap_join",
+    """
+    WITH a AS (
+      SELECT event_id AS err_id, user_id,
+             epoch_us(ts) AS a_s, epoch_us(ts) + 1800000000 AS a_e
+      FROM events WHERE event_type = 'error'
+    ), b AS (
+      SELECT event_id AS pur_id, user_id,
+             epoch_us(ts) - 600000000 AS b_s, epoch_us(ts) + 600000000 AS b_e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, a.err_id, b.pur_id,
+           CAST(least(a.a_e, b.b_e) - greatest(a.a_s, b.b_s) AS BIGINT) AS overlap_us
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a.a_s <= b.b_e AND b.b_s <= a.a_e
+    """,
+)
+def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 — interval OVERLAP join: error-impact windows ([ts, ts+30m]
+    per error) intersected with purchase-attribution windows
+    ([ts−10m, ts+10m] per purchase) of the same user — "which
+    purchases were exposed to an active incident". j10's
+    point-in-preceding-window is a special case; generic overlap is
+    the harder shape (session × outage, ad × visit).
+
+    Scale rationale: the naive predicate is two inequalities — a
+    broadcast-nested-loop at 100 TB. Binning the time axis at
+    W = 30 min (≥ the longest interval on EITHER side, so every
+    interval touches ≤ 2 bins) turns it into an equi-join on
+    ``(user_id, bin)`` with bounded ≤2× replication of both sides and
+    the exact overlap test as a residual. Dedup is algebraic, not a
+    distinct pass: a pair is emitted only in the bin containing the
+    overlap's left edge ``max(a_start, b_start)`` — a bin both sides'
+    replicas provably cover — so each qualifying pair lands exactly
+    once. Bins use FLOOR (not cast-truncation), keeping pre-1970
+    timestamps in the right bin."""
+    w_us = 30 * 60 * 1_000_000
+    e = read_table(spark, sf_dir, "events")
+    a = e.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.unix_micros("ts").alias("a_s"),
+        (F.unix_micros("ts") + F.lit(w_us)).alias("a_e"),
+    )
+    b = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pur_id"),
+        F.col("user_id").alias("b_user"),
+        (F.unix_micros("ts") - F.lit(600_000_000)).alias("b_s"),
+        (F.unix_micros("ts") + F.lit(600_000_000)).alias("b_e"),
+    )
+
+    def binned(df: DataFrame, s: str, e_: str) -> DataFrame:
+        lo = F.floor(F.col(s) / F.lit(w_us)).cast("long")
+        hi = F.floor(F.col(e_) / F.lit(w_us)).cast("long")
+        return df.withColumn("bin", F.explode(F.array_distinct(F.array(lo, hi))))
+
+    ab = binned(a, "a_s", "a_e")
+    bb = binned(b, "b_s", "b_e").withColumnRenamed("bin", "b_bin")
+    left_edge_bin = F.floor(
+        F.greatest(F.col("a_s"), F.col("b_s")) / F.lit(w_us)
+    ).cast("long")
+    j = ab.join(
+        bb,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("bin") == F.col("b_bin"))
+        & (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        & (F.col("bin") == left_edge_bin),
+    )
+    return j.select(
+        "user_id",
+        "err_id",
+        "pur_id",
+        (
+            F.least(F.col("a_e"), F.col("b_e"))
+            - F.greatest(F.col("a_s"), F.col("b_s"))
+        ).alias("overlap_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # T9 — merge-on-read CDC view (base snapshot + delta log, no base rewrite)
 # ---------------------------------------------------------------------------

@@ -236,3 +236,87 @@ def test_ss10_returns_only_same_label_neighbors(spark, sf_dir):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for qid, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+
+
+# ---------------------------------------------------------------------------
+# late round-6 additions: st10 / j11 / mm7
+# ---------------------------------------------------------------------------
+
+def test_st10_matches_batch_join_and_caches_sink(spark, sf_dir):
+    """The stream-static enrichment emits exactly the batch join's
+    rows (stateless join ⇒ no watermark dependence), and a second call
+    reuses the per-session sink instead of re-running the stream."""
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+    from lavasmart_bank_sync_etl_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        map(tuple, QUERIES["st10_stream_static_enrichment"](spark, sf_dir).collect())
+    )
+    e = read_table(spark, sf_dir, "events")
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .join(read_table(spark, sf_dir, "nation"),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    want = sorted(map(tuple, (
+        e.join(dim, e.user_id == dim.c_custkey)
+        .select("event_id", "user_id",
+                F.col("c_mktsegment").alias("mktsegment"),
+                F.col("n_name").alias("nation"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"))
+    ).collect()))
+    assert got == want
+    again = sorted(
+        map(tuple, QUERIES["st10_stream_static_enrichment"](spark, sf_dir).collect())
+    )
+    assert again == got
+
+
+def test_j11_emits_each_overlap_exactly_once_across_bins(spark, tmp_path):
+    """Handcrafted intervals: a pair whose BOTH sides span two bins
+    must be emitted exactly once (left-edge-bin dedup), a
+    non-overlapping pair not at all, and touching endpoints count with
+    overlap_us = 0."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+
+    d = str(tmp_path)
+    t = lambda h, m, s=0: dt.datetime(2024, 1, 1, h, m, s)  # noqa: E731
+    rows = [
+        # error window [10:20, 10:50] spans bins 10:00-30 and 10:30-11:00
+        Row(event_id=1, ts=t(10, 20), user_id=1, event_type="error",
+            value=0.0, props="{}"),
+        # purchase window [10:25, 10:45] spans the same two bins -> overlap,
+        # both replicas cover the left edge 10:25; must appear ONCE
+        Row(event_id=2, ts=t(10, 35), user_id=1, event_type="purchase",
+            value=0.0, props="{}"),
+        # purchase window [11:20, 11:40] -> no overlap with [10:20, 10:50]
+        Row(event_id=3, ts=t(11, 30), user_id=1, event_type="purchase",
+            value=0.0, props="{}"),
+        # purchase window [10:50, 11:10] touches the error window end
+        # exactly -> inclusive overlap of zero length
+        Row(event_id=4, ts=t(11, 0), user_id=1, event_type="purchase",
+            value=0.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = QUERIES["j11_interval_overlap_join"](spark, d).collect()
+    pairs = sorted((r["err_id"], r["pur_id"], r["overlap_us"]) for r in out)
+    assert pairs == [(1, 2, 20 * 60 * 1_000_000), (1, 4, 0)]
+
+
+def test_mm7_segments_match_gate_construction(spark, sf_dir):
+    """Known answers from the gate (frames j with j%4<2 silent) for
+    each n_frames class 4..7: segment pattern SSaa|S|Sa ⇒
+    (n_segments, longest, n_silent) = 4:(1,2,2) 5:(2,2,3) 6:(2,2,4)
+    7:(2,2,4)."""
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+
+    expect = {4: (1, 2, 2), 5: (2, 2, 3), 6: (2, 2, 4), 7: (2, 2, 4)}
+    for r in QUERIES["mm7_audio_silence_segments"](spark, sf_dir).collect():
+        ns, lg, sil = expect[r["n_frames"]]
+        assert (r["n_segments"], r["longest_silence"], r["n_silent_frames"]) == \
+            (ns, lg, sil), r
