@@ -227,6 +227,117 @@ def dq3_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DQ4 — ingestion lag / freshness per stream partition
+# ---------------------------------------------------------------------------
+
+@query(
+    "dq4_ingestion_lag",
+    """
+    WITH per_type AS (
+      SELECT event_type, MAX(ts) AS head_ts, COUNT(*) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    head AS (SELECT MAX(head_ts) AS global_head FROM per_type)
+    SELECT event_type, n_events,
+           strftime(head_ts, '%Y-%m-%d %H:%M:%S') AS head_ts_str,
+           CAST(date_diff('minute', head_ts, global_head) AS BIGINT) AS lag_minutes
+    FROM per_type, head
+    """,
+)
+def dq4_ingestion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4 — freshness check: how far each event type's newest row
+    lags behind the newest row anywhere in the table. Anchoring on the
+    table's own head (not wall-clock) keeps the check deterministic
+    and replayable; a scheduler alerts on `lag_minutes > SLA`.
+
+    Scale shape: one aggregate collapses the facts to |types| rows;
+    the global head is a one-row frame broadcast back onto them.
+    Minute arithmetic uses whole-minute boundary counting (epoch-
+    minute difference), mirrored on both engines."""
+    e = read_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.max("ts").alias("head_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    head = per_type.agg(F.max("head_ts").alias("global_head"))
+    lag = (
+        F.floor(F.unix_micros("global_head") / 60_000_000)
+        - F.floor(F.unix_micros("head_ts") / 60_000_000)
+    ).cast("long")
+    return per_type.crossJoin(F.broadcast(head)).select(
+        "event_type",
+        "n_events",
+        F.date_format("head_ts", "yyyy-MM-dd HH:mm:ss").alias("head_ts_str"),
+        lag.alias("lag_minutes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ5 — key-uniqueness expectation across tables
+# ---------------------------------------------------------------------------
+
+_UNIQUE_KEYS = [("orders", "o_orderkey"), ("events", "event_id"), ("customer", "c_custkey")]
+
+
+def _unique_oracle() -> str:
+    parts = []
+    for table, key in _UNIQUE_KEYS:
+        parts.append(
+            f"""
+            SELECT '{table}.{key}' AS key_name,
+                   COUNT(*) AS n_rows,
+                   COUNT(DISTINCT {key}) AS n_keys,
+                   CAST(COUNT(*) - COUNT(DISTINCT {key}) AS BIGINT) AS n_excess_rows,
+                   CAST((SELECT MAX(c) FROM (
+                        SELECT COUNT(*) AS c FROM {table} GROUP BY {key})) AS BIGINT)
+                     AS max_multiplicity,
+                   COUNT(*) = COUNT(DISTINCT {key}) AS is_unique
+            FROM {table}
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("dq5_key_uniqueness", _unique_oracle())
+def dq5_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ5 — uniqueness expectation on declared keys: per key emit row
+    count, distinct keys, excess rows, worst multiplicity, and the
+    pass/fail flag. The primary-key audit run before any table is
+    trusted as a merge target (the reference's dedup-on-folio
+    assumption, turned into a measurable check).
+
+    Scale shape: per key ONE hash aggregate on the key column only
+    (count per key), then a tiny second agg folds counts into the
+    summary — no distinct-expand, no payload columns, fully
+    partial-aggregated. NULL keys: the synthetic keys are non-null;
+    with nullable keys the groupBy treats NULL as a key value on both
+    engines alike."""
+    frames = []
+    for table, key in _UNIQUE_KEYS:
+        per_key = (
+            read_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        frames.append(
+            per_key.agg(
+                F.lit(f"{table}.{key}").alias("key_name"),
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                (F.sum("c") - F.count(F.lit(1))).alias("n_excess_rows"),
+                F.max("c").alias("max_multiplicity"),
+                (F.sum("c") == F.count(F.lit(1))).alias("is_unique"),
+            ).select(
+                "key_name", "n_rows", "n_keys", "n_excess_rows",
+                "max_multiplicity", "is_unique",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # EV5 — event-transition matrix (first-order Markov over user streams)
 # ---------------------------------------------------------------------------
 

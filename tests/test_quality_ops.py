@@ -217,3 +217,53 @@ def test_cu5_join_shuffles_digests_not_text(spark, sf_dir):
     for line in plan.splitlines():
         if line.strip().startswith("Arguments:") and "hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_dq4_lag_counts_minute_boundaries(spark, tmp_path):
+    """Freshness lag counts MINUTE-BOUNDARY crossings (both engines'
+    semantics): 20 s apart across a boundary → 1; 20 s apart within
+    one minute → 0; the head row itself → 0."""
+    import datetime as dt
+    from pyspark.sql import Row
+
+    d = str(tmp_path)
+    rows = [
+        Row(event_id=1, ts=dt.datetime(2024, 1, 1, 10, 0, 10), user_id=1,
+            event_type="head", value=1.0, props="{}"),
+        Row(event_id=2, ts=dt.datetime(2024, 1, 1, 9, 59, 50), user_id=1,
+            event_type="cross", value=1.0, props="{}"),
+        Row(event_id=3, ts=dt.datetime(2024, 1, 1, 10, 0, 5), user_id=1,
+            event_type="same_min", value=1.0, props="{}"),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    out = {
+        r["event_type"]: r["lag_minutes"]
+        for r in entrymod.queries()["dq4_ingestion_lag"](spark, d).collect()
+    }
+    assert out == {"head": 0, "cross": 1, "same_min": 0}
+
+
+def test_dq5_flags_planted_duplicate_key(spark, tmp_path):
+    """A planted duplicate key flips is_unique and reports the excess
+    row and multiplicity."""
+    from pyspark.sql import Row
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [Row(o_orderkey=k) for k in [1, 2, 2, 3]]
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame([Row(event_id=1)]).write.mode("overwrite").parquet(
+        f"{d}/events.parquet"
+    )
+    spark.createDataFrame([Row(c_custkey=1)]).write.mode("overwrite").parquet(
+        f"{d}/customer.parquet"
+    )
+    rows = {
+        r["key_name"]: r
+    for r in entrymod.queries()["dq5_key_uniqueness"](spark, d).collect()}
+    o = rows["orders.o_orderkey"]
+    assert (o["n_rows"], o["n_keys"], o["n_excess_rows"],
+            o["max_multiplicity"], o["is_unique"]) == (4, 3, 1, 2, False)
+    assert rows["events.event_id"]["is_unique"] is True
