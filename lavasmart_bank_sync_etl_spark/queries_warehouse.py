@@ -464,6 +464,74 @@ def a10_approx_percentile_calibration(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@query(
+    "a15_cms_frequency_calibration",
+    """
+    WITH pk AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    )
+    SELECT user_id, exact_n, TRUE AS overestimates, TRUE AS within_bound
+    FROM pk ORDER BY exact_n DESC, user_id LIMIT 10
+    """,
+)
+def a15_cms_frequency_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — count-min sketch calibration: the FREQUENCY sketch
+    completing the trio with A9 (distinct, HLL) and A10 (quantiles,
+    GK) — heavy-hitter queries ("which users/domains dominate the
+    corpus") without materializing the full per-key table. The sketch
+    is d=4 hash rows × w=256 counters; an update adds the key's count
+    to one counter per row, an estimate is the MIN over the key's d
+    counters. Counters are linear, so partial aggregation composes
+    freely and sketches from different partitions/days merge by
+    cell-wise addition (the a12 property, for frequencies).
+
+    The estimate is hash-layout-specific, so the driver contract is
+    the a9 device: exact counts of the top-10 heaviest keys
+    (deterministic tiebreak on key) plus two Spark-verified flags —
+    ``overestimates`` (CMS can never undercount: every counter the key
+    touches contains its full count) and ``within_bound``
+    (est ≤ exact + ⌈(e/w)·N⌉, the ε·N Markov bound) — which the
+    oracle expects TRUE everywhere.
+
+    Scale shape: one per-key aggregate (the thing being sketched —
+    kept here because the calibration needs exact truth), a 1024-cell
+    sketch built by bounded ×4 fan-out of the KEY table (not the
+    facts), a broadcast join of the tiny sketch back onto keys, and
+    top-k via sort+limit = per-partition heaps + driver merge
+    (TakeOrderedAndProject), NOT a global window. In production the
+    exact per-key truth drops out and the facts update the sketch
+    directly map-side."""
+    e = read_table(spark, sf_dir, "events")
+    d_rows, width = 4, 256
+    pk = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    keyed = pk.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.array(*[F.lit(j) for j in range(d_rows)])).alias("seed"),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col("user_id"), F.col("seed")), F.lit(width))
+    )
+    sketch = keyed.groupBy("seed", "bucket").agg(F.sum("exact_n").alias("cell"))
+    est = (
+        keyed.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    total = e.agg(F.count(F.lit(1)).alias("n_total"))
+    eps_slack = F.ceil(F.lit(2.718281828) / width * F.col("n_total"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_n",
+            (F.col("cms_est") >= F.col("exact_n")).alias("overestimates"),
+            (F.col("cms_est") <= F.col("exact_n") + eps_slack).alias("within_bound"),
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # A12 — mergeable-sketch rollup (incremental COUNT DISTINCT maintenance)
 # ---------------------------------------------------------------------------

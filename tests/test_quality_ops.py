@@ -267,3 +267,32 @@ def test_dq5_flags_planted_duplicate_key(spark, tmp_path):
     assert (o["n_rows"], o["n_keys"], o["n_excess_rows"],
             o["max_multiplicity"], o["is_unique"]) == (4, 3, 1, 2, False)
     assert rows["events.event_id"]["is_unique"] is True
+
+
+def test_a15_topk_exact_and_flags(spark, sf_dir):
+    """a15's exact side equals the directly-computed top-10 heaviest
+    users, and both CMS guarantees hold on real data."""
+    rows = entrymod.queries()["a15_cms_frequency_calibration"](
+        spark, sf_dir
+    ).collect()
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = sorted(
+        ((r["user_id"], r["cnt"]) for r in
+         e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = sorted(((r["user_id"], r["exact_n"]) for r in rows),
+                 key=lambda t: (-t[1], t[0]))
+    assert got == want
+    for r in rows:
+        assert r["overestimates"] and r["within_bound"], r
+
+
+def test_a15_topk_is_heap_not_window(spark, sf_dir):
+    """The top-k must lower to TakeOrderedAndProject (per-partition
+    heaps), never a global-sort window."""
+    plan = plan_of(
+        entrymod.queries()["a15_cms_frequency_calibration"](spark, sf_dir)
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
