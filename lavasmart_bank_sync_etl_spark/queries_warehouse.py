@@ -1669,3 +1669,60 @@ def a13_rolling_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W8 — equi-depth quantile binning (feature bucketing, exact-rank form)
+# ---------------------------------------------------------------------------
+
+@query(
+    "w8_equi_depth_bins",
+    """
+    WITH r AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type, CAST((4 * (rk - 1)) // n AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           MIN(cents) AS lo_cents, MAX(cents) AS hi_cents
+    FROM r GROUP BY event_type, bucket
+    """,
+)
+def w8_equi_depth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 — equi-depth (quantile) binning: every value assigned to its
+    within-group quartile by EXACT integer rank arithmetic,
+    ``bucket = (4·(rank−1)) div n`` — the feature-bucketing /
+    histogram-equalization op an ML pipeline runs before hashing
+    continuous features. Pure integer bucketing (rank and count, never
+    an interpolated cut point) makes the bin assignment bit-identical
+    across engines, with (value, event_id) ordering so ties are
+    deterministic; bucket populations are equal to ±1 by construction.
+
+    Scale shape: this is the exact-truth form — one window exchange
+    per group (rank and count share the same partition spec). At
+    100 TB the cut points come from ``approx_percentile`` instead
+    (a10 calibrates that sketch) and binning collapses to a
+    scan-stage projection against 3 broadcast thresholds; this query
+    is the truth it's calibrated against, same division of labor as
+    w6 (exact) vs a13 (sketch)."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return (
+        r.withColumn("bucket", F.expr("CAST((4 * (rk - 1)) DIV n AS BIGINT)"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )

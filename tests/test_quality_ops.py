@@ -296,3 +296,20 @@ def test_a15_topk_is_heap_not_window(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_w8_bins_are_equal_depth_and_ordered(spark, sf_dir):
+    """Per type: four buckets, populations equal to ±1, and bucket
+    value ranges strictly ordered (hi of bucket b ≤ lo of bucket
+    b+1 — ties may share a boundary cent but never invert)."""
+    rows = entrymod.queries()["w8_equi_depth_bins"](spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in rs] == [0, 1, 2, 3], t
+        depths = [r["n_rows"] for r in rs]
+        assert max(depths) - min(depths) <= 1, (t, depths)
+        for a, b in zip(rs, rs[1:]):
+            assert a["hi_cents"] <= b["lo_cents"], (t, a, b)
