@@ -164,7 +164,18 @@ def cmd_query(args: argparse.Namespace) -> int:
     from .session import get_spark
 
     if args.name not in QUERIES:
-        close = sorted(n for n in QUERIES if args.name.split("_")[0] in n)[:5]
+        # rank by longest shared prefix so "a1_typo" suggests
+        # a1_sum_by_lot before a10..a15 (plain substring+sort put the
+        # two-digit families first once the registry grew past a13)
+        def lcp(other: str) -> int:
+            n = 0
+            for x, y in zip(args.name, other):
+                if x != y:
+                    break
+                n += 1
+            return n
+
+        close = sorted(QUERIES, key=lambda n: (-lcp(n), n))[:5]
         print(
             json.dumps({"error": f"unknown query: {args.name}", "did_you_mean": close}),
             file=sys.stderr,
