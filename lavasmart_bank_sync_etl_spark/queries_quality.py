@@ -338,6 +338,78 @@ def dq5_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DQ6 — cross-field conformance constraints in one scan
+# ---------------------------------------------------------------------------
+
+# (name, SQL predicate, Spark predicate builder) — the predicate states
+# what a CONFORMING row satisfies; violations are its negation.
+_CONFORMANCE = [
+    ("n_chars_matches_text", "n_chars = length(text)",
+     lambda: F.col("n_chars") == F.length("text")),
+    ("lang_is_iso2", "regexp_matches(lang, '^[a-z]{2}$')",
+     lambda: F.col("lang").rlike("^[a-z]{2}$")),
+    ("text_nonempty", "text IS NOT NULL AND length(text) > 0",
+     lambda: F.col("text").isNotNull() & (F.length("text") > 0)),
+    ("doc_id_nonnegative", "doc_id >= 0",
+     lambda: F.col("doc_id") >= 0),
+]
+
+
+def _conformance_oracle() -> str:
+    parts = []
+    for name, pred, _ in _CONFORMANCE:
+        parts.append(
+            f"""
+            SELECT '{name}' AS constraint_name,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN NOT COALESCE(({pred}), FALSE)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   SUM(CASE WHEN NOT COALESCE(({pred}), FALSE)
+                       THEN 1 ELSE 0 END) = 0 AS passes
+            FROM documents
+            """
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("dq6_field_conformance", _conformance_oracle())
+def dq6_field_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ6 — cross-field conformance audit: declarative row-level
+    constraints (redundant-field consistency, domain regex, non-empty
+    payload, key range) evaluated in ONE scan, reported as
+    (constraint, rows, violations, pass). The complement of dq1's
+    statistics: dq1 describes, dq6 asserts. NULLs count as violations
+    (a row that can't prove conformance fails it) — COALESCE(...,
+    FALSE) on both engines.
+
+    Scale shape: every constraint is a scan-local boolean expression;
+    all of them fold into one partial-aggregated pass over the table
+    (no Expand — unlike dq1 there are no distincts), and the long
+    format explodes a single driver-weight row. Adding a constraint
+    is adding one column expression, not a pass."""
+    d = read_table(spark, sf_dir, "documents")
+    per_c = [
+        F.struct(
+            F.lit(name).alias("constraint_name"),
+            F.sum(
+                (~F.coalesce(build(), F.lit(False))).cast("long")
+            ).alias("n_violations"),
+        ).alias(name)
+        for name, _, build in _CONFORMANCE
+    ]
+    one = d.agg(F.count(F.lit(1)).alias("n_rows"), *per_c)
+    return one.select(
+        "n_rows",
+        F.explode(F.array(*[F.col(n) for n, _, _ in _CONFORMANCE])).alias("c"),
+    ).select(
+        F.col("c.constraint_name").alias("constraint_name"),
+        "n_rows",
+        F.col("c.n_violations").alias("n_violations"),
+        (F.col("c.n_violations") == 0).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # EV5 — event-transition matrix (first-order Markov over user streams)
 # ---------------------------------------------------------------------------
 

@@ -313,3 +313,38 @@ def test_w8_bins_are_equal_depth_and_ordered(spark, sf_dir):
         assert max(depths) - min(depths) <= 1, (t, depths)
         for a, b in zip(rs, rs[1:]):
             assert a["hi_cents"] <= b["lo_cents"], (t, a, b)
+
+
+def test_dq6_counts_planted_violations_and_nulls(spark, tmp_path):
+    """Planted violations: wrong n_chars, 3-letter lang, NULL text
+    (counts against BOTH the text and the n_chars constraints — NULL
+    can't prove conformance), negative doc_id."""
+    d = str(tmp_path)
+    docs = [
+        Row(doc_id=0, text="good doc", lang="en", n_chars=8, source="s"),
+        Row(doc_id=1, text="bad count", lang="en", n_chars=3, source="s"),
+        Row(doc_id=2, text="bad lang", lang="eng", n_chars=8, source="s"),
+        Row(doc_id=3, text=None, lang="en", n_chars=0, source="s"),
+        Row(doc_id=-1, text="bad id", lang="en", n_chars=6, source="s"),
+    ]
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    rows = {
+        r["constraint_name"]: r
+        for r in entrymod.queries()["dq6_field_conformance"](spark, d).collect()
+    }
+    v = {k: (r["n_violations"], r["passes"]) for k, r in rows.items()}
+    assert v == {
+        "n_chars_matches_text": (2, False),   # bad count + NULL text
+        "lang_is_iso2": (1, False),
+        "text_nonempty": (1, False),
+        "doc_id_nonnegative": (1, False),
+    }
+    assert all(r["n_rows"] == 5 for r in rows.values())
+
+
+def test_dq6_is_one_scan(spark, sf_dir):
+    """All conformance constraints ride ONE scan of documents."""
+    plan = plan_of(entrymod.queries()["dq6_field_conformance"](spark, sf_dir))
+    assert plan.count("Location:") == 1
