@@ -422,7 +422,7 @@ WHERE a.doc_id % 25 = 0
            ROUND(inter / LEAST(sa.sz, sb.sz), 4) AS containment,
            ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-    WHERE inter / LEAST(sa.sz, sb.sz) >= 0.9
+    WHERE ROUND(inter / LEAST(sa.sz, sb.sz), 4) >= 0.9
     """,
 )
 def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,8 +133,8 @@ def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT AVG(n_events) AS mu, STDDEV_SAMP(n_events) AS sigma FROM daily
     )
     SELECT day, n_events,
-           ROUND((n_events - mu) / sigma, 4) AS z,
-           ABS(ROUND((n_events - mu) / sigma, 4)) > 2.0 AS is_anomaly
+           ROUND((n_events - mu) / NULLIF(sigma, 0), 4) AS z,
+           ABS(ROUND((n_events - mu) / NULLIF(sigma, 0), 4)) > 2.0 AS is_anomaly
     FROM daily, stats
     """,
 )
@@ -150,7 +150,11 @@ def dq2_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     back onto it. No unpartitioned window over the data, no second
     scan of the facts — the z-score join touches only the tiny daily
     rollup. The anomaly flag tests the ROUNDED z on both sides so the
-    boolean can never disagree with the printed score."""
+    boolean can never disagree with the printed score. A degenerate
+    history (>=2 days with identical counts → sigma exactly 0) yields
+    NULL z / NULL flag on BOTH engines: sigma is NULLIF'd to NULL
+    before the division rather than letting Spark's NULL-on-/0 and
+    DuckDB's IEEE inf semantics diverge."""
     e = read_table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
@@ -158,7 +162,8 @@ def dq2_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.agg(
         F.avg("n_events").alias("mu"), F.stddev_samp("n_events").alias("sigma")
     )
-    z = F.round((F.col("n_events") - F.col("mu")) / F.col("sigma"), 4)
+    safe_sigma = F.when(F.col("sigma") != 0, F.col("sigma"))
+    z = F.round((F.col("n_events") - F.col("mu")) / safe_sigma, 4)
     return daily.crossJoin(F.broadcast(stats)).select(
         "day",
         "n_events",

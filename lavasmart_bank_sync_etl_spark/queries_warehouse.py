@@ -490,8 +490,15 @@ def a15_cms_frequency_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     (deterministic tiebreak on key) plus two Spark-verified flags —
     ``overestimates`` (CMS can never undercount: every counter the key
     touches contains its full count) and ``within_bound``
-    (est ≤ exact + ⌈(e/w)·N⌉, the ε·N Markov bound) — which the
-    oracle expects TRUE everywhere.
+    (est ≤ exact + 8·⌈(e/w)·N⌉) — which the oracle expects TRUE
+    everywhere. The slack is deliberately 8× the classic ε·N bound:
+    the 1× bound is only PROBABILISTIC (per key it fails with
+    ~e⁻⁴ ≈ 1.8% at d=4 — ~17% that at least one of 10 keys trips on
+    a fresh dataset/hash layout), so a hardcoded-TRUE oracle over it
+    would be fixture-dependent. At 8× the per-row Markov bound gives
+    P[fail] ≤ (1/8e)⁴ ≈ 4.5e-6 per key (~5e-5 across the 10), so the
+    flag is a stable engine contract while still certifying the
+    estimate lands within a small constant factor of ε·N.
 
     Scale shape: one per-key aggregate (the thing being sketched —
     kept here because the calibration needs exact truth), a 1024-cell
@@ -518,7 +525,7 @@ def a15_cms_frequency_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.min("cell").alias("cms_est"))
     )
     total = e.agg(F.count(F.lit(1)).alias("n_total"))
-    eps_slack = F.ceil(F.lit(2.718281828) / width * F.col("n_total"))
+    eps_slack = 8 * F.ceil(F.lit(2.718281828) / width * F.col("n_total"))
     return (
         est.crossJoin(F.broadcast(total))
         .select(
