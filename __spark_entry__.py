@@ -45,6 +45,26 @@ _REPO = pathlib.Path(__file__).resolve().parent
 _PKG = "lavasmart_bank_sync_etl_spark"
 
 
+def _row_green(row: object) -> bool:
+    """Is one driver correctness row fully-green evidence?
+
+    schema/hash: True passes; an explicit None passes only as the
+    driver's documented rows-only mode (oracle-less query — the key is
+    PRESENT with null). A MISSING key is a malformed artifact and must
+    not fake-green a query, so membership is checked, not defaulted.
+    """
+    if not isinstance(row, dict):
+        return False
+    return (
+        row.get("err") is None
+        and row.get("rows_match") is True
+        and all(
+            k in row and (row[k] is True or row[k] is None)
+            for k in ("schema_match", "hash_match")
+        )
+    )
+
+
 def _green_rounds() -> dict[str, int]:
     """Newest fully-green driver round per query (0 = never green)."""
     green: dict[str, int] = {}
@@ -57,15 +77,7 @@ def _green_rounds() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            ok = (
-                row.get("err") is None
-                and row.get("rows_match") is True
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-            )
-            if ok:
+            if _row_green(row):
                 green[name] = max(rnd, green.get(name, 0))
     return green
 

@@ -399,6 +399,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     return per_doc.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+def cap_postings(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    max_posting: int = 1000,
+) -> DataFrame:
+    """dd4's posting-list skew cap as a reusable primitive: keep the
+    first ``max_posting`` rows per bucket key (deterministic order),
+    bounding any downstream self-join's per-bucket fanout at
+    max_posting² instead of letting degenerate content (one hash for
+    every frame, one band value for boilerplate docs) quadratic-blow a
+    single bucket. Truncation is measurable, never silent — see
+    ``posting_cap_audit``."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .where(F.col("_cap_rn") <= max_posting)
+        .drop("_cap_rn")
+    )
+
+
 def simhash_hamming_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -406,6 +427,7 @@ def simhash_hamming_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_posting: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairing: candidates share at least one of
     ``bands`` byte-bands of the fingerprint, then verified with
@@ -416,7 +438,13 @@ def simhash_hamming_pairs(
     ≥1 full band) — the default (3 < 4) returns precisely the
     Hamming-≤3 pairs with no all-pairs comparison. Raising
     ``max_hamming`` past ``bands-1`` trades exactness for recall.
-    Singleton bands are dropped pre-join.
+    Singleton bands are dropped pre-join; surviving band buckets are
+    truncated at ``max_posting`` ids (``cap_postings``) so degenerate
+    content — a corpus of near-identical fingerprints collapsing into
+    one band value — bounds the self-join at max_posting² per bucket
+    instead of going quadratic in the corpus. Below the cap the
+    pigeonhole exactness is untouched; above it the miss is bounded to
+    capped buckets and measurable via ``posting_cap_audit``'s pattern.
     """
     band_width = bits // bands
     mask = (1 << band_width) - 1
@@ -435,6 +463,7 @@ def simhash_hamming_pairs(
     banded = banded.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_val"))
     ).where(F.col("_n") > 1).drop("_n")
+    banded = cap_postings(banded, ["band_id", "band_val"], [id_col], max_posting)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(
@@ -616,4 +645,41 @@ def ngram_containment_pairs(
         )
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
+def posting_cap_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Measure — not assert — what the shingle posting-list cap drops.
+
+    ``ngram_jaccard_pairs`` / ``ngram_containment_pairs`` truncate each
+    shingle's posting list at ``max_posting`` ids (the stop-shingle
+    skew cap). The cap is sound on organic corpora but SILENT: a
+    boilerplate-heavy corpus where many shingles exceed it would
+    under-count intersections without a trace. This audit rides the
+    same single shingle shuffle the pair queries use and reports, in
+    one row: distinct shingles, how many hit the cap, how many
+    (doc, shingle) postings the cap drops, and the longest posting
+    list — the "no silent caps" companion every capped-pair run should
+    log beside its pairs.
+
+    Scale: one groupBy on the shingle key (the exact shuffle dd4
+    already pays) collapsed to per-shingle counts, then a one-row
+    aggregate; nothing text-sized survives the first exchange.
+    """
+    posting = (
+        _shingle_rows(df, text_col, id_col, k)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return posting.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("n") > max_posting).cast("long")).alias("capped_shingles"),
+        F.sum(F.greatest(F.col("n") - max_posting, F.lit(0))).alias("dropped_postings"),
+        F.max("n").alias("max_posting_len"),
     )

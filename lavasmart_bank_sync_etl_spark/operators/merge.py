@@ -29,6 +29,11 @@ ACTION_UPDATE = "update"
 ACTION_UNCHANGED = "unchanged"
 ACTION_MOVE = "move"
 ACTION_DEST_ONLY = "dest_only"
+#: Folio has an UNRESOLVED (Estado='Pendiente') review-queue row: the
+#: guía's contract (GUIA_REVISION_PENDIENTE.md:114-136) is that the
+#: system never re-processes a parked conflict until a human flips it
+#: to 'Resuelto' — so the sync freezes the folio on both sides.
+ACTION_PARKED = "parked"
 
 #: Monitored fields per table family (DOCUMENTACION_SISTEMA.md:293-306):
 #: transfers watch banco; cards/cash/others don't (Code.gs:1341-1373).

@@ -117,6 +117,27 @@ class SyncJob:
         d = tagged.alias("dst")
         joined = s.join(d, on=F.col("src.folio").eqNullSafe(F.col("dst.folio")), how="full_outer")
 
+        # Review-queue resolution semantics (GUIA_REVISION_PENDIENTE.md:
+        # 114-136): a folio with an UNRESOLVED review row (Estado=
+        # 'Pendiente') is parked — the sync must not re-queue it, re-
+        # insert it, or touch any destination copy until a human flips
+        # the row to 'Resuelto', at which point it re-enters normal
+        # processing (the pending move then applies as a plain insert
+        # into its target). Parked folios are a human-scale set, so the
+        # lookup broadcasts.
+        parked = (
+            wh.read("review_queue")
+            .where(F.col("estado") == "Pendiente")
+            .select(F.col("folio").alias("_parked_folio"))
+            .distinct()
+        )
+        joined = joined.join(
+            F.broadcast(parked),
+            F.coalesce(F.col("src.folio"), F.col("dst.folio"))
+            == F.col("_parked_folio"),
+            "left",
+        )
+
         src_present = F.col("src.folio").isNotNull()
         dst_present = F.col("dst.folio").isNotNull()
         same_table = F.col("src.target_table") == F.col("dst.table_tag")
@@ -126,7 +147,8 @@ class SyncJob:
         ).otherwise(M.any_field_changed(M.DIFF_FIELDS_OTHERS))
 
         action = (
-            F.when(src_present & ~dst_present, F.lit(M.ACTION_INSERT))
+            F.when(F.col("_parked_folio").isNotNull(), F.lit(M.ACTION_PARKED))
+            .when(src_present & ~dst_present, F.lit(M.ACTION_INSERT))
             .when(~src_present & dst_present, F.lit(M.ACTION_DEST_ONLY))
             .when(~same_table, F.lit(M.ACTION_MOVE))
             .when(changed, F.lit(M.ACTION_UPDATE))

@@ -1084,7 +1084,7 @@ def ml2_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim,
              row_number() OVER (PARTITION BY b.vid ORDER BY a.vid ASC) AS rn
       FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vid < b.vid
-      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.999
+      WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.999
     )
     SELECT vec_id, dup_of, CAST(cluster AS BIGINT) AS cluster, cos_sim
     FROM hits WHERE rn = 1

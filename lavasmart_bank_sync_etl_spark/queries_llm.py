@@ -377,7 +377,7 @@ def dd3_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-    WHERE inter / (sa.sz + sb.sz - inter) >= 0.6
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.6
     """,
 )
 def dd4_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,6 +440,14 @@ def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shingle-shuffle machinery and 1000-id posting cap as dd4
     (``operators/dedup.ngram_containment_pairs``); at 100 TB the LSH
     prefilter slots in front identically."""
+    return DD.ngram_containment_pairs(
+        _containment_corpus(spark, sf_dir), threshold=0.9
+    )
+
+
+def _containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd17's corpus (the _CONTAIN_SQL twin): every 25th document
+    re-published quoted in full inside its successor article."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     host = d.select(
         (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("host_text")
@@ -456,7 +464,51 @@ def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return DD.ngram_containment_pairs(d.unionByName(planted), threshold=0.9)
+    return d.unionByName(planted)
+
+
+def _cap_audit_sql(corpus_sql: str, label: str, cap: int = 1000) -> str:
+    return f"""
+    SELECT '{label}' AS corpus, COUNT(*) AS n_shingles,
+           CAST(COALESCE(SUM(CASE WHEN n > {cap} THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS capped_shingles,
+           CAST(COALESCE(SUM(GREATEST(n - {cap}, 0)), 0) AS BIGINT)
+             AS dropped_postings,
+           CAST(MAX(n) AS BIGINT) AS max_posting_len
+    FROM (
+      SELECT shingle, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle
+            FROM ({corpus_sql})) sh
+      GROUP BY shingle
+    ) p
+    """
+
+
+@query(
+    "dd18_posting_cap_audit",
+    f"""
+    {_cap_audit_sql(NEAR_DUP_SQL, 'dd4')}
+    UNION ALL
+    {_cap_audit_sql(_CONTAIN_SQL, 'dd17')}
+    """,
+)
+def dd18_posting_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd18 — the "no silent caps" audit for dd4/dd17's 1000-id shingle
+    posting cap: per capped corpus, how many shingles actually HIT the
+    cap, how many (doc, shingle) postings it drops, and the longest
+    posting list observed (``operators/dedup.posting_cap_audit``). On
+    an organic corpus all-zero truncation is the expected reading; on
+    a boilerplate-heavy one this row is the evidence that dd4/dd17's
+    pair counts are undercounts — measured, not asserted. Runs the
+    exact shingle shuffle the pair queries pay, collapsed to one row
+    per corpus before anything leaves the executors."""
+    a4 = DD.posting_cap_audit(_near_dup_corpus(spark, sf_dir)).select(
+        F.lit("dd4").alias("corpus"), "*"
+    )
+    a17 = DD.posting_cap_audit(_containment_corpus(spark, sf_dir)).select(
+        F.lit("dd17").alias("corpus"), "*"
+    )
+    return a4.unionByName(a17)
 
 
 _JACCARD_EXACT_SQL = (
@@ -894,6 +946,8 @@ def tx7_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, simhash, CAST(b AS INTEGER) AS band_id,
              (simhash >> (CAST(b AS INTEGER) * 8)) & 255 AS band_val
       FROM sigs, UNNEST(range(0, 4)) AS t(b)
+      QUALIFY row_number() OVER (PARTITION BY band_id, band_val
+                                 ORDER BY doc_id) <= 1000
     )
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
            CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
@@ -907,7 +961,10 @@ def dd7_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification over the near-dup corpus — with 4 bands the
     pigeonhole bound makes this the EXACT Hamming-≤3 pair set, no
     all-pairs comparison (dd5 builds the fingerprints, this pairs
-    them)."""
+    them). Band buckets carry dd4's 1000-id posting cap (mirrored in
+    the oracle's QUALIFY): organic band diversity never reaches it, so
+    exactness holds; a degenerate corpus collapsing into one band
+    value gets a bounded join instead of a quadratic one."""
     sigs = DD.simhash(_near_dup_corpus(spark, sf_dir), bits=32)
     pairs = DD.simhash_hamming_pairs(sigs, bits=32, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
@@ -975,7 +1032,7 @@ def _emb_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) AS cos_sim
     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.999
+    WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 4) >= 0.999
     """,
 )
 def dd6_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1432,6 +1489,8 @@ _MM6_PIX = (
     fh AS (
       SELECT frame_key // 16 AS video_id, frame_key % 16 AS fidx, dhash_bits
       FROM hashes
+      QUALIFY row_number() OVER (PARTITION BY dhash_bits
+                                 ORDER BY frame_key) <= 1000
     ),
     pairs AS (
       SELECT a.video_id AS video_a, b.video_id AS video_b,
@@ -1458,9 +1517,12 @@ def mm6_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out and NO shuffle; the only exchange after hashing carries
     (video_id, frame_idx, 64-bit hash) — payloads never move (dd1's
     principle at video scale, plan-pinned). The pair join is an
-    equi-join on the hash; per-hash fanout is bounded by hash
-    diversity (measured max multiplicity 3 here) and dd4's
-    posting-list cap is the drop-in guard for degenerate content.
+    equi-join on the hash with dd4's posting cap WIRED (not just
+    available): each hash bucket is truncated at 1000 frames
+    (``cap_postings``, mirrored in the oracle's QUALIFY), so a corpus
+    of near-identical frames — every frame one hash — bounds the join
+    at 1000² per bucket instead of corpus². Organic multiplicity here
+    is ≤3, so the cap is invisible until content degenerates.
     Hamming-tolerant escalation is dd7's banded join on these same
     hashes."""
     from .multimodal.binary_ops import image_dhash, synth_frames
@@ -1471,6 +1533,7 @@ def mm6_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(16)).alias("fidx"),
         "dhash_bits",
     )
+    fh = DD.cap_postings(fh, ["dhash_bits"], ["video_id", "fidx"], 1000)
     a = fh.select(F.col("video_id").alias("video_a"), "dhash_bits")
     b = fh.select(
         F.col("video_id").alias("video_b"), F.col("fidx").alias("fb"), "dhash_bits"
@@ -2295,13 +2358,24 @@ def ss9_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .queries import ORACLES as _ORACLES  # populated above  # noqa: E402
 
-_SS7_SQL = f"""
-    WITH ex AS ({_ORACLES['ss1_brute_force_topk']}),
-    m_lsh AS ({_ORACLES['ss2_lsh_topk']}),
-    m_ivf AS ({_ORACLES['ss3_ivf_topk']}),
-    m_pq AS ({_ORACLES['ss6_pq_adc_topk']}),
-    m_ivfpq AS ({_ORACLES['ss8_ivfpq_topk']}),
-    m_rerank AS ({_ORACLES['ss9_ivfpq_rerank']}),
+
+def _ss7_sql(sample_mod: int | None = None) -> str:
+    """Scorecard SQL; ``sample_mod`` keeps only query_ids divisible by
+    it (the deterministic query sample — must match the Spark side)."""
+
+    def cte(name: str) -> str:
+        sql = _ORACLES[name]
+        if sample_mod is None:
+            return sql
+        return f"SELECT * FROM ({sql}) WHERE query_id % {int(sample_mod)} = 0"
+
+    return f"""
+    WITH ex AS ({cte('ss1_brute_force_topk')}),
+    m_lsh AS ({cte('ss2_lsh_topk')}),
+    m_ivf AS ({cte('ss3_ivf_topk')}),
+    m_pq AS ({cte('ss6_pq_adc_topk')}),
+    m_ivfpq AS ({cte('ss8_ivfpq_topk')}),
+    m_rerank AS ({cte('ss9_ivfpq_rerank')}),
     tn AS (SELECT COUNT(*) AS truth_n FROM ex),
     rates AS (
       SELECT 'brute' AS method, COUNT(*) AS hits FROM ex
@@ -2322,8 +2396,13 @@ _SS7_SQL = f"""
 """
 
 
+_SS7_SQL = _ss7_sql()
+
+
 @query("ss7_ann_recall_scorecard", _SS7_SQL)
-def ss7_ann_recall_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ss7_ann_recall_scorecard(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
+) -> DataFrame:
     """SS7 — the ANN family's quality scorecard: recall@10 of each
     approximate index (LSH buckets, IVF probes, PQ+ADC, IVF-PQ, IVF-PQ+rerank) against the
     exact brute-force top-10, as exact integer basis points — dd14's
@@ -2338,14 +2417,30 @@ def ss7_ann_recall_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     than asserted.
     The four result sets are computed once per session and persisted
     (`_shared_persist`) — the scorecard reads them, it does not
-    re-run the pipelines on re-invocation."""
+    re-run the pipelines on re-invocation.
+
+    100 TB sampling contract: the scorecard embeds the EXACT
+    brute-force pass as its recall denominator, whose cost is
+    O(|corpus| x |query set|) — affordable here (5 calibration
+    queries), unpayable over the full query log at scale. Recall is a
+    population rate, so at scale this query runs on a deterministic
+    QUERY SAMPLE, never the full log: ``sample_mod`` keeps only
+    query_ids divisible by it (a mod-hash sample; ~1/mod of the
+    queries), and the matching oracle comes from ``_ss7_sql(mod)``.
+    In this calibration harness the sample filters the shared result
+    sets; in production the same predicate belongs on the query-side
+    table BEFORE the distance join, which shrinks the exact pass
+    proportionally (the corpus side is untouched either way)."""
     from .queries import QUERIES as _QUERIES
 
     def result(name: str) -> DataFrame:
-        return _shared_persist(
+        df = _shared_persist(
             spark, ("ss7_src", name, sf_dir),
             lambda: _QUERIES[name](spark, sf_dir).select("query_id", "neighbor_id"),
         )
+        if sample_mod is not None:
+            df = df.where(F.col("query_id") % sample_mod == 0)
+        return df
 
     truth = result("ss1_brute_force_topk")
     truth_n = truth.count()  # tiny (queries × k); a literal in both plans

@@ -18,11 +18,16 @@ read           ``spark.table`` — catalog-resolved scan
 append         ``mode("append").saveAsTable`` (by-name resolution)
 append_once    recompute (prior state minus this run_id's rows) ∪ df,
                then the staged-swap rewrite below
-rewrite        write a ``__staged`` table, DROP the target, ALTER
-               RENAME staged → target. Not a single atomic op (two
-               metastore calls); engines with transactional commits
-               (Delta/Iceberg) replace this with one overwrite txn —
-               exactly the trade documented in sources/store.py.
+rewrite        write a ``__staged`` table, park the target as
+               ``__old``, RENAME staged → target, drop ``__old``.
+               Two metastore renames, not one atomic op — but the
+               committed rows exist under SOME name at every instant,
+               and ``ensure`` heals the only target-less window with
+               a single recovery rename (crash case pinned for both
+               backends in test_store_contract.py). Engines with
+               transactional commits (Delta/Iceberg) replace this
+               with one overwrite txn — the trade documented in
+               sources/store.py.
 =============  =====================================================
 
 Each store instance namespaces its tables in an own database created

@@ -67,6 +67,34 @@ def test_window_contains_all_stalest_queries():
         assert overflow == []
 
 
+def test_row_green_rejects_partial_rows():
+    """A malformed/truncated artifact row (missing schema_match or
+    hash_match keys) must NOT count as green evidence; the driver's
+    rows-only mode carries the keys explicitly as null."""
+    e = _load_entry()
+    full = {
+        "err": None,
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+    }
+    rows_only = {
+        "err": None,
+        "rows_match": True,
+        "schema_match": None,
+        "hash_match": None,
+    }
+    assert e._row_green(full)
+    assert e._row_green(rows_only)
+    assert not e._row_green({"err": None, "rows_match": True})  # partial
+    assert not e._row_green(
+        {"err": None, "rows_match": True, "schema_match": True}
+    )
+    assert not e._row_green({**full, "hash_match": False})
+    assert not e._row_green({**full, "err": "boom"})
+    assert not e._row_green("not-a-dict")
+
+
 def test_query_files_resolve_to_package_sources():
     e = _load_entry()
     fn = e.QUERIES["a3_daily_totals_by_method"]

@@ -447,6 +447,32 @@ def test_ann_scorecard_brute_is_perfect_and_rates_bounded(spark, sf_dir):
         assert 0 <= r["recall_bp"] <= 10000
 
 
+def test_ann_scorecard_sampled_mode_matches_sampled_oracle(spark, sf_dir):
+    """ss7's 100 TB sampling contract: with ``sample_mod`` the
+    scorecard runs on the deterministic query sample (query_id % mod
+    == 0) with IDENTICAL schema, and agrees row-for-row with the
+    matching sampled DuckDB oracle from ``_ss7_sql(mod)``."""
+    import duckdb
+
+    from lavasmart_bank_sync_etl_spark.queries_llm import (
+        _ss7_sql, ss7_ann_recall_scorecard,
+    )
+
+    sdf = ss7_ann_recall_scorecard(spark, sf_dir, sample_mod=2)
+    full = ss7_ann_recall_scorecard(spark, sf_dir)
+    assert sdf.columns == full.columns
+    got = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    for t in ["embeddings", "documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = sorted(con.execute(_ss7_sql(2)).fetchall())
+    assert got == want
+    # the sample is a strict subset of the full query set
+    full_truth = {r["method"]: r["truth_n"] for r in full.collect()}
+    assert got[0][2] < full_truth["brute"]
+
+
 def test_cumulative_users_first_seen_identity(spark):
     """w5's scalable identity on a handcrafted log: cumulative
     distinct equals the running sum of first-seen counts; returning

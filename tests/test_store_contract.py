@@ -100,6 +100,46 @@ def test_catalog_rewrite_crash_leaves_recoverable_state(spark, tmp_path):
     assert not spark.catalog.tableExists(f"{target}__old")
 
 
+def _simulate_rewrite_crash(spark, store, table, new_df):
+    """Drive ``store`` into the worst mid-rewrite crash state its
+    protocol allows: the new state is fully written but NOT committed.
+
+    Warehouse: a new version directory exists, the ``_CURRENT`` pointer
+    still names the old snapshot (the pointer swap is the only commit).
+    CatalogStore: the staged table exists and the target has been
+    renamed away to ``__old`` (the deepest window — between the two
+    metastore renames)."""
+    import os
+
+    if isinstance(store, Warehouse):
+        orphan = os.path.join(store.path(table), store._next_version(table))
+        new_df.write.mode("overwrite").parquet(orphan)
+        return
+    target = store._qualified(table)
+    spark.sql(f"DROP TABLE IF EXISTS {target}__staged")
+    new_df.write.format("parquet").saveAsTable(f"{target}__staged")
+    spark.sql(f"ALTER TABLE {target} RENAME TO {target}__old")
+
+
+def test_rewrite_crash_recovers_and_retry_converges(spark, store):
+    """Contract crash case (both backends): a crash at the worst point
+    inside ``rewrite`` must (a) leave the PREVIOUS committed state
+    fully readable — never empty, never truncated, never the half-new
+    state — and (b) let a plain retry of the same rewrite converge to
+    the new state with no manual repair."""
+    store.append("audit_log", _audit_row(spark, store, "keep", 3))
+    new_df = _audit_row(spark, store, "new", 1)
+    _simulate_rewrite_crash(spark, store, "audit_log", new_df)
+
+    after_crash = store.read("audit_log").collect()  # triggers recovery
+    assert len(after_crash) == 3
+    assert all(r["run_id"] == "keep" for r in after_crash)
+
+    store.rewrite("audit_log", _audit_row(spark, store, "new", 1))
+    final = store.read("audit_log").collect()
+    assert len(final) == 1 and final[0]["run_id"] == "new"
+
+
 def test_migrate_legacy_widens_v1_audit(spark, tmp_path):
     """S9 sibling: a warehouse whose audit_log still has the older
     5-col shape (the shipped xlsx's Bitácora_Cambios v1 — SURVEY §1.3)

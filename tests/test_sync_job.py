@@ -222,25 +222,50 @@ def test_banco_change_in_audit_narrative(spark, wh):
     assert "BBVA" in entries[0]["valores_nuevos"]
 
 
-def test_rerun_after_conflict_reinserts_clean(spark, wh):
-    """Reference semantics after a conflict parks a row: the old-table
-    copy is gone and the review queue is NOT probed by the sync
-    (Code.gs:1101-1212 probes only the 4 targets), so a rerun inserts
-    the row fresh into its new target — without the old human work,
-    which lives on in the review-queue snapshot."""
+def test_parked_conflict_lifecycle(spark, wh):
+    """Review-queue resolution contract (GUIA_REVISION_PENDIENTE.md:
+    114-136): an unresolved conflict parks its folio — re-syncing it
+    while Estado='Pendiente' must neither append a second queue row nor
+    re-insert the row into any target ("¿El sistema vuelve a mover
+    registros que ya resolví? No... no lo volverá a procesar
+    automáticamente" applies a fortiori while still unresolved: "El
+    registro se queda en la hoja de revisión hasta que lo resuelvas").
+    Once a human flips the row to 'Resuelto', the folio re-enters
+    normal processing and the next sync applies the pending move
+    (Code.gs:1378-1496 conflict branch + guía)."""
     run(spark, wh, [row("0-1", 2)])
     t = wh.read("transfers").withColumn("concepto_banco", F.lit("SPEI 123"))
     wh.rewrite("transfers", t)
-    run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])   # → review queue
-    counts = run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])  # rerun
+    counts = run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])  # → queue
+    assert counts.get("conflicts") == 1
+
+    # rerun while Pendiente: fully parked — no 2nd queue row, no insert
+    counts = run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])
+    assert counts.get("parked") == 1
+    assert not counts.get("insert") and not counts.get("conflicts")
+    assert "0-1" not in folios(wh, "cash")
+    assert "0-1" not in folios(wh, "transfers")
+    queue = wh.read("review_queue").where(F.col("folio") == "0-1").collect()
+    assert len(queue) == 1  # still exactly one parked snapshot
+    assert queue[0]["estado"] == "Pendiente"
+    assert queue[0]["concepto_banco"] == "SPEI 123"  # context preserved
+
+    # human resolves: flip Estado in place (the guía's workflow — rows
+    # are never deleted from the queue, only marked Resuelto)
+    resolved = wh.read("review_queue").withColumn(
+        "estado",
+        F.when(F.col("folio") == "0-1", F.lit("Resuelto")).otherwise(F.col("estado")),
+    )
+    wh.rewrite("review_queue", resolved)
+
+    # next sync re-processes the folio: the pending move applies
+    counts = run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])
     assert counts.get("insert") == 1
-    got = folios(wh, "cash")["0-1"]
-    assert got["verificado"] is None or got["verificado"] is False
-    # review snapshot still holds the parked human context — the real
-    # values, not placeholders (Code.gs:1425-1437)
-    rq = {r["folio"]: r.asDict() for r in wh.read("review_queue").collect()}
-    assert rq["0-1"]["estado"] == "Pendiente"
-    assert rq["0-1"]["concepto_banco"] == "SPEI 123"
+    assert not counts.get("parked")
+    assert "0-1" in folios(wh, "cash")
+    queue = wh.read("review_queue").where(F.col("folio") == "0-1").collect()
+    assert len(queue) == 1  # history kept, no re-queue
+    assert queue[0]["estado"] == "Resuelto"
 
 
 def test_run_id_stamps_and_retry_replaces(spark, wh):

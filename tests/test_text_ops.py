@@ -193,6 +193,50 @@ def test_ngram_jaccard_cap_no_op_on_normal_corpus(spark):
     assert a == b and a
 
 
+def test_simhash_band_cap_bounds_degenerate_corpus(spark):
+    """dd7's banded join under DEGENERATE content: many docs with the
+    IDENTICAL fingerprint collapse into one band bucket per band; the
+    posting cap must bound the pair join at max_posting² instead of
+    n², and every emitted pair comes from the cap's survivors (the
+    lowest ids). An organic corpus below the cap is untouched."""
+    n = 200
+    sigs = spark.createDataFrame(
+        [(i, 0b1010_1010_1010_1010) for i in range(n)], "doc_id long, simhash long"
+    )
+    capped = DD.simhash_hamming_pairs(sigs, max_posting=10).collect()
+    assert capped, "cap must truncate, not erase"
+    assert all(r["id_a"] < 10 and r["id_b"] < 10 for r in capped)
+    assert len(capped) == 10 * 9 / 2  # identical hashes: every kept pair
+    # below the cap: identical to uncapped
+    small = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 6), (4, 1 << 20)], "doc_id long, simhash long"
+    )
+    a = sorted(map(tuple, DD.simhash_hamming_pairs(small).collect()))
+    b = sorted(map(tuple, DD.simhash_hamming_pairs(small, max_posting=10_000).collect()))
+    assert a == b and a
+
+
+def test_mm6_cap_bounds_identical_frames(spark):
+    """mm6's hash-pair join under a corpus of ALL-IDENTICAL frames:
+    cap_postings on the hash bucket keeps the join bounded (the
+    'video full of black frames' case). 300 frames of one hash with
+    cap 20 → only the 20 smallest (video, fidx) survive the bucket."""
+    fh = spark.createDataFrame(
+        [(v, f, "0" * 64) for v in range(75) for f in range(4)],
+        "video_id long, fidx long, dhash_bits string",
+    )
+    kept = DD.cap_postings(fh, ["dhash_bits"], ["video_id", "fidx"], 20)
+    rows = kept.collect()
+    assert len(rows) == 20
+    assert all(r["video_id"] < 5 for r in rows)  # 5 videos × 4 frames
+    pairs = (
+        kept.alias("a")
+        .join(kept.alias("b"), "dhash_bits")
+        .where(F.col("a.video_id") < F.col("b.video_id"))
+    )
+    assert pairs.count() == (20 * 20 - 20 * 4) / 2  # bounded, not 300²
+
+
 def test_boilerplate_removal_drops_shared_windows(spark, sf_dir):
     """tx20 contract on the real corpus: a document whose every
     sentence is unique keeps ratio 1.0; documents sharing a window
