@@ -573,3 +573,43 @@ def synth_frames(
     return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         run, schema=PPM_SCHEMA
     )
+
+
+def synth_shot_frames(
+    df: DataFrame, n_frames: int = 6, shot_len: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """``synth_frames``' within-video twin for shot-boundary work
+    (mm8): each video is ``n_frames`` real P6 PPM frames grouped into
+    SHOTS of ``shot_len`` — frame f shows content id
+    ``video·16 + (f // shot_len)·shot_len``, so consecutive frames
+    inside a shot are bit-identical (a still segment) and the content
+    changes exactly at shot starts. Same raster arithmetic as
+    ``synth_frames`` (pure integer, ANSI-SQL-reproducible), same 1→N
+    ``mapInPandas`` fan-out, same ``doc_id = video·16 + frame`` keying
+    into the unmodified ``image_dhash`` stage."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        y, x = np.mgrid[0:_DHASH_H, 0:_DHASH_W]
+        lin = (y * _DHASH_W + x)[None, :, :]
+        mix = ((x + 3) * (y + 5))[None, :, :]
+        fidx = np.arange(n_frames, dtype=np.int64)
+        shot_base = (fidx // shot_len) * shot_len
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            cids = (ids[:, None] * 16 + shot_base).ravel()
+            gray = (
+                (cids[:, None, None] * 31 + lin) * 7
+                + mix * (cids % 97)[:, None, None]
+            ) % 256
+            out_ids = (ids[:, None] * 16 + fidx).ravel()
+            payloads = [_ppm_bytes(g) for g in gray]
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "payload": payloads,
+                "mime": ["video/x-frames+ppm"] * len(payloads),
+            })
+
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        run, schema=PPM_SCHEMA
+    )

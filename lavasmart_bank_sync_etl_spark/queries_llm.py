@@ -1452,17 +1452,14 @@ _MM6_PIX = (
 )
 
 
-@query(
-    "mm6_video_frame_dedup",
-    f"""
-    WITH v AS (SELECT doc_id AS video_id FROM documents),
-    f AS (SELECT video_id, unnest(range(0, 4)) AS fidx FROM v),
-    d AS (
-      SELECT video_id * 16 + fidx AS frame_key,
-             (CASE WHEN video_id % 10 = 0 AND video_id > 0
-                   THEN video_id - 1 ELSE video_id END) * 16 + fidx AS eff
-      FROM f
-    ),
+def _mm_hash_ctes(d_sql: str) -> str:
+    """Decode-equivalent CTE chain shared by mm6/mm8's oracles: a
+    ``d(frame_key, eff)`` frame map (``eff`` = content id — which
+    raster this frame shows) is rendered arithmetically (the Spark
+    side decodes real PPM bytes) and dHashed into a 64-bit-string
+    fingerprint per frame_key."""
+    return f"""
+    d AS ({d_sql}),
     rc AS (SELECT r.r, c.c FROM (SELECT unnest(range(0, 8)) AS r) r,
                                 (SELECT unnest(range(0, 9)) AS c) c),
     grid AS (
@@ -1485,7 +1482,26 @@ _MM6_PIX = (
       SELECT frame_key,
              string_agg(CAST(bit AS VARCHAR), '' ORDER BY r, c) AS dhash_bits
       FROM bits GROUP BY frame_key
-    ),
+    )"""
+
+
+#: mm6's frame map: 4 frames per video, every 10th video a bit-exact
+#: re-upload of its predecessor (eff = content id).
+_MM6_HASH_CTES = _mm_hash_ctes(
+    """
+      SELECT video_id * 16 + fidx AS frame_key,
+             (CASE WHEN video_id % 10 = 0 AND video_id > 0
+                   THEN video_id - 1 ELSE video_id END) * 16 + fidx AS eff
+      FROM (SELECT doc_id AS video_id, unnest(range(0, 4)) AS fidx
+            FROM documents)
+    """
+)
+
+
+@query(
+    "mm6_video_frame_dedup",
+    f"""
+    WITH {_MM6_HASH_CTES},
     fh AS (
       SELECT frame_key // 16 AS video_id, frame_key % 16 AS fidx, dhash_bits
       FROM hashes
@@ -1548,6 +1564,86 @@ def mm6_video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "video_a", "video_b", "matched_frames",
             F.round(F.col("matched_frames") / 4.0, 4).alias("match_frac"),
         )
+    )
+
+
+#: mm8's frame map: 6 frames per video in 3-frame SHOTS — frame f
+#: shows content id video·16 + (f // 3)·3, so within-shot transitions
+#: are bit-identical stills and shot starts are hard cuts.
+_MM8_HASH_CTES = _mm_hash_ctes(
+    """
+      SELECT video_id * 16 + fidx AS frame_key,
+             video_id * 16 + (fidx // 3) * 3 AS eff
+      FROM (SELECT doc_id AS video_id, unnest(range(0, 6)) AS fidx
+            FROM documents)
+    """
+)
+
+
+@query(
+    "mm8_shot_boundaries",
+    f"""
+    WITH {_MM8_HASH_CTES},
+    fh AS (
+      SELECT frame_key // 16 AS video_id, frame_key % 16 AS fidx, dhash_bits
+      FROM hashes
+    ),
+    seq AS (
+      SELECT video_id, fidx, dhash_bits,
+             lag(dhash_bits) OVER (PARTITION BY video_id ORDER BY fidx) AS prev
+      FROM fh
+    )
+    SELECT video_id, fidx,
+           CAST(bit_count(xor(CAST(dhash_bits AS BIT), CAST(prev AS BIT)))
+                AS BIGINT) AS hamming,
+           bit_count(xor(CAST(dhash_bits AS BIT), CAST(prev AS BIT))) >= 16
+             AS is_cut
+    FROM seq WHERE prev IS NOT NULL
+    """,
+)
+def mm8_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm8 — shot-boundary detection, the sequential twin of mm6's
+    cross-video join: each video's frames are perceptual-hashed by the
+    unmodified decode→dHash stage, then CONSECUTIVE frames are
+    compared by Hamming distance of their fingerprints — a distance
+    ≥ 16 of 64 bits is a cut, ~0 a still/continuation. The corpus
+    plants 3-frame shots (``synth_shot_frames``), so every video must
+    show exactly one cut (frame 3) and four still transitions — the
+    planted-truth calibration the dd17/mm6 corpora use.
+
+    Scale shape: decode+hash is the same shuffle-free bounded-fan-out
+    ``mapInPandas``; the ONLY exchange carries (video_id, fidx, 64-bit
+    hash) and the lag window is partitioned BY VIDEO — thousands of
+    parallel per-video sequences, never a global sort. The Hamming
+    expression splits the bit-string into two 32-bit integer halves
+    (`conv` base-2) and XOR-popcounts them JVM-side — no UDF in the
+    comparison path."""
+    from .multimodal.binary_ops import image_dhash, synth_shot_frames
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    fh = image_dhash(synth_shot_frames(d)).select(
+        F.floor(F.col("doc_id") / 16).cast("long").alias("video_id"),
+        F.pmod(F.col("doc_id"), F.lit(16)).alias("fidx"),
+        "dhash_bits",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("video_id").orderBy("fidx")
+    seq = fh.withColumn("prev", F.lag("dhash_bits").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+
+    def half(col: str, start: int):
+        return F.conv(F.substring(F.col(col), start, 32), 2, 10).cast("long")
+
+    hamming = (
+        F.bit_count(half("dhash_bits", 1).bitwiseXOR(half("prev", 1)))
+        + F.bit_count(half("dhash_bits", 33).bitwiseXOR(half("prev", 33)))
+    ).cast("long")
+    return seq.select(
+        "video_id", "fidx",
+        hamming.alias("hamming"),
+        (hamming >= 16).alias("is_cut"),
     )
 
 

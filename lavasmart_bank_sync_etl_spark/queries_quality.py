@@ -627,3 +627,134 @@ def w7_ema_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_day",
         F.round(ema / 100, 4).alias("ema"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ7 — distribution drift (PSI) between time windows, with calibration
+# ---------------------------------------------------------------------------
+
+_DQ7_SQL = """
+WITH bounds AS (
+  SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid_us FROM events
+),
+base AS (
+  SELECT CAST(ROUND(value * 100) AS BIGINT) AS vi,
+         epoch_us(ts) <= mid_us AS is_ref
+  FROM events, bounds
+  WHERE value IS NOT NULL
+),
+edges AS (
+  SELECT MIN(vi) AS lo, MAX(vi) - MIN(vi) + 1 AS span
+  FROM base WHERE is_ref
+),
+binned AS (
+  SELECT 'organic' AS scenario, is_ref,
+         LEAST(9, GREATEST(0, ((vi - lo) * 10) // span)) AS bin
+  FROM base, edges
+  UNION ALL
+  SELECT 'shifted', is_ref,
+         LEAST(9, GREATEST(0,
+           (((CASE WHEN is_ref THEN vi
+                   ELSE vi + (span * 3) // 10 END) - lo) * 10) // span))
+  FROM base, edges
+),
+hist AS (
+  SELECT scenario, bin,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY 1, 2
+),
+tot AS (
+  SELECT scenario, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+  FROM hist GROUP BY 1
+),
+terms AS (
+  SELECT scenario, bin, n_ref, n_cur,
+         CAST(ROUND(
+           ((n_cur + 1.0) / (t_cur + 10) - (n_ref + 1.0) / (t_ref + 10))
+           * LN(((n_cur + 1.0) / (t_cur + 10)) / ((n_ref + 1.0) / (t_ref + 10)))
+           * 1000000) AS BIGINT) AS term_i
+  FROM hist JOIN tot USING (scenario)
+),
+total AS (SELECT scenario, SUM(term_i) AS psi_i FROM terms GROUP BY 1)
+SELECT scenario, bin, n_ref, n_cur,
+       term_i / 1000000.0 AS psi_term,
+       psi_i / 1000000.0 AS psi_total,
+       psi_i >= 200000 AS drifted
+FROM terms JOIN total USING (scenario)
+"""
+
+
+@query("dq7_distribution_drift", _DQ7_SQL)
+def dq7_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ7 — Population Stability Index between the table's two time
+    halves: the standard drift check a feature pipeline runs before
+    trusting a new partition (PSI < 0.1 stable, > 0.2 action). The
+    query is self-calibrating like a12/a15: the 'organic' scenario
+    scores the real data (stationary fixture → stable), the 'shifted'
+    scenario re-scores it with the current window displaced by 3/10 of
+    the reference range and must trip the drifted flag — detector
+    sensitivity and false-positive silence in one result.
+
+    Cross-engine determinism: values go fixed-point (cents) BEFORE
+    binning, bin edges are all-integer rational arithmetic (`div` on
+    longs — truncation-vs-floor can't diverge because the clamped
+    range keeps numerators non-negative), per-bin PSI terms are
+    rounded to 1e-6 fixed-point and SUMMED AS INTEGERS (the tx18
+    pattern), so the total and flag can't drift on float summation
+    order.
+
+    Scale shape: one scan; the ×2 scenario fan-out is on post-scan
+    narrow rows; histogram is a 20-group aggregate (partial map-side);
+    bounds/edges/totals are one-row broadcast frames. No window over
+    the facts, no second scan."""
+    e = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bounds = e.agg(
+        F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("mid_us")
+    )
+    base = e.crossJoin(F.broadcast(bounds)).select(
+        F.round(F.col("value") * 100).cast("long").alias("vi"),
+        (F.unix_micros("ts") <= F.col("mid_us")).alias("is_ref"),
+    )
+    edges = base.where("is_ref").agg(
+        F.min("vi").alias("lo"),
+        (F.max("vi") - F.min("vi") + 1).alias("span"),
+    )
+    rowed = base.crossJoin(F.broadcast(edges)).withColumn(
+        "svi",
+        F.when(F.col("is_ref"), F.col("vi")).otherwise(
+            F.col("vi") + F.expr("(span * 3) div 10")
+        ),
+    )
+    bin_org = F.expr("least(9, greatest(0, ((vi - lo) * 10) div span))")
+    bin_shift = F.expr("least(9, greatest(0, ((svi - lo) * 10) div span))")
+    binned = rowed.select(
+        "is_ref",
+        F.explode(
+            F.array(
+                F.struct(F.lit("organic").alias("scenario"), bin_org.alias("bin")),
+                F.struct(F.lit("shifted").alias("scenario"), bin_shift.alias("bin")),
+            )
+        ).alias("s"),
+    ).select("is_ref", F.col("s.scenario").alias("scenario"), F.col("s.bin").alias("bin"))
+    hist = binned.groupBy("scenario", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
+    )
+    tot = hist.groupBy("scenario").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10)
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10)
+    terms = hist.join(F.broadcast(tot), "scenario").select(
+        "scenario", "bin", "n_ref", "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000)
+        .cast("long").alias("term_i"),
+    )
+    total = terms.groupBy("scenario").agg(F.sum("term_i").alias("psi_i"))
+    return terms.join(F.broadcast(total), "scenario").select(
+        "scenario", "bin", "n_ref", "n_cur",
+        (F.col("term_i") / 1000000.0).alias("psi_term"),
+        (F.col("psi_i") / 1000000.0).alias("psi_total"),
+        (F.col("psi_i") >= 200000).alias("drifted"),
+    )

@@ -228,3 +228,24 @@ def test_mm6_reuploads_rank_at_full_match(spark):
         assert pair in got, pair
         assert got[pair]["matched_frames"] == 4
         assert got[pair]["match_frac"] == 1.0
+
+
+def test_mm8_exactly_one_cut_per_video_at_shot_start(spark):
+    """mm8 planted truth: with 3-frame shots over 6 frames, every
+    video has 5 transitions — stills (hamming 0, no cut) everywhere
+    except the single shot start at fidx 3, which must be a cut."""
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+
+    out = QUERIES["mm8_shot_boundaries"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert len(rows) == n_docs * 5  # 5 transitions per 6-frame video
+    by_video = {}
+    for r in rows:
+        by_video.setdefault(r["video_id"], []).append(r)
+    assert len(by_video) == n_docs
+    for vid, rs in by_video.items():
+        cuts = [r for r in rs if r["is_cut"]]
+        stills = [r for r in rs if not r["is_cut"]]
+        assert [r["fidx"] for r in cuts] == [3], vid
+        assert len(stills) == 4 and all(r["hamming"] == 0 for r in stills), vid

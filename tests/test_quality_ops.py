@@ -348,3 +348,29 @@ def test_dq6_is_one_scan(spark, sf_dir):
     """All conformance constraints ride ONE scan of documents."""
     plan = plan_of(entrymod.queries()["dq6_field_conformance"](spark, sf_dir))
     assert plan.count("Location:") == 1
+
+
+def test_dq7_psi_calibration_and_fixed_point_total(q):
+    """dq7's self-calibration contract: the organic (stationary) half
+    split stays under the 0.2 action threshold with drifted=false; the
+    planted 3/10-range shift must trip it. The total equals the
+    integer-fixed-point sum of the per-bin terms exactly (no float
+    summation drift), and each scenario's histogram covers the same
+    row population."""
+    rows = q("dq7_distribution_drift").collect()
+    by_scen = {}
+    for r in rows:
+        by_scen.setdefault(r["scenario"], []).append(r)
+    assert set(by_scen) == {"organic", "shifted"}
+    for scen, rs in by_scen.items():
+        total = rs[0]["psi_total"]
+        assert all(r["psi_total"] == total for r in rs)
+        assert round(sum(r["psi_term"] for r in rs), 6) == round(total, 6)
+        assert all((total >= 0.2) == r["drifted"] for r in rs)
+    assert not by_scen["organic"][0]["drifted"]
+    assert by_scen["shifted"][0]["drifted"]
+    assert by_scen["shifted"][0]["psi_total"] > by_scen["organic"][0]["psi_total"]
+    # same underlying population in both scenarios
+    n = lambda rs, k: sum(r[k] for r in rs)  # noqa: E731
+    assert n(by_scen["organic"], "n_ref") == n(by_scen["shifted"], "n_ref")
+    assert n(by_scen["organic"], "n_cur") == n(by_scen["shifted"], "n_cur")
