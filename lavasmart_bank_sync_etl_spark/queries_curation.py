@@ -1779,3 +1779,98 @@ def ml6_tree_ensemble_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin"),
         F.when(margin >= 2000, "high").when(margin >= 600, "mid").otherwise("low").alias("grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cu6 — temperature-scaled domain mixture weights (the upstream of cu2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cu6_temperature_mixture",
+    """
+    WITH corpus AS (
+      SELECT doc_id, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 * k AS doc_id, source, n_chars
+      FROM documents, UNNEST(range(1, 10)) AS t(k)
+      WHERE source = 'src0'
+    ),
+    mass AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS char_mass
+      FROM corpus GROUP BY 1
+    ),
+    tot AS (SELECT SUM(char_mass) AS m_total FROM mass),
+    shares AS (
+      SELECT source, n_docs, char_mass,
+             (char_mass * 1000000000) // m_total AS share9
+      FROM mass, tot
+    ),
+    temps AS (
+      SELECT source, n_docs, char_mass, share9,
+             CAST(ROUND(POWER(share9 / 1e9, 0.3) * 1000000) AS BIGINT) AS t6
+      FROM shares
+    ),
+    denom AS (SELECT SUM(t6) AS t_total FROM temps)
+    SELECT source, n_docs, char_mass,
+           ROUND(share9 / 1e9, 6) AS share,
+           ROUND(CAST(t6 AS DOUBLE) / t_total, 6) AS p_t,
+           ROUND((CAST(t6 AS DOUBLE) / t_total) / (share9 / 1e9), 4) AS epochs_x
+    FROM temps, denom
+    """,
+)
+def cu6_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cu6 — COMPUTE the training mixture that cu2 then samples to:
+    temperature-scaled domain weights p_d ∝ share_d^α with α = 0.3
+    (the mT5/PaLM recipe — raising small domains, damping the head) on
+    a deliberately skewed corpus (src0's docs replicated ×10, the dd17
+    planting discipline). ``epochs_x`` = p_d / share_d is the
+    effective up/down-sampling each domain receives: the bloated src0
+    must land < 1, the tail domains > 1 — the calibration a unit test
+    pins. Token mass is proxied by ``n_chars`` (already a column);
+    tx1's tokenizer count drops in without changing the plan.
+
+    Cross-engine determinism: shares are EXACT integer rationals
+    (mass·1e9 // total — ints under 2^53 throughout this fixture
+    range), the one genuinely-float step (POWER ^0.3) is applied to
+    that exact rational and immediately re-fixed to 1e-6 granularity,
+    and the normalizing denominator is an INTEGER sum of those t6
+    terms — so p_t and epochs_x cannot drift on summation order (the
+    tx18 pattern around a transcendental).
+
+    Scale shape: one groupBy collapses the corpus to #domains rows;
+    everything after runs on that tiny frame with one-row broadcast
+    totals. The ×10 replication is plan-side UNION of a filtered
+    scan, not data duplication on disk."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    replicas = (
+        d.where(F.col("source") == "src0")
+        .select(
+            "doc_id", "source", "n_chars",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k"),
+        )
+        .select(
+            (F.col("doc_id") + 10000 * F.col("k")).alias("doc_id"),
+            "source", "n_chars",
+        )
+    )
+    corpus = d.unionByName(replicas)
+    mass = corpus.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("char_mass")
+    )
+    tot = mass.agg(F.sum("char_mass").alias("m_total"))
+    shares = mass.crossJoin(F.broadcast(tot)).withColumn(
+        "share9", F.expr("(char_mass * 1000000000) div m_total")
+    )
+    temps = shares.withColumn(
+        "t6",
+        F.round(F.pow(F.col("share9") / 1e9, 0.3) * 1000000).cast("long"),
+    )
+    denom = temps.agg(F.sum("t6").alias("t_total"))
+    p_t = F.col("t6").cast("double") / F.col("t_total")
+    return temps.crossJoin(F.broadcast(denom)).select(
+        "source", "n_docs", "char_mass",
+        F.round(F.col("share9") / 1e9, 6).alias("share"),
+        F.round(p_t, 6).alias("p_t"),
+        F.round(p_t / (F.col("share9") / 1e9), 4).alias("epochs_x"),
+    )

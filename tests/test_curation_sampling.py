@@ -64,3 +64,24 @@ def test_cu3_positions_form_a_permutation_per_shard(spark, sf_dir):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, _q("cu3_training_shuffle")(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_cu6_temperature_flattens_the_planted_head(spark, sf_dir):
+    """cu6 calibration: on the ×10-replicated src0 corpus, temperature
+    α=0.3 must DOWN-sample the bloated head (epochs_x < 1) and
+    UP-sample every tail domain (epochs_x > 1), while both share and
+    p_t remain distributions (sum ≈ 1) and p_t stays ordered the same
+    way as share (temperature flattens, never reorders)."""
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+
+    rows = {r["source"]: r for r in
+            QUERIES["cu6_temperature_mixture"](spark, sf_dir).collect()}
+    head, tails = rows["src0"], [r for s, r in rows.items() if s != "src0"]
+    assert head["epochs_x"] < 1 and head["share"] > max(r["share"] for r in tails)
+    assert all(r["epochs_x"] > 1 for r in tails)
+    assert abs(sum(r["share"] for r in rows.values()) - 1) < 1e-3
+    assert abs(sum(r["p_t"] for r in rows.values()) - 1) < 1e-3
+    by_share = sorted(rows.values(), key=lambda r: (r["share"], r["source"]))
+    by_pt = sorted(rows.values(), key=lambda r: (r["p_t"], r["source"]))
+    assert [r["source"] for r in by_share] == [r["source"] for r in by_pt]
+    assert head["p_t"] < head["share"]  # flattened, still the largest
