@@ -704,10 +704,15 @@ def dq7_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern), so the total and flag can't drift on float summation
     order.
 
-    Scale shape: one scan; the ×2 scenario fan-out is on post-scan
-    narrow rows; histogram is a 20-group aggregate (partial map-side);
-    bounds/edges/totals are one-row broadcast frames. No window over
-    the facts, no second scan."""
+    Scale shape: three passes over the NARROW (ts, value) projection —
+    two collapse immediately to one-row broadcast frames (time bounds;
+    reference bin edges) and only the third does real work (bin +
+    20-group partial-agg histogram; the ×2 scenario fan-out rides
+    post-scan narrow rows). At 100 TB the first two passes come from
+    table statistics / the previous run's dq1 profile instead of
+    rescanning, collapsing this to the single histogram pass — the
+    honest production shape, not an extra engine feature. No window
+    function ever touches the facts."""
     e = read_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     bounds = e.agg(
         F.expr("(unix_micros(min(ts)) + unix_micros(max(ts))) div 2").alias("mid_us")

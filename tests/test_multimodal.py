@@ -249,3 +249,22 @@ def test_mm8_exactly_one_cut_per_video_at_shot_start(spark):
         stills = [r for r in rs if not r["is_cut"]]
         assert [r["fidx"] for r in cuts] == [3], vid
         assert len(stills) == 4 and all(r["hamming"] == 0 for r in stills), vid
+
+
+def test_mm8_plan_one_scan_partitioned_window(spark):
+    """mm8's scale claims, plan-pinned: one scan of documents (the
+    frame synth is plan-side fan-out, not a second read), the lag
+    window is partitioned by video (never a SinglePartition global
+    sort), and the Hamming comparison is JVM expressions — no Python
+    eval node beyond the declared decode/hash mapInPandas stages."""
+    from tests.test_plans import plan_of
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+
+    df = QUERIES["mm8_shot_boundaries"](spark, "/root/testdata/sf0.001")
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert tree.count("Scan parquet") == 1
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    assert tree.count("MapInPandas") == 2  # synth + dhash, nothing else
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF

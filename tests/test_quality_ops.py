@@ -374,3 +374,14 @@ def test_dq7_psi_calibration_and_fixed_point_total(q):
     n = lambda rs, k: sum(r[k] for r in rs)  # noqa: E731
     assert n(by_scen["organic"], "n_ref") == n(by_scen["shifted"], "n_ref")
     assert n(by_scen["organic"], "n_cur") == n(by_scen["shifted"], "n_cur")
+
+
+def test_dq7_plan_narrow_scan_no_window(q):
+    """dq7's scale claims, plan-pinned: every events scan reads ONLY
+    the (ts, value) projection (never props/user_id — the wide
+    columns), and no window function ever touches the facts (the PSI
+    machinery is pure aggregates + broadcast one-row frames)."""
+    plan = plan_of(q("dq7_distribution_drift"))
+    assert "Window" not in plan
+    for rs in [ln for ln in plan.splitlines() if "ReadSchema" in ln]:
+        assert "props" not in rs and "user_id" not in rs and "event_id" not in rs
