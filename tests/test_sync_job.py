@@ -268,6 +268,32 @@ def test_parked_conflict_lifecycle(spark, wh):
     assert queue[0]["estado"] == "Resuelto"
 
 
+def test_parked_folio_resolution_applies_latest_source_values(spark, wh):
+    """While a folio sits parked, the SOURCE may keep changing; the
+    guía's contract says the system must not touch the folio during
+    that time — and once a human resolves it, the next sync processes
+    the folio fresh, so the row that lands in the target carries the
+    LATEST source values, not the ones frozen in the review snapshot
+    (the queue row keeps its historical values as the audit trail)."""
+    run(spark, wh, [row("0-1", 2, monto=100.0)])
+    t = wh.read("transfers").withColumn("concepto_banco", F.lit("SPEI 9"))
+    wh.rewrite("transfers", t)
+    run(spark, wh, [row("0-1", 2, monto=100.0, metodo="EFECTIVO")])  # park
+    # source drifts while parked: amount changes twice; both runs frozen
+    counts = run(spark, wh, [row("0-1", 2, monto=150.0, metodo="EFECTIVO")])
+    assert counts.get("parked") == 1
+    counts = run(spark, wh, [row("0-1", 2, monto=175.5, metodo="EFECTIVO")])
+    assert counts.get("parked") == 1
+    assert "0-1" not in folios(wh, "cash")
+    resolved = wh.read("review_queue").withColumn("estado", F.lit("Resuelto"))
+    wh.rewrite("review_queue", resolved)
+    run(spark, wh, [row("0-1", 2, monto=175.5, metodo="EFECTIVO")])
+    got = folios(wh, "cash")["0-1"]
+    assert got["monto"] == 175.5  # latest source wins after resolution
+    rq = wh.read("review_queue").collect()
+    assert len(rq) == 1 and rq[0]["monto"] == 100.0  # snapshot unchanged
+
+
 def test_run_id_stamps_and_retry_replaces(spark, wh):
     """Appends are run_id-stamped; retrying a run under its run_id
     replaces its review/audit rows instead of duplicating them
