@@ -530,22 +530,15 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
-def synth_frames(
-    df: DataFrame, n_frames: int = 4, dup_every: int = 10, id_col: str = "doc_id"
-) -> DataFrame:
-    """Synthesize a REAL "video" per row as ``n_frames`` 18×16 binary
-    P6 PPM frames (a 1→N ``mapInPandas``, ``sample_frames``' fan-out
-    shape with genuine rasters): frame f of video d carries content id
-    ``eff·16+f`` where ``eff = d−1`` for every ``dup_every``-th video
-    (a bit-exact RE-UPLOAD of its predecessor — the planted
-    cross-video duplicates) and ``eff = d`` otherwise. Pixel (x, y)
-    is ``((cid·31 + y·18 + x)·7 + (x+3)·(y+5)·(cid mod 97)) mod 256``
-    — the multiplicative mixing term keeps distinct frames' dHashes
-    distinct (the plain gradient of ``synth_images`` collapses to
-    ~64 hash classes, which would drown the pair join in
-    collisions), and stays pure integer so ANSI SQL reproduces every
-    pixel. Output rows are keyed ``doc_id = video·16 + frame`` so the
-    unmodified ``image_dhash`` stage consumes them directly."""
+def _synth_ppm_frames(df: DataFrame, n_frames: int, content_ids, id_col: str) -> DataFrame:
+    """Shared frame-synthesis kernel for ``synth_frames`` /
+    ``synth_shot_frames``: only the (video, frame) → content-id map
+    differs between them, and the raster formula below must stay
+    BIT-IDENTICAL to the arithmetic the shared ``_mm_hash_ctes``
+    oracle chain regenerates (queries_llm) — one body, one formula,
+    so a tweak cannot silently break one query's oracle parity.
+    ``content_ids(ids, fidx)`` takes the batch's video ids (n,) and
+    frame indices (F,) and returns the (n·F,) content-id vector."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -555,8 +548,7 @@ def synth_frames(
         fidx = np.arange(n_frames, dtype=np.int64)
         for pdf in batches:
             ids = pdf[id_col].to_numpy(dtype="int64")
-            base = np.where((ids % dup_every == 0) & (ids > 0), ids - 1, ids)
-            cids = (base[:, None] * 16 + fidx).ravel()  # (n·F,) content ids
+            cids = content_ids(ids, fidx)
             # one vectorized raster computation for the whole batch
             gray = (
                 (cids[:, None, None] * 31 + lin) * 7
@@ -575,6 +567,31 @@ def synth_frames(
     )
 
 
+def synth_frames(
+    df: DataFrame, n_frames: int = 4, dup_every: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a REAL "video" per row as ``n_frames`` 18×16 binary
+    P6 PPM frames (a 1→N ``mapInPandas``, ``sample_frames``' fan-out
+    shape with genuine rasters): frame f of video d carries content id
+    ``eff·16+f`` where ``eff = d−1`` for every ``dup_every``-th video
+    (a bit-exact RE-UPLOAD of its predecessor — the planted
+    cross-video duplicates) and ``eff = d`` otherwise. Pixel (x, y)
+    is ``((cid·31 + y·18 + x)·7 + (x+3)·(y+5)·(cid mod 97)) mod 256``
+    — the multiplicative mixing term keeps distinct frames' dHashes
+    distinct (the plain gradient of ``synth_images`` collapses to
+    ~64 hash classes, which would drown the pair join in
+    collisions), and stays pure integer so ANSI SQL reproduces every
+    pixel. Output rows are keyed ``doc_id = video·16 + frame`` so the
+    unmodified ``image_dhash`` stage consumes them directly."""
+    def content_ids(ids, fidx):
+        import numpy as np
+
+        base = np.where((ids % dup_every == 0) & (ids > 0), ids - 1, ids)
+        return (base[:, None] * 16 + fidx).ravel()
+
+    return _synth_ppm_frames(df, n_frames, content_ids, id_col)
+
+
 def synth_shot_frames(
     df: DataFrame, n_frames: int = 6, shot_len: int = 3, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -587,29 +604,8 @@ def synth_shot_frames(
     ``synth_frames`` (pure integer, ANSI-SQL-reproducible), same 1→N
     ``mapInPandas`` fan-out, same ``doc_id = video·16 + frame`` keying
     into the unmodified ``image_dhash`` stage."""
-    import numpy as np
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        y, x = np.mgrid[0:_DHASH_H, 0:_DHASH_W]
-        lin = (y * _DHASH_W + x)[None, :, :]
-        mix = ((x + 3) * (y + 5))[None, :, :]
-        fidx = np.arange(n_frames, dtype=np.int64)
+    def content_ids(ids, fidx):
         shot_base = (fidx // shot_len) * shot_len
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype="int64")
-            cids = (ids[:, None] * 16 + shot_base).ravel()
-            gray = (
-                (cids[:, None, None] * 31 + lin) * 7
-                + mix * (cids % 97)[:, None, None]
-            ) % 256
-            out_ids = (ids[:, None] * 16 + fidx).ravel()
-            payloads = [_ppm_bytes(g) for g in gray]
-            yield pd.DataFrame({
-                "doc_id": pd.Series(out_ids, dtype="int64"),
-                "payload": payloads,
-                "mime": ["video/x-frames+ppm"] * len(payloads),
-            })
+        return (ids[:, None] * 16 + shot_base).ravel()
 
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
-        run, schema=PPM_SCHEMA
-    )
+    return _synth_ppm_frames(df, n_frames, content_ids, id_col)

@@ -278,11 +278,8 @@ def ngram_jaccard_pairs(
     # (size > 1) as before. A second count-window for pre-filtering
     # singletons was measured: Spark plans it as a separate WindowExec
     # (different frame), costing more than the agg it would save.
-    wsh = Window.partitionBy("shingle").orderBy(F.col(id_col).asc())
-    capped = (
-        sh.withColumn("_rn", F.row_number().over(wsh))
-        .where(F.col("_rn") <= max_posting)
-        .select("shingle", id_col)
+    capped = cap_postings(sh, ["shingle"], [id_col], max_posting).select(
+        "shingle", id_col
     )
     ids = F.col("ids")
     groups = (
@@ -601,11 +598,8 @@ def ngram_containment_pairs(
     """
     sh = _shingle_rows(df, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    wsh = Window.partitionBy("shingle").orderBy(F.col(id_col).asc())
-    capped = (
-        sh.withColumn("_rn", F.row_number().over(wsh))
-        .where(F.col("_rn") <= max_posting)
-        .select("shingle", id_col)
+    capped = cap_postings(sh, ["shingle"], [id_col], max_posting).select(
+        "shingle", id_col
     )
     ids = F.col("ids")
     groups = (
@@ -677,9 +671,16 @@ def posting_cap_audit(
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Sums coalesce to 0 on an EMPTY posting frame (the degenerate
+    # input an audit must handle) to match the oracle's COALESCE;
+    # max_posting_len stays NULL-on-empty on both engines.
     return posting.agg(
         F.count(F.lit(1)).alias("n_shingles"),
-        F.sum((F.col("n") > max_posting).cast("long")).alias("capped_shingles"),
-        F.sum(F.greatest(F.col("n") - max_posting, F.lit(0))).alias("dropped_postings"),
+        F.coalesce(
+            F.sum((F.col("n") > max_posting).cast("long")), F.lit(0)
+        ).alias("capped_shingles"),
+        F.coalesce(
+            F.sum(F.greatest(F.col("n") - max_posting, F.lit(0))), F.lit(0)
+        ).alias("dropped_postings"),
         F.max("n").alias("max_posting_len"),
     )

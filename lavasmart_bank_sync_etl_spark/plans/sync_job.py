@@ -123,13 +123,29 @@ class SyncJob:
         # insert it, or touch any destination copy until a human flips
         # the row to 'Resuelto', at which point it re-enters normal
         # processing (the pending move then applies as a plain insert
-        # into its target). Parked folios are a human-scale set, so the
-        # lookup broadcasts.
+        # into its target).
+        #
+        # Crash-retry interplay (same run_id, the class recovery
+        # contract): a Pendiente row THIS run wrote means this run's
+        # earlier attempt already queued the folio. If the folio is
+        # STILL in a destination, the crash hit between queue-append
+        # (①) and the target rewrite (②) — the retry must re-classify
+        # it as a conflict so ② completes and ① regenerates the same
+        # queue row. If it is absent from every destination, ② already
+        # applied — the retry parks it and step ① PRESERVES the
+        # existing own-run queue row (the only live copy of the human
+        # work) instead of letting the run_id-guarded replace drop it.
+        # Parked folios are a human-scale set, so the lookup broadcasts.
         parked = (
             wh.read("review_queue")
             .where(F.col("estado") == "Pendiente")
-            .select(F.col("folio").alias("_parked_folio"))
-            .distinct()
+            .groupBy("folio")
+            .agg(
+                F.max(
+                    (F.col("run_id").eqNullSafe(F.lit(self.run_id))).cast("int")
+                ).alias("_parked_own")
+            )
+            .select(F.col("folio").alias("_parked_folio"), "_parked_own")
         )
         joined = joined.join(
             F.broadcast(parked),
@@ -146,8 +162,11 @@ class SyncJob:
             M.any_field_changed(M.DIFF_FIELDS_TRANSFERS),
         ).otherwise(M.any_field_changed(M.DIFF_FIELDS_OTHERS))
 
+        parked_now = F.col("_parked_folio").isNotNull() & (
+            (F.col("_parked_own") == 0) | ~dst_present
+        )
         action = (
-            F.when(F.col("_parked_folio").isNotNull(), F.lit(M.ACTION_PARKED))
+            F.when(parked_now, F.lit(M.ACTION_PARKED))
             .when(src_present & ~dst_present, F.lit(M.ACTION_INSERT))
             .when(~src_present & dst_present, F.lit(M.ACTION_DEST_ONLY))
             .when(~same_table, F.lit(M.ACTION_MOVE))
@@ -269,7 +288,22 @@ class SyncJob:
             F.lit("Pendiente").alias("estado"),
             F.lit(self.run_id).alias("run_id"),
         )
-        wh.append_once("review_queue", review_rows, self.run_id)
+        # Crash-after-② recovery: folios this run PARKED because their
+        # own-run queue row exists and the targets were already
+        # rewritten must keep that row through the run_id-guarded
+        # replace below — it is the only live copy of the parked human
+        # work. (Normal runs: no own-run rows exist, this is empty.)
+        parked_folios = classified.where(
+            F.col("action") == M.ACTION_PARKED
+        ).select(F.coalesce(F.col("src.folio"), F.col("dst.folio")).alias("folio"))
+        preserved = (
+            wh.read("review_queue")
+            .where(F.col("run_id").eqNullSafe(F.lit(self.run_id)))
+            .join(parked_folios, "folio", "leftsemi")
+        )
+        wh.append_once(
+            "review_queue", review_rows.unionByName(preserved), self.run_id
+        )
 
         # ② per-target state rewrite: updates in place, moved-out rows
         #    dropped, inserts + auto-move-ins appended

@@ -1803,7 +1803,8 @@ def ml6_tree_ensemble_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(char_mass) AS m_total FROM mass),
     shares AS (
       SELECT source, n_docs, char_mass,
-             (char_mass * 1000000000) // m_total AS share9
+             CAST(ROUND(CAST(char_mass AS DOUBLE) / m_total * 1000000000)
+                  AS BIGINT) AS share9
       FROM mass, tot
     ),
     temps AS (
@@ -1830,13 +1831,17 @@ def cu6_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins. Token mass is proxied by ``n_chars`` (already a column);
     tx1's tokenizer count drops in without changing the plan.
 
-    Cross-engine determinism: shares are EXACT integer rationals
-    (mass·1e9 // total — ints under 2^53 throughout this fixture
-    range), the one genuinely-float step (POWER ^0.3) is applied to
-    that exact rational and immediately re-fixed to 1e-6 granularity,
-    and the normalizing denominator is an INTEGER sum of those t6
-    terms — so p_t and epochs_x cannot drift on summation order (the
-    tx18 pattern around a transcendental).
+    Cross-engine determinism: shares are computed as one double
+    division of exact integers re-fixed to 1e-9 granularity — NOT the
+    naive ``mass·1e9 // total`` integer form, which overflows int64
+    once total char mass passes ~9.2e9 (~9 GB of text; Spark would
+    wrap negative while DuckDB errors). The double path stays exact
+    while masses are below 2^53 chars (~9 PB) and IEEE division is
+    bit-identical across engines. The transcendental (POWER ^0.3) is
+    applied to that fixed share and immediately re-fixed to 1e-6
+    granularity, and the normalizing denominator is an INTEGER sum of
+    those t6 terms — so p_t and epochs_x cannot drift on summation
+    order (the tx18 pattern around a transcendental).
 
     Scale shape: one groupBy collapses the corpus to #domains rows;
     everything after runs on that tiny frame with one-row broadcast
@@ -1860,7 +1865,10 @@ def cu6_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = mass.agg(F.sum("char_mass").alias("m_total"))
     shares = mass.crossJoin(F.broadcast(tot)).withColumn(
-        "share9", F.expr("(char_mass * 1000000000) div m_total")
+        "share9",
+        F.round(
+            F.col("char_mass").cast("double") / F.col("m_total") * 1000000000
+        ).cast("long"),
     )
     temps = shares.withColumn(
         "t6",

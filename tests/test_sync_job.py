@@ -268,6 +268,63 @@ def test_parked_conflict_lifecycle(spark, wh):
     assert queue[0]["estado"] == "Resuelto"
 
 
+def test_same_run_id_retry_preserves_parked_snapshot(spark, wh):
+    """Crash-recovery x parking, case 'crash after the target rewrite'
+    (or full completion): retrying a conflict run under its OWN run_id
+    finds the folio absent from every destination with its own
+    Pendiente queue row — it must park the folio and PRESERVE that
+    queue row through the run_id-guarded replace, never delete the
+    only live copy of the human work or re-insert the folio clean."""
+    run(spark, wh, [row("0-1", 2)])
+    t = wh.read("transfers").withColumn("concepto_banco", F.lit("SPEI 77"))
+    wh.rewrite("transfers", t)
+    src = src_df(spark, [row("0-1", 2, metodo="EFECTIVO")])
+    counts = SyncJob(spark, wh, WIN[0], WIN[1], run_id="runX").run(src)
+    assert counts.get("conflicts") == 1
+    counts = SyncJob(spark, wh, WIN[0], WIN[1], run_id="runX").run(src)
+    assert counts.get("parked") == 1 and not counts.get("conflicts")
+    assert "0-1" not in folios(wh, "cash")
+    queue = wh.read("review_queue").where(F.col("folio") == "0-1").collect()
+    assert len(queue) == 1
+    assert queue[0]["estado"] == "Pendiente"
+    assert queue[0]["concepto_banco"] == "SPEI 77"
+    # a FRESH run_id also sees it parked and leaves the queue alone
+    counts = SyncJob(spark, wh, WIN[0], WIN[1], run_id="runY").run(src)
+    assert counts.get("parked") == 1 and not counts.get("conflicts")
+    queue = wh.read("review_queue").where(F.col("folio") == "0-1").collect()
+    assert len(queue) == 1 and queue[0]["concepto_banco"] == "SPEI 77"
+
+
+def test_same_run_id_retry_replays_conflict_when_rewrite_never_ran(spark, wh):
+    """Crash-recovery x parking, case 'crash between queue-append and
+    target rewrite': the folio still sits in its old table with the
+    manual work AND has this run's own Pendiente queue row. The retry
+    must re-classify it as a CONFLICT (not parked) so the rewrite
+    completes and the queue converges to exactly one snapshot."""
+    run(spark, wh, [row("0-2", 3)])
+    t = wh.read("transfers").withColumn("concepto_banco", F.lit("SPEI 88"))
+    wh.rewrite("transfers", t)
+    # hand-plant the queue row a crashed 'runB' would have left behind
+    schema = wh.read("review_queue").schema
+    crashed_row = spark.createDataFrame(
+        [(None, "0-2", "Cambio de método de pago con trabajo manual: transfers → cash",
+          "transfers", "cash", D(2025, 11, 3), "Ana", "Sala", 100.0,
+          "SANTANDER", "No", "SPEI 88", "", "Pendiente", "runB")],
+        schema,
+    )
+    wh.append("review_queue", crashed_row)
+    counts = SyncJob(spark, wh, WIN[0], WIN[1], run_id="runB").run(
+        src_df(spark, [row("0-2", 3, metodo="EFECTIVO")])
+    )
+    assert counts.get("conflicts") == 1 and not counts.get("parked")
+    assert "0-2" not in folios(wh, "transfers")  # rewrite completed
+    assert "0-2" not in folios(wh, "cash")
+    queue = wh.read("review_queue").where(F.col("folio") == "0-2").collect()
+    assert len(queue) == 1  # converged: replaced, not duplicated
+    assert queue[0]["estado"] == "Pendiente"
+    assert queue[0]["concepto_banco"] == "SPEI 88"
+
+
 def test_parked_folio_resolution_applies_latest_source_values(spark, wh):
     """While a folio sits parked, the SOURCE may keep changing; the
     guía's contract says the system must not touch the folio during
