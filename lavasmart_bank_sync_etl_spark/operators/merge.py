@@ -44,7 +44,14 @@ DIFF_FIELDS_OTHERS = ["fecha", "cliente", "servicio", "monto"]
 def field_changed(field: str, src: str = "src", dst: str = "dst") -> Column:
     """C3 — typed comparator for one monitored field (Code.gs:199-214,
     DOCUMENTACION_SISTEMA.md:308-315): dates by Y/M/D null-safe; money
-    by |Δ| < 0.01; strings exact post-trim (null ≡ '')."""
+    by |Δ| < 0.01; strings exact post-trim (null ≡ '').
+
+    Money NULLs deliberately coalesce to 0.0 (so NULL vs 0.00 reads
+    unchanged): the reference's source side is always numeric
+    (parsearMonto is NaN→0, F2) and its destination side reads empty
+    sheet cells as '' which JS coerces to 0 in compararMontos'
+    subtraction (Code.gs:199-202) — empty ≡ 0 is the reference
+    behavior, unlike dates where one-NULL compares unequal."""
     a, b = F.col(f"{src}.{field}"), F.col(f"{dst}.{field}")
     if field == "fecha":
         return ~dates_equal(a, b)

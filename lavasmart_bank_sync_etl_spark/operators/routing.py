@@ -97,11 +97,21 @@ def union_targets_tagged(targets: dict[str, DataFrame]) -> DataFrame:
 
 def first_match_per_key(tagged: DataFrame, key: str = "folio") -> DataFrame:
     """J2 — collapse multi-table hits to the first match in the fixed
-    probe order (min table_order wins), via min_by aggregates — a
-    single hash aggregate, no window shuffle."""
+    probe order (min table_order wins) — still a single hash
+    aggregate, no window shuffle.
+
+    The winning row is picked ATOMICALLY: one lexicographic MIN over a
+    (table_order, …all columns) struct, never independent per-column
+    min_by aggregates. Per-column picks tie-break independently when a
+    folio is duplicated WITHIN one table (same table_order — e.g. a
+    human pastes a second row), stitching a chimera record out of two
+    physical rows; the struct min always returns the fields of one
+    real row, deterministically (full-row lexicographic tiebreak)."""
     cols = [c for c in tagged.columns if c not in (key, "table_order")]
-    aggs = [F.min_by(F.col(c), F.col("table_order")).alias(c) for c in cols]
-    return tagged.groupBy(key).agg(*aggs)
+    packed = F.min(F.struct(F.col("table_order"), *[F.col(c) for c in cols]))
+    return tagged.groupBy(key).agg(packed.alias("_r")).select(
+        key, *[F.col(f"_r.{c}").alias(c) for c in cols]
+    )
 
 
 def split_moves(moves: DataFrame) -> tuple[DataFrame, DataFrame]:

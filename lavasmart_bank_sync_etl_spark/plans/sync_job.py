@@ -15,8 +15,9 @@ lazy-plan → action model:
   Phase 2 (actions, fixed order — moves resolve before inserts so a
   moved folio is never double-written; guaranteed here by action
   exclusivity rather than the reference's map mutation,
-  Code.gs:1143-1154): per-target state rewrite, review-queue append,
-  audit append.
+  Code.gs:1143-1154): review-queue append, audit append (staged
+  plan), then per-target retained-state rewrites followed by new-row
+  appends — drops strictly before appends, for crash convergence.
 
 Scale: destinations are read with only their merge-relevant columns;
 the incremental source is a pruned date window, so AQE typically
@@ -38,7 +39,7 @@ from pyspark.sql import functions as F
 from ..operators import merge as M
 from ..operators.classify import null_guards, window_filter
 from ..operators.dedup import first_wins_dedup
-from ..operators.routing import detect_deletions, first_match_per_key, union_targets_tagged
+from ..operators.routing import first_match_per_key, union_targets_tagged
 from ..schemas import (
     ACTION_CONFLICT,
     ACTION_DELETE_DETECTED,
@@ -66,10 +67,17 @@ class SyncJob:
     ``run_id`` stamps the run's review/audit appends so a crashed-then-
     retried run (same run_id) replaces rather than duplicates them;
     the default fresh id preserves the reference's append-every-run
-    behavior. Recovery contract: phase 2 is review-append → target
-    rewrites → audit-append; the rewrites are keyed (idempotent), the
-    appends run_id-guarded and snapshot-atomic (``append_once``), so
-    retrying a partially-applied run with its run_id converges."""
+    behavior. Recovery contract: phase 2 is review-append →
+    audit-append (staged plan) → retained-state rewrites (drops) →
+    new-row appends; the rewrites are keyed (idempotent), the appends
+    run_id-guarded and snapshot-atomic (``append_once``) with
+    explicit preservation of own-run rows a replay no longer
+    regenerates, and drops strictly precede appends so a mid-crash
+    move can never leave a folio in two tables. Retrying a
+    partially-applied run with its run_id therefore converges at
+    every crash point (goldens in test_sync_job.py pin the queue
+    cases; audit rows for already-applied changes survive via the
+    (folio, accion) preservation anti-join)."""
 
     def __init__(
         self,
@@ -105,7 +113,6 @@ class SyncJob:
             F.col("sale_date").alias("fecha"),
             "cliente", "servicio", "monto",
             F.coalesce("banco", F.lit("")).alias("banco"),
-            F.col("metodo").alias("metodo_raw_upper"),
             _target_table_expr(F.col("metodo")).alias("target_table"),
             F.col("metodo_raw").alias("metodo_pago_raw"),
         )
@@ -113,7 +120,10 @@ class SyncJob:
         targets = {t: wh.read(t) for t in TABLE_ORDER}
         tagged = first_match_per_key(union_targets_tagged(targets), "folio")
 
-        s = winners.alias("src")
+        # shuffle_hash: same rationale as operators/merge.classify_upsert
+        # — a sort-merge fallback would sort BOTH sides of the full-outer
+        # join; hash build on the (windowed, smaller) source side wins.
+        s = winners.alias("src").hint("shuffle_hash")
         d = tagged.alias("dst")
         joined = s.join(d, on=F.col("src.folio").eqNullSafe(F.col("dst.folio")), how="full_outer")
 
@@ -200,20 +210,29 @@ class SyncJob:
         updates = classified.where(F.col("action") == M.ACTION_UPDATE)
         inserts = classified.where(F.col("action") == M.ACTION_INSERT)
         dest_only = classified.where(F.col("action") == M.ACTION_DEST_ONLY)
-        deletions = detect_deletions(
-            dest_only.select("dst.*").where(
-                F.col("fecha").between(F.lit(self.start), F.lit(self.end))
-            ),
-            classified.where(F.col("src.folio").isNotNull()).select(
-                F.col("src.folio").alias("folio")
-            ),
+        # J3 deletion set = dest_only windowed. The anti-join form
+        # (operators/routing.detect_deletions, the standalone j3 query)
+        # is provably redundant HERE: dest_only rows are exactly the
+        # full-outer rows with src.folio NULL and both join sides are
+        # unique per folio, so no dest_only folio can also appear in
+        # the source — the anti-join would filter nothing while paying
+        # an extra scan of the scratch plan plus a distinct.
+        deletions = dest_only.select("dst.*").where(
+            F.col("fecha").between(F.lit(self.start), F.lit(self.end))
         )
 
         # ---- phase 2: apply (fixed order) ----------------------------
-        summary = self._apply(classified, conflicts, auto_moves, updates, inserts, deletions, dups)
-        for p in (scratch, dups_scratch):
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+        # Scratch survives a phase-2 failure only until the next run's
+        # overwrite, but a failed run must not leave multi-GB scratch
+        # copies sitting inside the warehouse root indefinitely.
+        try:
+            summary = self._apply(
+                classified, conflicts, auto_moves, updates, inserts, deletions, dups
+            )
+        finally:
+            for p in (scratch, dups_scratch):
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
         return summary
 
     # ------------------------------------------------------------------
@@ -305,44 +324,16 @@ class SyncJob:
             "review_queue", review_rows.unionByName(preserved), self.run_id
         )
 
-        # ② per-target state rewrite: updates in place, moved-out rows
-        #    dropped, inserts + auto-move-ins appended
-        for table in TABLE_ORDER:
-            schema, script_cols, human_cols = TARGETS[table]
-            dest = wh.read(table).alias("dcur")
-            plan = classified.where(F.col("dst.table_tag") == table).select(
-                F.col("dst.folio").alias("folio"),
-                F.col("action").alias("_action"),
-                *[F.col(f"src.{c}").alias(f"_new_{c}") for c in script_cols if c != "folio"],
-            )
-            merged = dest.join(plan, on="folio", how="left")
-            kept = merged.where(
-                F.coalesce(F.col("_action"), F.lit("")) != F.lit(M.ACTION_MOVE)
-            )
-            out_cols = []
-            for f_ in schema.fields:
-                if f_.name == "folio":
-                    out_cols.append(F.col("folio"))
-                elif f_.name in script_cols:
-                    out_cols.append(
-                        F.when(
-                            F.col("_action") == M.ACTION_UPDATE, F.col(f"_new_{f_.name}")
-                        ).otherwise(F.col(f"dcur.{f_.name}")).alias(f_.name)
-                    )
-                else:
-                    out_cols.append(F.col(f"dcur.{f_.name}").alias(f_.name))
-            new_state = kept.select(*out_cols)
-
-            ins = self._src_as_target_row(
-                inserts.where(F.col("src.target_table") == table), table
-            )
-            move_ins = self._src_as_target_row(
-                auto_moves.where(F.col("src.target_table") == table), table
-            )
-            final = new_state.unionByName(ins).unionByName(move_ins)
-            wh.rewrite(table, final)
-
-        # ③ audit appends (S5 + C4)
+        # ② audit appends (S5 + C4) — written BEFORE the state
+        #    rewrites: the rows describe the STAGED plan, so a crash
+        #    after this append but before the rewrites replays to an
+        #    identical plan (state untouched) and regenerates the same
+        #    rows, while a crash AFTER some rewrites would otherwise
+        #    lose the record of every change that did apply (the retry
+        #    re-classifies applied changes as 'unchanged' and the
+        #    run_id-guarded replace would drop their rows). Rows the
+        #    replay no longer regenerates — same-run (folio, accion)
+        #    keys absent from the new set — are explicitly preserved.
         det, old_v, new_v = M.change_narrative(M.DIFF_FIELDS_TRANSFERS)
         det_o, old_o, new_o = M.change_narrative(M.DIFF_FIELDS_OTHERS)
         is_tr = F.col("dst.table_tag") == "transfers"
@@ -405,7 +396,70 @@ class SyncJob:
             audit_updates.unionByName(audit_inserts).unionByName(audit_moves)
             .unionByName(audit_conflicts).unionByName(audit_deletions).unionByName(audit_dups)
         ).withColumn("run_id", F.lit(self.run_id))
-        wh.append_once("audit_log", audit, self.run_id)
+        preserved_audit = (
+            wh.read("audit_log")
+            .where(F.col("run_id").eqNullSafe(F.lit(self.run_id)))
+            .join(audit.select("folio", "accion"), ["folio", "accion"], "left_anti")
+        )
+        wh.append_once(
+            "audit_log", audit.unionByName(preserved_audit), self.run_id
+        )
+
+        # ③ per-target state apply, split into two passes for crash
+        #    convergence: pass A rewrites every table's RETAINED state
+        #    (updates in place, moved-out rows dropped) before pass B
+        #    appends any NEW rows (inserts + auto-move-ins). The old
+        #    single combined rewrite had a window where a crash between
+        #    "new table rewritten with the move-in" and "old table
+        #    rewritten without the move-out" left the folio duplicated
+        #    across two tables — and invisible to the retry, because the
+        #    first-match collapse hides the stale copy. With drops
+        #    strictly before appends, a mid-crash folio is at worst
+        #    absent from every table, and the retry re-classifies it as
+        #    a plain insert — convergent at every crash point.
+        for table in TABLE_ORDER:  # pass A: retained-state rewrite
+            schema, script_cols, human_cols = TARGETS[table]
+            dest = wh.read(table).alias("dcur")
+            plan = classified.where(F.col("dst.table_tag") == table).select(
+                F.col("dst.folio").alias("folio"),
+                F.col("action").alias("_action"),
+                *[F.col(f"src.{c}").alias(f"_new_{c}") for c in script_cols if c != "folio"],
+            )
+            merged = dest.join(plan, on="folio", how="left")
+            kept = merged.where(
+                F.coalesce(F.col("_action"), F.lit("")) != F.lit(M.ACTION_MOVE)
+            )
+            out_cols = []
+            for f_ in schema.fields:
+                if f_.name == "folio":
+                    out_cols.append(F.col("folio"))
+                elif f_.name in script_cols:
+                    # metodo_pago_raw keeps the insert path's '(vacío)'
+                    # default on UPDATE too — a NULL raw method from a
+                    # canonical-parquet source must not overwrite the
+                    # stored placeholder with NULL
+                    new_v = F.col(f"_new_{f_.name}")
+                    if f_.name == "metodo_pago_raw":
+                        new_v = F.coalesce(new_v, F.lit("(vacío)"))
+                    out_cols.append(
+                        F.when(
+                            F.col("_action") == M.ACTION_UPDATE, new_v
+                        ).otherwise(F.col(f"dcur.{f_.name}")).alias(f_.name)
+                    )
+                else:
+                    out_cols.append(F.col(f"dcur.{f_.name}").alias(f_.name))
+            wh.rewrite(table, kept.select(*out_cols))
+
+        for table in TABLE_ORDER:  # pass B: append new rows
+            ins = self._src_as_target_row(
+                inserts.where(F.col("src.target_table") == table), table
+            )
+            move_ins = self._src_as_target_row(
+                auto_moves.where(F.col("src.target_table") == table), table
+            )
+            appendable = ins.unionByName(move_ins)
+            if appendable.take(1):  # skip the empty-file append
+                wh.append(table, appendable)
 
         # ④ A4 run summary (Code.gs:846-854) — counts taken in ⓪
         return counts

@@ -216,9 +216,21 @@ class Warehouse:
         self.rewrite(table, self.read(table).coalesce(num_files))
 
     def vacuum(self, table: str, keep: int = 2) -> None:
-        """Prune old snapshots, retaining the latest ``keep`` (the
-        current snapshot is always retained)."""
+        """Prune old snapshots, retaining the latest ``keep`` COMMITTED
+        ones (the current snapshot is always retained).
+
+        Version dirs NEWER than the ``_CURRENT`` pointer are dangling
+        leftovers of a crashed rewrite (the write happened, the atomic
+        pointer commit did not) — they are garbage, not snapshots, so
+        they are deleted outright and never count toward the keep
+        budget; counting them would silently evict valid rollback
+        snapshots while retaining junk. Single-writer contract: do not
+        vacuum while another process may be mid-rewrite."""
         cur = self.current_version(table)
-        candidates = [v for v in self.history(table) if v != cur]
-        for v in candidates[: max(0, len(candidates) - (keep - 1))]:
+        if cur is None:
+            return
+        committed = [v for v in self.history(table) if v <= cur]
+        dangling = [v for v in self.history(table) if v > cur]
+        doomed = committed[: max(0, len(committed) - keep)] + dangling
+        for v in doomed:
             shutil.rmtree(os.path.join(self.path(table), v))

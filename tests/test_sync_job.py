@@ -351,6 +351,45 @@ def test_parked_folio_resolution_applies_latest_source_values(spark, wh):
     assert len(rq) == 1 and rq[0]["monto"] == 100.0  # snapshot unchanged
 
 
+def test_mid_move_crash_state_converges_on_retry(spark, wh):
+    """Phase-2 orders drops strictly before appends, so the only state
+    a crash mid-move can leave is 'absent from every table' (never
+    duplicated across two). A retry over that state must re-classify
+    the folio as a plain insert into its target — one copy, converged."""
+    run(spark, wh, [row("0-1", 2)])  # lives in transfers, no work
+    # simulate the mid-move crash: old-table drop committed, new-table
+    # append not yet run
+    t = wh.read("transfers").where(F.col("folio") != "0-1")
+    wh.rewrite("transfers", t)
+    counts = run(spark, wh, [row("0-1", 2, metodo="EFECTIVO")])
+    assert counts.get("insert") == 1
+    assert "0-1" in folios(wh, "cash")
+    assert "0-1" not in folios(wh, "transfers")
+
+
+def test_audit_survives_same_run_id_replay_of_applied_changes(spark, wh):
+    """Audit is written BEFORE the state rewrites and own-run rows the
+    replay no longer regenerates are preserved: retrying a completed
+    run under its run_id re-classifies its update as 'unchanged', but
+    the ACTUALIZACIÓN row it originally wrote must survive the
+    run_id-guarded replace — the warehouse can't show a changed value
+    with no bitácora record."""
+    run(spark, wh, [row("0-1", 2, monto=100.0)])
+    src = src_df(spark, [row("0-1", 2, monto=990.0)])
+    SyncJob(spark, wh, WIN[0], WIN[1], run_id="runU").run(src)
+    assert folios(wh, "transfers")["0-1"]["monto"] == 990.0
+    assert ("0-1", ACTION_UPDATE) in audit_actions(wh)
+    # replay: the update is already applied -> classified unchanged,
+    # yet its audit row survives
+    SyncJob(spark, wh, WIN[0], WIN[1], run_id="runU").run(src)
+    audit = [
+        r for r in wh.read("audit_log").collect()
+        if r["folio"] == "0-1" and r["accion"] == ACTION_UPDATE
+    ]
+    assert len(audit) == 1
+    assert audit[0]["run_id"] == "runU"
+
+
 def test_run_id_stamps_and_retry_replaces(spark, wh):
     """Appends are run_id-stamped; retrying a run under its run_id
     replaces its review/audit rows instead of duplicating them
@@ -372,3 +411,26 @@ def test_run_id_stamps_and_retry_replaces(spark, wh):
     # a fresh run_id accumulates (reference semantics)
     SyncJob(spark, wh, WIN[0], WIN[1]).run(src_df(spark, [row("0-1", 2, monto=55.0)]))
     assert wh.read("audit_log").where("run_id IS NOT NULL").count() >= 1
+
+
+def test_first_match_returns_one_real_row_not_a_chimera(spark):
+    """first_match_per_key must return the fields of ONE physical row,
+    picked atomically and deterministically — independent per-column
+    aggregates would stitch values from different rows when a folio is
+    duplicated within one table (same table_order)."""
+    from lavasmart_bank_sync_etl_spark.operators.routing import first_match_per_key
+
+    rows = [
+        ("0-1", 0, "SPEI A", 100.0),
+        ("0-1", 0, "AAA B", 200.0),  # same-table duplicate, ties order
+        ("0-1", 1, "SPEI C", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "folio string, table_order int, concepto string, monto double"
+    )
+    out = first_match_per_key(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["concepto"], r["monto"]) in {("SPEI A", 100.0), ("AAA B", 200.0)}
+    # deterministic full-row lexicographic tiebreak within table_order 0
+    assert (r["concepto"], r["monto"]) == ("AAA B", 200.0)

@@ -70,6 +70,26 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert _folio_rows(wh)["0-1"] == 300.0  # current unaffected
 
 
+def test_vacuum_dangling_dirs_dont_eat_the_keep_budget(spark, tmp_path):
+    """A crashed rewrite's uncommitted version dir (newer than
+    _CURRENT) is garbage, not a snapshot: vacuum must delete it AND
+    still retain `keep` real committed snapshots — not count the junk
+    toward the budget while evicting a valid rollback point."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed(wh, 100.0)
+    _seed(wh, 200.0)
+    committed = wh.history("transfers")
+    cur = wh.current_version("transfers")
+    orphan = wh._next_version("transfers")
+    os.makedirs(os.path.join(wh.path("transfers"), orphan))
+    wh.vacuum("transfers", keep=2)
+    hist = wh.history("transfers")
+    assert orphan not in hist          # junk removed
+    assert hist == committed[-2:]      # both real snapshots kept
+    assert wh.current_version("transfers") == cur
+    assert _folio_rows(wh)["0-1"] == 200.0
+
+
 def test_append_visible_in_current(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     wh.ensure("audit_log")
