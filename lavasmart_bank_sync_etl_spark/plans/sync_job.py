@@ -209,15 +209,26 @@ class SyncJob:
         auto_moves = classified.where(is_move & ~F.col("dst.dest_has_work"))
         updates = classified.where(F.col("action") == M.ACTION_UPDATE)
         inserts = classified.where(F.col("action") == M.ACTION_INSERT)
-        dest_only = classified.where(F.col("action") == M.ACTION_DEST_ONLY)
-        # J3 deletion set = dest_only windowed. The anti-join form
-        # (operators/routing.detect_deletions, the standalone j3 query)
-        # is provably redundant HERE: dest_only rows are exactly the
-        # full-outer rows with src.folio NULL and both join sides are
-        # unique per folio, so no dest_only folio can also appear in
-        # the source — the anti-join would filter nothing while paying
-        # an extra scan of the scratch plan plus a distinct.
-        deletions = dest_only.select("dst.*").where(
+        # J3 deletion set = dest-present ∧ src-absent, windowed. The
+        # anti-join form (operators/routing.detect_deletions, the
+        # standalone j3 query) is provably redundant HERE: both join
+        # sides are unique per folio, so a src-NULL full-outer row's
+        # folio cannot also appear in the source — the anti-join would
+        # filter nothing while paying an extra scan of the scratch plan
+        # plus a distinct. PARKED folios are included when they match
+        # the same shape: parking freezes destination state and the
+        # queue, but deletion detection is non-mutating telemetry (T5,
+        # log-only) and must keep firing for a parked folio that
+        # vanished from the source window, exactly as it did before the
+        # parking rule outranked dest_only in the action cascade.
+        deletions = classified.where(
+            (F.col("action") == M.ACTION_DEST_ONLY)
+            | (
+                (F.col("action") == M.ACTION_PARKED)
+                & F.col("src.folio").isNull()
+                & F.col("dst.folio").isNotNull()
+            )
+        ).select("dst.*").where(
             F.col("fecha").between(F.lit(self.start), F.lit(self.end))
         )
 
@@ -273,14 +284,29 @@ class SyncJob:
                 F.lit(label).alias("action"), "count"
             )
 
+        # Per-target append counts ride the same single action: pass B
+        # below needs "any rows for this table?" and probing each
+        # union plan with take(1) would launch one extra job per table
+        # per run re-reading scratch just to answer yes/no.
+        append_sizes = (
+            inserts.select(F.col("src.target_table").alias("t"))
+            .unionByName(auto_moves.select(F.col("src.target_table").alias("t")))
+            .groupBy("t").count()
+            .select(F.concat(F.lit("_append_"), F.col("t")).alias("action"), "count")
+        )
         summary = (
             classified.groupBy("action").count()
             .unionByName(_cnt(conflicts, "conflicts"))
             .unionByName(_cnt(auto_moves, "auto_moves"))
             .unionByName(_cnt(deletions, "deletions_detected"))
             .unionByName(_cnt(dups, "duplicates"))
+            .unionByName(append_sizes)
         )
         counts: dict[str, int] = {r["action"]: r["count"] for r in summary.collect()}
+        append_counts = {
+            k[len("_append_"):]: counts.pop(k)
+            for k in [k for k in counts if k.startswith("_append_")]
+        }
 
         # ① review-queue append for conflicted moves (S6; Code.gs:1422-1437).
         #    The parked row carries the destination's ACTUAL human work —
@@ -312,13 +338,26 @@ class SyncJob:
         # rewritten must keep that row through the run_id-guarded
         # replace below — it is the only live copy of the parked human
         # work. (Normal runs: no own-run rows exist, this is empty.)
+        #
+        # Own-run rows a human already flipped OFF 'Pendiente' are
+        # preserved UNCONDITIONALLY: once resolved, the folio is no
+        # longer parked (it re-enters processing and won't be in
+        # parked_folios), but the Resuelto row is the permanent record
+        # of the human decision — the guía contract says queue rows are
+        # never deleted, only marked Resuelto, so a same-run_id retry
+        # must not let the replace erase it.
+        own_queue = wh.read("review_queue").where(
+            F.col("run_id").eqNullSafe(F.lit(self.run_id))
+        )
         parked_folios = classified.where(
             F.col("action") == M.ACTION_PARKED
         ).select(F.coalesce(F.col("src.folio"), F.col("dst.folio")).alias("folio"))
         preserved = (
-            wh.read("review_queue")
-            .where(F.col("run_id").eqNullSafe(F.lit(self.run_id)))
+            own_queue.where(F.coalesce(F.col("estado"), F.lit("")) == "Pendiente")
             .join(parked_folios, "folio", "leftsemi")
+            .unionByName(
+                own_queue.where(F.coalesce(F.col("estado"), F.lit("")) != "Pendiente")
+            )
         )
         wh.append_once(
             "review_queue", review_rows.unionByName(preserved), self.run_id
@@ -396,10 +435,30 @@ class SyncJob:
             audit_updates.unionByName(audit_inserts).unionByName(audit_moves)
             .unionByName(audit_conflicts).unionByName(audit_deletions).unionByName(audit_dups)
         ).withColumn("run_id", F.lit(self.run_id))
-        preserved_audit = (
+        # Preservation is (folio, accion)-keyed, EXCEPT within the
+        # state-mutation class {ACTUALIZACIÓN, NUEVO, CAMBIO MÉTODO
+        # PAGO}: a run applies at most ONE final-state mutation per
+        # folio, so a replay that re-records the folio's mutation under
+        # a different accion supersedes the stale row rather than
+        # coexisting with it. (A move that crashed between the pass-A
+        # drop and the pass-B append replays as a plain insert — the
+        # retry's NUEVO row must replace the stale MOVIDO row, or the
+        # bitácora double-counts one physical change. Telemetry accions
+        # — duplicates, deletions, conflicts — are independent events
+        # and stay (folio, accion)-keyed.)
+        mutation_class = [ACTION_UPDATE, ACTION_NEW, ACTION_MOVE]
+        own_stale = (
             wh.read("audit_log")
             .where(F.col("run_id").eqNullSafe(F.lit(self.run_id)))
             .join(audit.select("folio", "accion"), ["folio", "accion"], "left_anti")
+        )
+        new_mutated_folios = audit.where(
+            F.col("accion").isin(mutation_class)
+        ).select("folio")
+        preserved_audit = (
+            own_stale.where(F.col("accion").isin(mutation_class))
+            .join(new_mutated_folios, "folio", "left_anti")
+            .unionByName(own_stale.where(~F.col("accion").isin(mutation_class)))
         )
         wh.append_once(
             "audit_log", audit.unionByName(preserved_audit), self.run_id
@@ -451,15 +510,15 @@ class SyncJob:
             wh.rewrite(table, kept.select(*out_cols))
 
         for table in TABLE_ORDER:  # pass B: append new rows
+            if not append_counts.get(table):  # skip the empty-file append
+                continue
             ins = self._src_as_target_row(
                 inserts.where(F.col("src.target_table") == table), table
             )
             move_ins = self._src_as_target_row(
                 auto_moves.where(F.col("src.target_table") == table), table
             )
-            appendable = ins.unionByName(move_ins)
-            if appendable.take(1):  # skip the empty-file append
-                wh.append(table, appendable)
+            wh.append(table, ins.unionByName(move_ins))
 
         # ④ A4 run summary (Code.gs:846-854) — counts taken in ⓪
         return counts

@@ -49,7 +49,11 @@ _BUILTIN_DATETIME = frozenset(range(18, 23)) | frozenset(range(45, 48))
 #: XML 1.0 cannot represent C0 controls (other than \t \n \r) at all —
 #: not even as character references; the writer strips them (lossy,
 #: like mainstream writers which raise instead)
-_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+# C0 controls are illegal in XML 1.0; lone UTF-16 surrogates
+# (U+D800-DFFF) are not Unicode scalar values at all — neither UTF-8
+# (the zip payload encoding) nor Arrow/parquet can represent them, so
+# the writer strips both rather than crash mid-archive.
+_XML_ILLEGAL = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\ud800-\udfff]")
 
 _TRUTHY_CHECKBOX = {"TRUE", "SI", "SÍ", "1"}
 

@@ -20,7 +20,8 @@ from pyspark.sql.types import (
 from lavasmart_bank_sync_etl_spark.operators.classify import classify_method
 from lavasmart_bank_sync_etl_spark.plans.sync_job import SyncJob
 from lavasmart_bank_sync_etl_spark.schemas import (
-    ACTION_CONFLICT, ACTION_DELETE_DETECTED, ACTION_DUPLICATE, ACTION_MOVE, ACTION_UPDATE,
+    ACTION_CONFLICT, ACTION_DELETE_DETECTED, ACTION_DUPLICATE, ACTION_MOVE,
+    ACTION_NEW, ACTION_UPDATE,
 )
 from lavasmart_bank_sync_etl_spark.sources.catalog_store import CatalogStore
 from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
@@ -388,6 +389,76 @@ def test_audit_survives_same_run_id_replay_of_applied_changes(spark, wh):
     ]
     assert len(audit) == 1
     assert audit[0]["run_id"] == "runU"
+
+
+def test_same_run_id_retry_after_resolution_keeps_resolved_row(spark, wh):
+    """A human may flip the queue row to 'Resuelto' between a crashed
+    run and its retry. The retry then classifies the folio as a plain
+    insert (no longer parked), but the Resuelto row is the permanent
+    record of the human decision — the run_id-guarded replace must
+    preserve it, not erase the only copy of the resolution history."""
+    run(spark, wh, [row("0-1", 2)])
+    t = wh.read("transfers").withColumn("concepto_banco", F.lit("SPEI 123"))
+    wh.rewrite("transfers", t)
+    src = src_df(spark, [row("0-1", 2, metodo="EFECTIVO")])
+    SyncJob(spark, wh, WIN[0], WIN[1], run_id="runX").run(src)
+    assert "0-1" not in folios(wh, "transfers")  # conflict applied
+    resolved = wh.read("review_queue").withColumn("estado", F.lit("Resuelto"))
+    wh.rewrite("review_queue", resolved)
+    # ops retries runX believing the crashed run never completed
+    counts = SyncJob(spark, wh, WIN[0], WIN[1], run_id="runX").run(src)
+    assert counts.get("insert") == 1
+    assert "0-1" in folios(wh, "cash")
+    rq = wh.read("review_queue").collect()
+    assert len(rq) == 1 and rq[0]["estado"] == "Resuelto"
+
+
+def test_crashed_move_retry_audits_one_mutation_row(spark, wh):
+    """A run applies at most one final-state mutation per folio, so the
+    bitácora must hold at most one mutation row per (run, folio). A
+    move that crashed between the pass-A drop and the pass-B append
+    replays as a plain insert: the retry's NUEVO row supersedes the
+    stale MOVIDO row instead of coexisting with it (which would
+    double-count one physical change in per-run reporting)."""
+    run(spark, wh, [row("0-1", 2)])
+    src = src_df(spark, [row("0-1", 2, metodo="EFECTIVO")])
+    SyncJob(spark, wh, WIN[0], WIN[1], run_id="runM").run(src)
+    assert ("0-1", ACTION_MOVE) in audit_actions(wh)
+    # rewind to the crash point: pass-B append had not happened yet
+    wh.rewrite("cash", wh.read("cash").where(F.col("folio") != "0-1"))
+    counts = SyncJob(spark, wh, WIN[0], WIN[1], run_id="runM").run(src)
+    assert counts.get("insert") == 1
+    assert "0-1" in folios(wh, "cash")
+    # scope to runM: the setup run's own NUEVO row is legit history
+    mutations = [
+        (r["folio"], r["accion"])
+        for r in wh.read("audit_log").where(F.col("run_id") == "runM").collect()
+        if r["folio"] == "0-1"
+        and r["accion"] in (ACTION_MOVE, ACTION_NEW, ACTION_UPDATE)
+    ]
+    assert mutations == [("0-1", ACTION_NEW)]
+
+
+def test_parked_dest_only_folio_still_logs_deletion(spark, wh):
+    """Parking freezes destination state and the queue, but deletion
+    detection is log-only telemetry (T5): a parked folio that is
+    dest-present and vanishes from the source window must still emit
+    its DETECTADA_ELIMINACION audit row every run, exactly as an
+    unparked dest-only folio does."""
+    run(spark, wh, [row("0-1", 2)])
+    schema = wh.read("review_queue").schema
+    foreign = spark.createDataFrame(
+        [(None, "0-1", "Cambio de método de pago con trabajo manual: transfers → cash",
+          "transfers", "cash", D(2025, 11, 2), "Ana", "Sala", 100.0,
+          "SANTANDER", "No", "", "", "Pendiente", "runA")],
+        schema,
+    )
+    wh.append("review_queue", foreign)
+    counts = run(spark, wh, [row("0-9", 3)])  # source no longer has 0-1
+    assert counts.get("parked") == 1
+    assert counts.get("deletions_detected") == 1
+    assert ("0-1", ACTION_DELETE_DETECTED) in audit_actions(wh)
+    assert "0-1" in folios(wh, "transfers")  # log-only: never deletes
 
 
 def test_run_id_stamps_and_retry_replaces(spark, wh):
