@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import layout as LAYOUT
 from .operators.asof import asof_join
 from .operators.dedup import _shingle_rows, normalized_text
 from .queries import query, sales_cte
@@ -919,3 +920,201 @@ def xlsx1_workbook_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("flag").cast("long")).cast("long").alias("n_flagged"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# B3 — Z-order (space-filling-curve) clustering + zone-map pruning
+# ---------------------------------------------------------------------------
+
+_B3_ZONES_SQL = f"""
+    WITH li AS (
+      SELECT l_partkey AS x, l_suppkey AS y FROM lineitem
+    ), stats AS (
+      SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+      FROM li
+    ), binned AS (
+      SELECT x, y,
+             ((x - xmin) * 256) // (xmax - xmin + 1) AS bx,
+             ((y - ymin) * 256) // (ymax - ymin + 1) AS by,
+             xmin + (xmax - xmin + 1) * 2 // 5 AS qx1,
+             xmin + (xmax - xmin + 1) * 3 // 5 AS qx2,
+             ymin + (ymax - ymin + 1) * 2 // 5 AS qy1,
+             ymin + (ymax - ymin + 1) * 3 // 5 AS qy2
+      FROM li, stats
+    ), zed AS (
+      SELECT *, ({LAYOUT.z_value_sql('bx', 'by')}) AS z FROM binned
+    ), layouts AS (
+      SELECT 'zorder' AS layout, z // 256 AS file_id, * FROM zed
+      UNION ALL
+      SELECT 'linear' AS layout, bx AS file_id, * FROM zed
+    ), zones AS (
+      SELECT layout, file_id, COUNT(*) AS n_rows,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             COUNT(*) FILTER (x BETWEEN qx1 AND qx2 AND y BETWEEN qy1 AND qy2)
+               AS n_match,
+             MIN(qx1) AS qx1, MIN(qx2) AS qx2, MIN(qy1) AS qy1, MIN(qy2) AS qy2
+      FROM layouts GROUP BY layout, file_id
+    )
+"""
+
+
+@query(
+    "b3_zorder_layout",
+    f"""
+    {_B3_ZONES_SQL}
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(COUNT(*) FILTER (max_x >= qx1 AND min_x <= qx2
+                                 AND max_y >= qy1 AND min_y <= qy2)
+                AS BIGINT) AS files_hit,
+           CAST(COALESCE(SUM(n_rows) FILTER (max_x >= qx1 AND min_x <= qx2
+                                             AND max_y >= qy1 AND min_y <= qy2),
+                         0) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_match) AS BIGINT) AS rows_matching
+    FROM zones GROUP BY layout
+    """,
+)
+def b3_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — multi-dimensional clustering: Z-order (Morton) interleave
+    of two fixed-width-binned dimensions vs a single-dimension sort,
+    judged by the zone maps (per-file min/max) each layout yields.
+    The reference clusters on one dimension only (a tab per month,
+    Code.gs:234-240); this is the 100 TB generalization — the
+    lakehouse ``OPTIMIZE ZORDER BY`` pattern — where a file layout
+    must serve predicates on MORE than the partition column.
+
+    Per layout the query reports how many of its files a center-box
+    probe (middle fifth of both dimensions' ranges) must open
+    (``files_hit``) and how many rows those files hold
+    (``rows_scanned``) against the true selectivity
+    (``rows_matching``, identical across layouts by construction —
+    the built-in sanity check that both layouts cover every matching
+    row). Z-order prunes in BOTH dimensions (~files_hit/n_files ≈
+    box area), linear only in its sort dimension (≈ box side).
+
+    Shape: one 1-row min/max aggregate broadcast back, then pure
+    map-side integer arithmetic (``operators/layout.py`` — unrolled
+    bit interleave inside whole-stage codegen, files as fixed
+    z-ranges so no global row_number), one groupBy per zone map.
+    At 100 TB the same z column is what ``repartitionByRange(z)`` +
+    ``sortWithinPartitions(z)`` would feed the parquet writer; here
+    the zone maps themselves are the driver-verified output."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y")
+    )
+    stats = li.agg(
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.min("y").alias("ymin"), F.max("y").alias("ymax"),
+    )
+    binned = li.crossJoin(F.broadcast(stats)).selectExpr(
+        "x", "y",
+        "((x - xmin) * 256) div (xmax - xmin + 1) AS bx",
+        "((y - ymin) * 256) div (ymax - ymin + 1) AS by",
+        "xmin + (xmax - xmin + 1) * 2 div 5 AS qx1",
+        "xmin + (xmax - xmin + 1) * 3 div 5 AS qx2",
+        "ymin + (ymax - ymin + 1) * 2 div 5 AS qy1",
+        "ymin + (ymax - ymin + 1) * 3 div 5 AS qy2",
+    )
+    zed = binned.withColumn("z", LAYOUT.z_value(F.col("bx"), F.col("by")))
+    zord = zed.select(
+        F.lit("zorder").alias("layout"), F.expr("z div 256").alias("file_id"), "*"
+    )
+    lin = zed.select(
+        F.lit("linear").alias("layout"), F.col("bx").alias("file_id"), "*"
+    )
+    in_box = (
+        F.col("x").between(F.col("qx1"), F.col("qx2"))
+        & F.col("y").between(F.col("qy1"), F.col("qy2"))
+    ).cast("long")
+    zones = (
+        zord.unionByName(lin)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+            F.sum(in_box).alias("n_match"),
+            F.min("qx1").alias("qx1"), F.min("qx2").alias("qx2"),
+            F.min("qy1").alias("qy1"), F.min("qy2").alias("qy2"),
+        )
+    )
+    hit = (
+        (F.col("max_x") >= F.col("qx1")) & (F.col("min_x") <= F.col("qx2"))
+        & (F.col("max_y") >= F.col("qy1")) & (F.col("min_y") <= F.col("qy2"))
+    ).cast("long")
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(hit).cast("long").alias("files_hit"),
+        F.coalesce(F.sum(F.col("n_rows") * hit), F.lit(0)).cast("long").alias("rows_scanned"),
+        F.sum("n_match").cast("long").alias("rows_matching"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TX21 — BPE vocabulary construction: first merge-iteration pair counts
+# ---------------------------------------------------------------------------
+
+@query(
+    "tx21_bpe_merge_pairs",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS word
+      FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq FROM toks GROUP BY word
+    ), pairs AS (
+      SELECT unnest([substr(word, CAST(i AS INT), 2)
+                     for i in generate_series(1, length(word) - 1)]) AS pair,
+             freq
+      FROM wf WHERE length(word) >= 2
+    ), pc AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM pairs GROUP BY pair
+    )
+    SELECT * FROM (
+      SELECT pair, pair_count,
+             CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS BIGINT)
+               AS merge_rank
+      FROM pc
+    ) ranked WHERE merge_rank <= 50
+    """,
+)
+def tx21_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TX21 — the tokenizer-training step the token COUNTING queries
+    (tx1/tx8) presuppose: the first BPE merge iteration — count every
+    adjacent symbol pair by corpus frequency and rank the merge
+    candidates (Sennrich et al. 2016, the byte-pair-encoding vocab
+    build every modern LM tokenizer starts from).
+
+    Scale shape is the classic BPE corpus compression: pair counting
+    runs over the DISTINCT-WORD table weighted by word frequency
+    (one groupBy collapses the corpus from |tokens| to |vocab| rows —
+    at 100 TB that's the difference between shuffling trillions of
+    token instances and millions of distinct words), then adjacent
+    pairs explode from each distinct word once. The final top-50
+    window sorts a table bounded by the symbol alphabet squared
+    (≤ 26² for lowercase ASCII) — constant-size regardless of corpus
+    scale, so the single-partition window is not a bottleneck.
+    Deterministic across engines: exact integer counts, ties broken
+    by pair string."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit("[a-z]+"), F.lit(0),
+            )
+        ).alias("word")
+    )
+    wf = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    pc = pairs.groupBy("pair").agg(F.sum("freq").cast("long").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return pc.select(
+        "pair", "pair_count", F.row_number().over(w).cast("long").alias("merge_rank")
+    ).where(F.col("merge_rank") <= 50)

@@ -110,3 +110,94 @@ def test_any_query_module_is_a_safe_first_import():
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
         )
         assert proc.returncode == 0, f"{mod}-first import failed:\n{proc.stderr[-2000:]}"
+
+
+# ---------------------------------------------------------------------------
+# operators/layout.py — Z-order clustering (b3)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lavasmart_bank_sync_etl_spark.operators import layout as L
+from lavasmart_bank_sync_etl_spark.queries_pipeline import b3_zorder_layout
+
+
+def test_z_interleave_py_known_values():
+    # bx bits land at odd positions, by bits at even positions
+    assert L.z_interleave_py(0, 0) == 0
+    assert L.z_interleave_py(1, 0) == 2
+    assert L.z_interleave_py(0, 1) == 1
+    assert L.z_interleave_py(0b11, 0b11) == 0b1111
+    assert L.z_interleave_py(255, 255) == 65535
+
+
+def test_z_interleave_py_is_monotone_block_local():
+    """Rows sharing the top z-byte agree on the top 4 bits of BOTH
+    dims — the property that makes fixed z-ranges valid 'files'."""
+    for bx in range(0, 256, 17):
+        for by in range(0, 256, 13):
+            z = L.z_interleave_py(bx, by)
+            # reconstruct the high nibbles from the z block id
+            blk = z >> 8
+            hx = sum(((blk >> (2 * i + 1)) & 1) << i for i in range(4))
+            hy = sum(((blk >> (2 * i)) & 1) << i for i in range(4))
+            assert hx == bx >> 4 and hy == by >> 4
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_z_value_matches_python_reference(spark, pairs):
+    df = spark.createDataFrame(pairs, "bx: long, by: long")
+    got = [
+        r["z"]
+        for r in df.select(L.z_value(F.col("bx"), F.col("by")).alias("z"))
+        .orderBy("bx", "by")
+        .collect()
+    ]
+    want = [L.z_interleave_py(bx, by) for bx, by in sorted(pairs)]
+    assert got == want
+
+
+def test_z_value_sql_twin_matches(spark):
+    rows = [(bx, by) for bx in range(0, 256, 31) for by in range(0, 256, 29)]
+    df = spark.createDataFrame(rows, "bx: long, by: long")
+    both = df.select(
+        L.z_value(F.col("bx"), F.col("by")).alias("a"),
+        F.expr(L.z_value_sql("bx", "by")).cast("long").alias("b"),
+    )
+    assert both.where(F.col("a") != F.col("b")).count() == 0
+
+
+def test_fixed_width_bin_bounds_and_edges(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [0, 1, 99, 100, 101, 9999, 10000]], "v: long"
+    )
+    out = df.select(
+        "v",
+        L.fixed_width_bin(F.col("v"), F.lit(0), F.lit(10000), 256).alias("b"),
+    ).collect()
+    for r in out:
+        assert 0 <= r["b"] <= 255
+        assert r["b"] == (r["v"] * 256) // 10001  # python floor-div oracle
+
+
+def test_b3_zorder_prunes_both_dimensions(spark, sf_dir):
+    """The operator's reason to exist: for a 2-D box probe the
+    z-layout must open a smaller row fraction than the 1-D sort, and
+    both layouts must cover every matching row."""
+    rows = {r["layout"]: r for r in b3_zorder_layout(spark, sf_dir).collect()}
+    z, lin = rows["zorder"], rows["linear"]
+    assert z["rows_matching"] == lin["rows_matching"] > 0
+    assert z["rows_scanned"] >= z["rows_matching"]
+    assert lin["rows_scanned"] >= lin["rows_matching"]
+    assert z["rows_scanned"] < lin["rows_scanned"]
