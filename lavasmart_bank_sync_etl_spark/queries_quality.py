@@ -698,8 +698,13 @@ def dq7_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: values go fixed-point (cents) BEFORE
     binning, bin edges are all-integer rational arithmetic (`div` on
-    longs — truncation-vs-floor can't diverge because the clamped
-    range keeps numerators non-negative), per-bin PSI terms are
+    longs — Spark truncates where DuckDB `//` floors, and the two
+    only disagree on NEGATIVE non-integer quotients; the one place a
+    negative numerator occurs is a current-window value below the
+    reference minimum, whose quotient is ≤ 0 under either rule, so
+    the GREATEST(0, _) clamp maps it to bin 0 on both engines — the
+    clamp, not numerator sign, is the divergence shield), per-bin
+    PSI terms are
     rounded to 1e-6 fixed-point and SUMMED AS INTEGERS (the tx18
     pattern), so the total and flag can't drift on float summation
     order.

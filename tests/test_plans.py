@@ -527,3 +527,24 @@ def test_tx17_lm_joins_broadcast(q):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "w1#" not in args and "w12#" not in args and "text#" not in args, args
+
+
+def test_b3_zorder_stays_map_side_until_zone_maps(q):
+    """b3: the layout operator's whole point at 100 TB is that the
+    z-value is MAP-SIDE arithmetic — the only stats input is a 1-row
+    min/max frame broadcast back (BroadcastNestedLoopJoin, never a
+    keyed shuffle of the facts against stats), no window function
+    anywhere (files are fixed z-ranges, not a global row_number), and
+    the zone-map aggregation partial-aggregates before its exchange."""
+    import re
+    plan = q("b3_zorder_layout")
+    # exactly 2: the layouts union re-derives the map-side pipeline in
+    # each branch (recomputing codegen arithmetic is cheaper than
+    # materializing the z column at scale), each with ONE 1-row
+    # stats broadcast
+    assert len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)) == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" not in plan
+    # facts are only ever hash-partitioned by the zone/group keys
+    for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
+        assert "layout#" in args or "file_id#" in args, args
