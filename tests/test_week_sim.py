@@ -1,0 +1,217 @@
+"""Longitudinal production simulation: one folio population driven
+through a week of daily syncs — inserts, duplicates, human edits,
+updates, clean and conflicted moves, parking, crash-retry, human
+resolution, deletions, and a month-end backfill — with the GLOBAL
+invariants re-checked after every run. The per-feature goldens in
+test_sync_job.py pin each behavior in isolation; this suite pins
+that they still hold when they interleave on shared state across
+runs (the reference's actual operating regime: one workbook, one
+daily trigger, humans editing between runs — Code.gs:649-860 +
+GUIA_REVISION_PENDIENTE.md).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from lavasmart_bank_sync_etl_spark.operators.classify import classify_method
+from lavasmart_bank_sync_etl_spark.plans.sync_job import SyncJob
+from lavasmart_bank_sync_etl_spark.schemas import (
+    ACTION_MOVE, ACTION_NEW, ACTION_UPDATE, TABLE_ORDER,
+)
+from lavasmart_bank_sync_etl_spark.sources.catalog_store import CatalogStore
+from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+D = dt.date
+WIN = ("2025-11-01", "2025-11-10")
+
+SRC_SCHEMA = StructType([
+    StructField("folio", StringType()),
+    StructField("sale_date", DateType()),
+    StructField("cliente", StringType()),
+    StructField("servicio", StringType()),
+    StructField("monto", DoubleType()),
+    StructField("metodo_raw", StringType()),
+    StructField("banco", StringType()),
+    StructField("src_row_idx", LongType()),
+])
+
+
+def row(folio, day, monto=100.0, metodo="TRANSFERENCIA", cliente="Ana",
+        servicio="Sala", banco="SANTANDER", idx=0):
+    return (folio, D(2025, 11, day), cliente, servicio, monto, metodo, banco, idx)
+
+
+@pytest.fixture(params=[Warehouse, CatalogStore])
+def wh(request, spark, tmp_path):
+    return request.param(spark, str(tmp_path / "whsim"))
+
+
+def src_df(spark, rows):
+    df = spark.createDataFrame(rows, SRC_SCHEMA)
+    return df.withColumn("metodo", classify_method(F.col("metodo_raw")))
+
+
+def sync(spark, wh, rows, start=WIN[0], end=WIN[1], run_id=None):
+    return SyncJob(spark, wh, start, end, run_id=run_id).run(src_df(spark, rows))
+
+
+def table_folios(wh):
+    return {t: {r["folio"] for r in wh.read(t).collect()} for t in TABLE_ORDER}
+
+
+def check_invariants(wh):
+    """Global state invariants that must hold after EVERY run:
+    (1) a folio lives in AT MOST one destination table;
+    (2) a folio in NO table is exactly one currently parked in the
+        review queue (Estado='Pendiente') — conflicts remove the row
+        from its old table and hold it out of the new one;
+    (3) the review queue holds at most one row per folio (the parked
+        snapshot converges, never duplicates);
+    (4) the audit log holds at most one state-mutation row per
+        (run_id, folio) — a run applies at most one final-state
+        mutation per folio."""
+    tf = table_folios(wh)
+    seen: dict[str, str] = {}
+    for t, fs in tf.items():
+        for f in fs:
+            assert f not in seen, f"{f} in both {seen[f]} and {t}"
+            seen[f] = t
+    queue = wh.read("review_queue").collect()
+    per_folio: dict[str, int] = {}
+    for q in queue:
+        per_folio[q["folio"]] = per_folio.get(q["folio"], 0) + 1
+    assert all(n == 1 for n in per_folio.values()), per_folio
+    pendiente = {q["folio"] for q in queue if q["estado"] == "Pendiente"}
+    ever_known = {q["folio"] for q in queue} | set(seen)
+    missing = {f for f in ever_known if f not in seen}
+    assert missing <= pendiente, (missing, pendiente)
+    audit = wh.read("audit_log").collect()
+    mutations = {}
+    for a in audit:
+        if a["accion"] in (ACTION_UPDATE, ACTION_NEW, ACTION_MOVE):
+            key = (a["run_id"], a["folio"])
+            mutations[key] = mutations.get(key, 0) + 1
+    assert all(n == 1 for n in mutations.values()), {
+        k: n for k, n in mutations.items() if n > 1
+    }
+
+
+def test_week_in_production(spark, wh):
+    # ---- Monday: first sync of the week ------------------------------
+    monday = [
+        row("0-1", 2, monto=500.0),                       # A transfers
+        row("0-2", 3, metodo="tarjeta CREDITO"),          # B cards
+        row("0-3", 3, metodo="EFECTIVO"),                 # C cash
+        row("0-4", 4),                                    # D transfers
+        row("0-5", 5, monto=100.0, idx=0),                # E transfers
+        row("0-5", 5, monto=999.0, idx=1),                # E dup (loses)
+    ]
+    counts = sync(spark, wh, monday)
+    assert counts.get("insert") == 5 and counts.get("duplicates") == 1
+    check_invariants(wh)
+
+    # ---- humans annotate between runs --------------------------------
+    t = wh.read("transfers").withColumn(
+        "conciliado", F.when(F.col("folio") == "0-1", True).otherwise(F.col("conciliado"))
+    ).withColumn(
+        "observaciones",
+        F.when(F.col("folio") == "0-1", F.lit("ok Ana")).otherwise(F.col("observaciones")),
+    )
+    wh.rewrite("transfers", t)
+    c = wh.read("cards").withColumn(
+        "lote", F.when(F.col("folio") == "0-2", F.lit("L-7")).otherwise(F.col("lote"))
+    )
+    wh.rewrite("cards", c)
+
+    # ---- Tuesday: update + conflicted move + clean move + deletion ---
+    tuesday = [
+        row("0-1", 2, monto=750.0),                       # A update
+        row("0-2", 3, metodo="EFECTIVO"),                 # B move w/ work → conflict
+        row("0-3", 3),                                    # C cash → transfers, clean
+        # D vanished from source → deletion telemetry
+        row("0-5", 5, monto=100.0, idx=0),                # E unchanged
+        row("0-6", 6, metodo="cheque nominativo"),        # F others insert
+    ]
+    counts = sync(spark, wh, tuesday)
+    assert counts.get("update") == 1
+    assert counts.get("conflicts") == 1
+    assert counts.get("auto_moves") == 1
+    assert counts.get("deletions_detected") == 1
+    assert counts.get("unchanged") == 1
+    assert counts.get("insert") == 1
+    check_invariants(wh)
+    got = {r["folio"]: r.asDict() for r in wh.read("transfers").collect()}
+    assert got["0-1"]["monto"] == 750.0
+    assert got["0-1"]["conciliado"] is True          # human cols survive update
+    assert got["0-1"]["observaciones"] == "ok Ana"
+    assert "0-3" in got and got["0-4"]["folio"] == "0-4"  # D log-only
+    queue = wh.read("review_queue").collect()
+    assert len(queue) == 1 and queue[0]["estado"] == "Pendiente"
+    assert "L-7" in queue[0]["concepto_banco"]       # cards lote folded in
+
+    # ---- Wednesday: parked folio stays frozen; retry converges -------
+    wednesday = tuesday
+    counts = sync(spark, wh, wednesday, run_id="wk-wed")
+    assert counts.get("parked") == 1 and not counts.get("conflicts")
+    check_invariants(wh)
+    counts = sync(spark, wh, wednesday, run_id="wk-wed")  # crash-retry
+    assert counts.get("parked") == 1 and not counts.get("conflicts")
+    check_invariants(wh)
+    assert wh.read("review_queue").count() == 1      # snapshot converged
+
+    # ---- Thursday: human resolves; latest source values apply --------
+    resolved = wh.read("review_queue").withColumn("estado", F.lit("Resuelto"))
+    wh.rewrite("review_queue", resolved)
+    thursday = [r if r[0] != "0-2" else row("0-2", 3, monto=222.0, metodo="EFECTIVO")
+                for r in tuesday]
+    counts = sync(spark, wh, thursday)
+    assert counts.get("insert") == 1 and not counts.get("parked")
+    check_invariants(wh)
+    cash = {r["folio"]: r.asDict() for r in wh.read("cash").collect()}
+    assert cash["0-2"]["monto"] == 222.0             # latest source, not snapshot
+    queue = wh.read("review_queue").collect()
+    assert len(queue) == 1 and queue[0]["estado"] == "Resuelto"
+    assert queue[0]["monto"] == 100.0                # snapshot stays historical
+
+    # ---- Friday: month-end backfill widens the window ----------------
+    friday = thursday + [row("0-9", 20)]             # late sale, outside daily window
+    counts = sync(spark, wh, friday, start="2025-11-01", end="2025-11-30")
+    assert counts.get("insert") == 1                 # G only
+    assert counts.get("deletions_detected") == 1     # D still gone from source
+    check_invariants(wh)
+
+    # ---- Saturday: idempotence under the widened window --------------
+    counts = sync(spark, wh, friday, start="2025-11-01", end="2025-11-30")
+    assert not counts.get("insert") and not counts.get("update")
+    assert counts.get("unchanged") == 6              # A,B,C,E,F,G
+    check_invariants(wh)
+
+    # ---- final topology ----------------------------------------------
+    tf = table_folios(wh)
+    assert tf["transfers"] == {"0-1", "0-3", "0-4", "0-5", "0-9"}
+    assert tf["cards"] == set()
+    assert tf["cash"] == {"0-2"}
+    assert tf["others"] == {"0-6"}
+
+
+def test_week_then_maintenance_keeps_state(spark, tmp_path):
+    """Warehouse-only epilogue: after a multi-run week, compact +
+    vacuum must not change any visible state, and the retained
+    snapshot still time-travels."""
+    wh = Warehouse(spark, str(tmp_path / "whmaint"))
+    sync(spark, wh, [row("0-1", 2), row("0-2", 3, metodo="EFECTIVO")])
+    sync(spark, wh, [row("0-1", 2, monto=321.0), row("0-2", 3, metodo="EFECTIVO")])
+    before = sorted(map(tuple, wh.read("transfers").collect()))
+    wh.compact("transfers")
+    wh.vacuum("transfers", keep=2)
+    assert sorted(map(tuple, wh.read("transfers").collect())) == before
+    cur = wh.current_version("transfers")
+    assert sorted(map(tuple, wh.read_version("transfers", cur).collect())) == before
+    check_invariants(wh)
