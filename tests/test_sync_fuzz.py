@@ -36,10 +36,12 @@ METODOS = ["TRANSFERENCIA", "EFECTIVO"]
 cell = st.tuples(
     st.booleans(), st.integers(0, 1), st.integers(0, 3), st.booleans()
 )
-#: one run: a cell per folio + post-run (human_edit_folio | None, resolve_all)
+#: one run: a cell per folio + post-run
+#: (human_edit_folio | None, resolve_all, replay_same_run_id)
 run_st = st.tuples(
     st.tuples(cell, cell, cell),
     st.one_of(st.none(), st.integers(0, len(FOLIOS) - 1)),
+    st.booleans(),
     st.booleans(),
 )
 history = st.lists(run_st, min_size=2, max_size=3)
@@ -61,13 +63,19 @@ def _src_rows(cells):
 @given(history)
 def test_random_histories_hold_invariants(spark, tmp_path_factory, hist):
     wh = Warehouse(spark, str(tmp_path_factory.mktemp("fuzz") / "wh"))
-    for r, (cells, edit_idx, resolve) in enumerate(hist):
+    for r, (cells, edit_idx, resolve, replay) in enumerate(hist):
         rows = _src_rows(cells)
         src = spark.createDataFrame(rows, SRC_SCHEMA).withColumn(
             "metodo", classify_method(F.col("metodo_raw"))
         )
         SyncJob(spark, wh, WIN[0], WIN[1], run_id=f"fz-{r}").run(src)
         check_invariants(wh)
+        if replay:
+            # ops retries a "crashed" (actually completed) run under
+            # its own run_id — the T3 convergence contract says state
+            # must be unchanged and the value model must still hold
+            SyncJob(spark, wh, WIN[0], WIN[1], run_id=f"fz-{r}").run(src)
+            check_invariants(wh)
 
         # weak value model: a non-parked folio present in the source
         # sits in its method's table with this run's winner values
