@@ -505,3 +505,33 @@ def test_first_match_returns_one_real_row_not_a_chimera(spark):
     assert (r["concepto"], r["monto"]) in {("SPEI A", 100.0), ("AAA B", 200.0)}
     # deterministic full-row lexicographic tiebreak within table_order 0
     assert (r["concepto"], r["monto"]) == ("AAA B", 200.0)
+
+
+def test_crash_after_audit_before_rewrite_converges(spark, wh):
+    """Crash point between the audit append (phase-2 step ③ runs the
+    staged audit BEFORE the state rewrites) and the target rewrite:
+    the bitácora already records ACTUALIZACIÓN but the table still
+    holds the old value. The retry re-classifies the update (still
+    pending), applies it, and the run_id-guarded replace keeps
+    exactly ONE mutation row — the warehouse may transiently show an
+    audit row ahead of its value, never a duplicate record of one
+    physical change."""
+    run(spark, wh, [row("0-1", 2, monto=100.0)])
+    src = src_df(spark, [row("0-1", 2, monto=990.0)])
+    SyncJob(spark, wh, WIN[0], WIN[1], run_id="runC").run(src)
+    assert folios(wh, "transfers")["0-1"]["monto"] == 990.0
+    # rewind the TABLE only: audit row stays (it was written first),
+    # the rewrite "never happened"
+    t = wh.read("transfers").withColumn(
+        "monto",
+        F.when(F.col("folio") == "0-1", F.lit(100.0)).otherwise(F.col("monto")),
+    )
+    wh.rewrite("transfers", t)
+    counts = SyncJob(spark, wh, WIN[0], WIN[1], run_id="runC").run(src)
+    assert counts.get("update") == 1
+    assert folios(wh, "transfers")["0-1"]["monto"] == 990.0
+    audit = [
+        r for r in wh.read("audit_log").collect()
+        if r["folio"] == "0-1" and r["accion"] == ACTION_UPDATE
+    ]
+    assert len(audit) == 1 and audit[0]["run_id"] == "runC"
