@@ -29,15 +29,23 @@ from pyspark.sql import functions as F
 
 def fixed_width_bin(col: Column, vmin: Column, vmax: Column, bins: int) -> Column:
     """Map ``col`` (integral, within [vmin, vmax]) to ``0..bins-1`` by
-    fixed-width binning. Pure integer arithmetic (``div``) so every
-    engine computes the identical bin — no float rounding at bucket
+    fixed-width binning. Pure integer arithmetic so every engine
+    computes the identical bin — no float rounding at bucket
     boundaries. Non-negative numerator by construction (col ≥ vmin),
-    where truncating and flooring division agree."""
+    where truncating and flooring division agree.
+
+    Input bound (caller contract): ``(vmax - vmin + 1) * bins`` must
+    stay below 2^63 — the scaled numerator is computed in long. The
+    division itself is exact at any long magnitude: the numerator is
+    reduced to an exact multiple of ``span``, and the quotient is
+    taken in decimal, not double, so bins never come out one low past
+    2^53 (the failure mode of float division)."""
     span = (vmax - vmin + F.lit(1)).cast("long")
-    scaled = ((col - vmin) * F.lit(bins)).cast("long")
-    # (a - a mod b) / b: the numerator is exactly divisible, so the
-    # double division is exact and the cast is a no-op rounding-wise.
-    return ((scaled - F.pmod(scaled, span)) / span).cast("long")
+    scaled = ((col - vmin).cast("long") * F.lit(bins))
+    exact = scaled - F.pmod(scaled, span)
+    # decimal division of an exact multiple: integral quotient, no
+    # rounding at any long magnitude (matches the SQL twin's `//`)
+    return (exact.cast("decimal(38,0)") / span.cast("decimal(38,0)")).cast("long")
 
 
 def z_value(bx: Column, by: Column, bits: int = 8) -> Column:

@@ -18,10 +18,12 @@ snapshots give time travel (``read_version``/``history``) until
 ``vacuum`` prunes them; ``compact`` rewrites the current state into a
 target file count as a new version (small-file management).
 
-Append-only tables (audit log, review queue) append into the current
-snapshot dir: appends are monotone additions, and their durability
-story is the sink write itself, matching the reference's append-only
-sheets. ``append_once`` upgrades that to effectively-once for retried
+Appends are snapshot-committed too: the current snapshot's files are
+hard-linked (metadata-only) into the next version dir, the new rows
+land there, and the pointer flip publishes the append atomically —
+so EVERY committed ``v_*`` dir is immutable and time-travel-safe,
+including across the target-table inserts of SyncJob's pass B.
+``append_once`` upgrades that to effectively-once for retried
 runs: rows carry a ``run_id`` stamp and the run's rows are folded in
 via the atomic snapshot commit, so a crashed-then-retried run never
 torn-writes or double-appends (recovery story: SyncJob phases are
@@ -170,12 +172,42 @@ class Warehouse:
         )
 
     def append(self, table: str, df: DataFrame) -> None:
-        """S3/S5/S6 — batch append sink into the current snapshot."""
+        """S3/S5/S6 — batch append sink, committed as a NEW snapshot.
+
+        The current snapshot's data files are hard-linked into the
+        next version dir (metadata-only, no data copy), the new rows
+        are written there, and the pointer commit publishes both
+        atomically. Committed snapshots therefore stay IMMUTABLE under
+        appends too — a crash mid-append leaves only an uncommitted
+        dangling dir (vacuum's garbage), never a partial append
+        visible to readers or polluting a time-travel version (the
+        pass-B hole ADVICE r7 flagged). Collision-free by Spark's
+        job-unique part-file names; falls back to a copy on
+        filesystems without hard links."""
         self.ensure(table)
-        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode("append").parquet(
-            self._data_path(table)
-        )
-        self.spark.catalog.refreshByPath(self._data_path(table))
+        cur = self.current_version(table)
+        if cur is None:
+            # pre-versioning directory layout: in-place legacy append
+            df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
+                "append"
+            ).parquet(self._data_path(table))
+            self.spark.catalog.refreshByPath(self._data_path(table))
+            return
+        v = self._next_version(table)
+        src = os.path.join(self.path(table), cur)
+        dest = os.path.join(self.path(table), v)
+        os.makedirs(dest, exist_ok=True)
+        for name in os.listdir(src):
+            if name.endswith(".parquet"):
+                try:
+                    os.link(os.path.join(src, name), os.path.join(dest, name))
+                except OSError:
+                    shutil.copy2(os.path.join(src, name), os.path.join(dest, name))
+        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
+            "append"
+        ).parquet(dest)
+        self._commit(table, v)
+        self.spark.catalog.refreshByPath(dest)
 
     def append_once(self, table: str, df: DataFrame, run_id: str, run_id_col: str = "run_id") -> None:
         """Idempotent append: fold ``df`` (whose rows are stamped

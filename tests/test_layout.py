@@ -191,6 +191,27 @@ def test_fixed_width_bin_bounds_and_edges(spark):
         assert r["b"] == (r["v"] * 256) // 10001  # python floor-div oracle
 
 
+def test_fixed_width_bin_exact_past_double_precision(spark):
+    """The scaled numerator exceeds 2^53, where double division starts
+    rounding quotients one low at bin boundaries — the decimal
+    quotient must still match Python's arbitrary-precision floor-div
+    (ADVICE r7: the operator must not diverge from the SQL twin's
+    integer `//` on full-range long columns)."""
+    vmin, vmax, bins = 0, (1 << 55) - 1, 256
+    span = vmax - vmin + 1
+    # values chosen to land exactly on / around bin boundaries where
+    # a double quotient like 254.99999999999997 truncates to 254
+    edge = [k * span // bins for k in (1, 127, 255)]
+    vals = sorted({vmin, vmax, *edge, *[v - 1 for v in edge], *[v + 1 for v in edge]})
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    out = df.select(
+        "v",
+        L.fixed_width_bin(F.col("v"), F.lit(vmin), F.lit(vmax), bins).alias("b"),
+    ).collect()
+    for r in out:
+        assert r["b"] == (r["v"] * bins) // span, (r["v"], r["b"])
+
+
 def test_b3_zorder_prunes_both_dimensions(spark, sf_dir):
     """The operator's reason to exist: for a 2-D box probe the
     z-layout must open a smaller row fraction than the 1-D sort, and

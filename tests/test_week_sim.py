@@ -77,8 +77,13 @@ def check_invariants(wh):
         suite found exactly this interleaving. A resolved folio the
         source DOES still send must re-enter a table, which the value
         model in test_sync_fuzz.py asserts.);
-    (3) the review queue holds at most one row per folio (the parked
-        snapshot converges, never duplicates);
+    (3) the review queue holds at most one PENDIENTE row per folio
+        (the parked snapshot converges, never duplicates). Historical
+        Resuelto rows are permanent records and may accumulate: a
+        legitimate lifecycle (conflict → Resuelto → re-insert →
+        second conflict in a later run) leaves a Pendiente row NEXT TO
+        the retained Resuelto row — the guía's FAQ covers exactly a
+        folio appearing twice in review (ADVICE r7);
     (4) the audit log holds at most one state-mutation row per
         (run_id, folio) — a run applies at most one final-state
         mutation per folio."""
@@ -89,11 +94,14 @@ def check_invariants(wh):
             assert f not in seen, f"{f} in both {seen[f]} and {t}"
             seen[f] = t
     queue = wh.read("review_queue").collect()
-    per_folio: dict[str, int] = {}
+    pendiente_per_folio: dict[str, int] = {}
     for q in queue:
-        per_folio[q["folio"]] = per_folio.get(q["folio"], 0) + 1
-    assert all(n == 1 for n in per_folio.values()), per_folio
-    queued = set(per_folio)
+        if q["estado"] == "Pendiente":
+            pendiente_per_folio[q["folio"]] = (
+                pendiente_per_folio.get(q["folio"], 0) + 1
+            )
+    assert all(n == 1 for n in pendiente_per_folio.values()), pendiente_per_folio
+    queued = {q["folio"] for q in queue}
     ever_known = queued | set(seen)
     missing = {f for f in ever_known if f not in seen}
     assert missing <= queued, (missing, queued)
