@@ -30,3 +30,4 @@ from . import queries_pipeline  # noqa: E402,F401
 from . import queries_warehouse  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
 from . import queries_quality  # noqa: E402,F401
+from . import queries_workbook  # noqa: E402,F401  (needs queries_llm/_pipeline)

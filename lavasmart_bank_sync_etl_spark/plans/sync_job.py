@@ -520,5 +520,25 @@ class SyncJob:
             )
             wh.append(table, ins.unionByName(move_ins))
 
-        # ④ A4 run summary (Code.gs:846-854) — counts taken in ⓪
+        # ④ A4 run summary (Code.gs:846-854) — counts taken in ⓪,
+        #    persisted as one run_id-keyed run_log row (the reference
+        #    logs its summary to ephemeral console output; a durable
+        #    table makes longitudinal runs queryable). Last phase-2
+        #    step on purpose: a crash anywhere earlier leaves no row,
+        #    and the same-run_id retry writes the converged attempt's
+        #    counts — append_once keeps exactly one row per run.
+        from ..sources.warehouse import RUN_LOG
+
+        summary_row = self.spark.createDataFrame(
+            [(
+                self.run_id, dt.datetime.now(), self.start, self.end,
+                counts.get("insert", 0), counts.get("update", 0),
+                counts.get("unchanged", 0), counts.get("move", 0),
+                counts.get("dest_only", 0), counts.get("parked", 0),
+                counts.get("conflicts", 0), counts.get("auto_moves", 0),
+                counts.get("deletions_detected", 0), counts.get("duplicates", 0),
+            )],
+            RUN_LOG,
+        )
+        wh.append_once("run_log", summary_row, self.run_id)
         return counts

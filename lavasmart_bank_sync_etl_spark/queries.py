@@ -38,7 +38,7 @@ ORACLES: dict[str, str] = {}
 # Single source of truth for "how many queries are registered" — tests
 # and docs assert EQUALITY against this so a silently dropped
 # registration fails loudly instead of slipping under a >= bound.
-EXPECTED_QUERY_COUNT = 152
+EXPECTED_QUERY_COUNT = 155
 
 
 def query(name: str, oracle: str | None = None):

@@ -46,9 +46,39 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    DateType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ..schemas import AUDIT_LOG, BATCH_CLOSURES, FOLIO_DIM, REVIEW_QUEUE, TARGETS
+
+#: A4 run summary persisted as a durable table (one row per logical
+#: run, run_id-keyed): the reference logs its summary per execution
+#: (Code.gs:846-854) but the log is ephemeral console output — here
+#: longitudinal runs are queryable. A same-run_id crash retry REPLACES
+#: the row (append_once), so the table records the converged final
+#: attempt's view of each run, exactly one row per run_id.
+RUN_LOG = StructType([
+    StructField("run_id", StringType()),
+    StructField("ts", TimestampType()),
+    StructField("window_start", DateType()),
+    StructField("window_end", DateType()),
+    StructField("n_insert", LongType()),
+    StructField("n_update", LongType()),
+    StructField("n_unchanged", LongType()),
+    StructField("n_move", LongType()),
+    StructField("n_dest_only", LongType()),
+    StructField("n_parked", LongType()),
+    StructField("n_conflicts", LongType()),
+    StructField("n_auto_moves", LongType()),
+    StructField("n_deletions_detected", LongType()),
+    StructField("n_duplicates", LongType()),
+])
 
 ALL_TABLES: dict[str, StructType] = {
     **{name: schema for name, (schema, _, _) in TARGETS.items()},
@@ -56,6 +86,7 @@ ALL_TABLES: dict[str, StructType] = {
     "review_queue": REVIEW_QUEUE,
     "batch_closures": BATCH_CLOSURES,
     "folio_dim": FOLIO_DIM,
+    "run_log": RUN_LOG,
 }
 
 #: S9 — legacy rename migration (Code.gs:247-258).

@@ -7,6 +7,23 @@ method's table. The curated suites (test_sync_job.py goldens,
 test_week_sim.py) pin known interleavings; this sweeps the ones
 nobody thought to write down.
 
+Two hardening axes added in round 8 (VERDICT r7 tasks 3+4):
+
+* both storage backends — ``CatalogStore``'s two-rename swap protocol
+  has a different crash window than ``Warehouse``'s pointer commit,
+  so the random-history sweep now drives it too (reduced example
+  budget: the metastore DDL path is slower per run);
+* crash-point injection — ``CrashingStore`` is the injectable fault
+  hook: it kills the apply after the N-th mutating store call
+  (review append ① / audit append ② / each pass-A rewrite / each
+  pass-B append / run_log ⑤), and the fuzz then retries under the
+  same run_id, asserting the T3 convergence contract: invariants
+  hold AT the crash point (drops-before-appends means no torn state
+  is ever visible) and the retry converges to the clean-run value
+  model. ``tests/test_crash_sweep.py`` runs the exhaustive
+  deterministic sweep of every crash index on a curated scenario;
+  this file samples random (history × crash point) combinations.
+
 Deterministic by construction: ``derandomize=True`` makes hypothesis
 replay the same example set every session, so CI can't flake on a
 fresh seed; integer-valued amounts keep every change outside the
@@ -25,6 +42,7 @@ from pyspark.sql import functions as F
 from lavasmart_bank_sync_etl_spark.operators.classify import classify_method
 from lavasmart_bank_sync_etl_spark.plans.sync_job import SyncJob
 from lavasmart_bank_sync_etl_spark.schemas import METHOD_TO_TABLE, TABLE_ORDER
+from lavasmart_bank_sync_etl_spark.sources.catalog_store import CatalogStore
 from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
 
 from test_week_sim import SRC_SCHEMA, WIN, check_invariants, row
@@ -32,17 +50,51 @@ from test_week_sim import SRC_SCHEMA, WIN, check_invariants, row
 FOLIOS = ["f-0", "f-1", "f-2"]
 METODOS = ["TRANSFERENCIA", "EFECTIVO"]
 
+
+class CrashInjected(Exception):
+    """Raised by CrashingStore in place of the N-th mutating call."""
+
+
+class CrashingStore:
+    """Injectable fault hook (VERDICT r7 task 4): delegates to a real
+    TableStore but raises ``CrashInjected`` INSTEAD of executing the
+    N-th mutating call, simulating a process kill at every phase-2
+    step boundary (mid-call atomicity is the storage protocol's own
+    contract, pinned separately in test_store_contract.py)."""
+
+    MUTATORS = frozenset({"append", "append_once", "rewrite"})
+
+    def __init__(self, inner, crash_after: int):
+        self._inner = inner
+        self._left = crash_after
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if name in self.MUTATORS and callable(attr):
+            def guarded(*a, **k):
+                if self._left <= 0:
+                    raise CrashInjected(name)
+                self._left -= 1
+                return attr(*a, **k)
+
+            return guarded
+        return attr
+
+
 #: one folio-run cell: (present, metodo_idx, monto_step, duplicated)
 cell = st.tuples(
     st.booleans(), st.integers(0, 1), st.integers(0, 3), st.booleans()
 )
 #: one run: a cell per folio + post-run
-#: (human_edit_folio | None, resolve_all, replay_same_run_id)
+#: (human_edit_folio | None, resolve_all, replay_same_run_id,
+#:  crash_after | None — mutating-call index to kill the run at
+#:  before the same-run_id retry)
 run_st = st.tuples(
     st.tuples(cell, cell, cell),
     st.one_of(st.none(), st.integers(0, len(FOLIOS) - 1)),
     st.booleans(),
     st.booleans(),
+    st.one_of(st.none(), st.integers(0, 8)),
 )
 history = st.lists(run_st, min_size=2, max_size=3)
 
@@ -59,15 +111,26 @@ def _src_rows(cells):
     return rows
 
 
-@settings(max_examples=8, deadline=None, derandomize=True)
-@given(history)
-def test_random_histories_hold_invariants(spark, tmp_path_factory, hist):
-    wh = Warehouse(spark, str(tmp_path_factory.mktemp("fuzz") / "wh"))
-    for r, (cells, edit_idx, resolve, replay) in enumerate(hist):
+def _run_history(spark, backend, tmp_path_factory, hist):
+    wh = backend(spark, str(tmp_path_factory.mktemp("fuzz") / "wh"))
+    for r, (cells, edit_idx, resolve, replay, crash_after) in enumerate(hist):
         rows = _src_rows(cells)
         src = spark.createDataFrame(rows, SRC_SCHEMA).withColumn(
             "metodo", classify_method(F.col("metodo_raw"))
         )
+        if crash_after is not None:
+            # first attempt dies at the crash_after-th mutating call
+            # (or completes, if the run has fewer); the global
+            # invariants must hold AT the crash point — phase 2's
+            # ordering guarantees no torn state is ever visible
+            try:
+                SyncJob(
+                    spark, CrashingStore(wh, crash_after),
+                    WIN[0], WIN[1], run_id=f"fz-{r}",
+                ).run(src)
+            except CrashInjected:
+                pass
+            check_invariants(wh)
         SyncJob(spark, wh, WIN[0], WIN[1], run_id=f"fz-{r}").run(src)
         check_invariants(wh)
         if replay:
@@ -96,6 +159,10 @@ def test_random_histories_hold_invariants(spark, tmp_path_factory, hist):
                 folio, state.get(folio), want_table, 100 + step,
             )
 
+        # run_log converges to one row per logical run id
+        log_ids = [x["run_id"] for x in wh.read("run_log").collect()]
+        assert sorted(set(log_ids)) == sorted(log_ids), log_ids
+
         # between-run human activity
         if edit_idx is not None:
             folio = FOLIOS[edit_idx]
@@ -113,3 +180,19 @@ def test_random_histories_hold_invariants(spark, tmp_path_factory, hist):
                 "review_queue",
                 wh.read("review_queue").withColumn("estado", F.lit("Resuelto")),
             )
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(history)
+def test_random_histories_hold_invariants(spark, tmp_path_factory, hist):
+    _run_history(spark, Warehouse, tmp_path_factory, hist)
+
+
+@settings(max_examples=4, deadline=None, derandomize=True)
+@given(history)
+def test_random_histories_hold_invariants_catalog(spark, tmp_path_factory, hist):
+    """Same sweep over CatalogStore — its staged-table two-rename swap
+    (sources/catalog_store.py:69-92) is the one protocol whose crash
+    window differs from Warehouse's atomic pointer flip; reduced
+    example budget because metastore DDL makes each run slower."""
+    _run_history(spark, CatalogStore, tmp_path_factory, hist)

@@ -213,6 +213,21 @@ def test_week_in_production(spark, wh):
     assert tf["cash"] == {"0-2"}
     assert tf["others"] == {"0-6"}
 
+    # ---- run_log: exactly one converged row per logical run ----------
+    # 7 sync() calls, but wk-wed ran twice under one run_id — its
+    # retry must REPLACE the row (append_once), leaving 6 rows total.
+    log = {r["run_id"]: r.asDict() for r in wh.read("run_log").collect()}
+    assert len(log) == 6
+    wed = log["wk-wed"]
+    assert wed["n_parked"] == 1 and wed["n_conflicts"] == 0
+    assert wed["window_start"] == D(2025, 11, 1)
+    assert wed["window_end"] == D(2025, 11, 10)
+    assert all(r["ts"] is not None for r in log.values())
+    # Friday's backfill row carries its widened window
+    widened = [r for r in log.values() if r["window_end"] == D(2025, 11, 30)]
+    assert len(widened) == 2  # friday + saturday rerun
+    assert {r["n_insert"] for r in widened} == {1, 0}
+
 
 def test_week_then_maintenance_keeps_state(spark, tmp_path):
     """Warehouse-only epilogue: after a multi-run week, compact +

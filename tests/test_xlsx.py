@@ -236,3 +236,24 @@ def test_widen_audit_v1_fixture():
         "valores_nuevos": "SCOTIABANK",
         "run_id": None,
     }
+
+
+@needs_workbook
+def test_shipped_workbook_totales_cache_is_stale():
+    """The design fact behind xlsx2_totales_render (queries_workbook):
+    the shipped workbook is UNRECALCULATED — every cached `totales!B`
+    SUMIFS value is 0 (and C entirely empty) even though the
+    transfers sheet holds 18 sale days of matching rows. Asserting
+    engine output against that cache would assert nothing, so xlsx2
+    asserts against the formula's defined semantics instead. If a
+    future workbook ships recalculated, this fails and the render
+    should then compare against the cache directly."""
+    book = read_workbook(WORKBOOK)
+    tot = book["totales"][1:]
+    assert len(tot) == 396
+    assert all(r[1] in (0, None) and r[2] is None for r in tot)
+    days = {
+        r["fecha"] for r in extract_tables(WORKBOOK)["transfers"] if r["fecha"]
+    }
+    assert len(days) == 18            # the data the cache ignores
+    assert days <= {r[0] for r in tot}  # every sale day is on the spine
