@@ -191,6 +191,121 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+#: workbook egress sheet headers — the shipped workbook's own header
+#: rows (data sheets verified in tests/test_xlsx.py) and the header
+#: row the reference CREATES for Cierres_Lotes (Code.gs:478-486)
+_RENDER_HEADERS = {
+    "Conciliacion_Transferencias": [
+        "Fecha", "Folio", "Cliente", "Servicio (s)", "Banco", "Monto",
+        "✅ Conciliado", "💳 Concepto Banco", "🔍 Observaciones",
+    ],
+    "Conciliacion_Tarjetas": [
+        "Fecha", "Folio", "Cliente", "Servicio (s)", "Monto",
+        "🧾 Recibo", "afiliación", "📦 # Lote", "🔍 Observaciones",
+    ],
+    "totales": ["Fecha", "Transferencia", "Banco"],
+    "Cierres_Lotes": [
+        "Fecha", "# Lote", "Total Cierre", "Total Folios", "✅ Cuadra",
+        "💰 Depositado", "🔍 Observaciones",
+    ],
+}
+
+#: warehouse column order behind each data sheet (reference layouts)
+_RENDER_COLS = {
+    "Conciliacion_Transferencias": (
+        "transfers",
+        ["fecha", "folio", "cliente", "servicio", "banco", "monto",
+         "conciliado", "concepto_banco", "observaciones"],
+    ),
+    "Conciliacion_Tarjetas": (
+        "cards",
+        ["fecha", "folio", "cliente", "servicio", "monto", "recibo",
+         "afiliacion", "lote", "observaciones"],
+    ),
+}
+
+
+def cmd_render(args: argparse.Namespace) -> int:
+    """Workbook egress: render engine state back into the reference's
+    spreadsheet shapes — the two conciliation data sheets, the
+    `totales` per-day SUMIFS column (sheet7.xml!B2 semantics, computed
+    as values over a continuous day spine), and `Cierres_Lotes` with
+    its D/E formula columns computed (Code.gs:499-500; declared
+    totals + human columns joined from `batch_closures`). Writes a
+    real .xlsx via the stdlib writer, readable by any spreadsheet
+    app and by sources/xlsx.py. Driver-side collect by design — a
+    workbook is a bounded dimension-grade artifact (the xlsx scale
+    boundary, sources/xlsx.py docstring)."""
+    from .session import get_spark
+    from .sources.warehouse import Warehouse
+    from .sources.xlsx import write_workbook
+
+    spark = get_spark("lavasmart-render")
+    wh = Warehouse(spark, args.warehouse)
+    sheets: dict[str, list[list[object]]] = {}
+
+    for sheet, (table, cols) in _RENDER_COLS.items():
+        rows = (
+            wh.read(table)
+            .orderBy("fecha", "folio")
+            .select(*cols)
+            .collect()
+        )
+        sheets[sheet] = [_RENDER_HEADERS[sheet]] + [list(r) for r in rows]
+
+    transfers = wh.read("transfers")
+    lo, hi = transfers.agg(F.min("fecha"), F.max("fecha")).first()
+    tot_rows: list[list[object]] = []
+    if lo is not None:
+        spine = spark.range(1).select(
+            F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias("fecha")
+        )
+        per_day = transfers.groupBy("fecha").agg(F.sum("monto").alias("t"))
+        tot = (
+            spine.join(per_day, "fecha", "left")
+            .orderBy("fecha")
+            .select("fecha", F.round(F.coalesce("t", F.lit(0.0)), 2).alias("t"))
+        )
+        tot_rows = [[r["fecha"], r["t"], None] for r in tot.collect()]
+    sheets["totales"] = [_RENDER_HEADERS["totales"]] + tot_rows
+
+    lots = (
+        wh.read("cards")
+        .where(F.col("lote").isNotNull() & (F.col("lote") != ""))
+        .groupBy("lote")
+        .agg(F.round(F.sum(F.coalesce("monto", F.lit(0.0))), 2).alias("total_folios"))
+    )
+    closures = wh.read("batch_closures").select(
+        "lote", "fecha", "total_cierre", "depositado", "observaciones"
+    )
+    cierres = (
+        lots.join(closures, "lote", "full_outer")
+        .orderBy("lote")
+        .select(
+            "fecha", "lote", "total_cierre",
+            F.round(F.coalesce("total_folios", F.lit(0.0)), 2).alias("total_folios"),
+            # E2 = IF(C2=D2,"✅","❌") under spreadsheet blank-is-zero
+            F.when(
+                F.round(F.coalesce("total_cierre", F.lit(0.0)), 2)
+                == F.round(F.coalesce("total_folios", F.lit(0.0)), 2),
+                F.lit("✅"),
+            ).otherwise(F.lit("❌")).alias("cuadra"),
+            "depositado", "observaciones",
+        )
+        .collect()
+    )
+    sheets["Cierres_Lotes"] = [_RENDER_HEADERS["Cierres_Lotes"]] + [
+        list(r) for r in cierres
+    ]
+
+    write_workbook(args.out, sheets)
+    print(json.dumps(
+        {sheet: len(rows) - 1 for sheet, rows in sheets.items()},
+        sort_keys=True, ensure_ascii=False,
+    ))
+    return 0
+
+
 def cmd_list_queries(args: argparse.Namespace) -> int:
     """List the registered query surface, one JSON line per query
     (name + first docstring line), importable without a JVM."""
@@ -252,6 +367,13 @@ def main(argv: list[str] | None = None) -> int:
 
     lq = sub.add_parser("queries", help="list the registered query surface")
     lq.set_defaults(fn=cmd_list_queries)
+
+    rd = sub.add_parser(
+        "render", help="render warehouse state into the reference workbook shapes (.xlsx)"
+    )
+    rd.add_argument("--warehouse", required=True)
+    rd.add_argument("--out", required=True, help="output .xlsx path")
+    rd.set_defaults(fn=cmd_render)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -170,3 +170,54 @@ def test_cli_run_query_by_name(spark, capsys):
     assert main(["query", "a1_definitely_not_registered"]) == 2
     err = capsys.readouterr().err
     assert "unknown query" in err and "a1_sum_by_lot" in err
+
+
+def test_cli_render_workbook(spark, tmp_path, capsys):
+    """render: engine state → a real .xlsx in the reference's sheet
+    shapes; read back with the stdlib reader and check the totales
+    SUMIFS values and the Cierres_Lotes D/E computed columns against
+    warehouse content (the egress loop the reference closes with live
+    formulas, closed here with computed values)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import ALL_TABLES
+    from lavasmart_bank_sync_etl_spark.sources.xlsx import read_workbook
+
+    src = tmp_path / "sales.csv"
+    src.write_text(CSV)
+    wh_dir = str(tmp_path / "wh")
+    main(["sync", "--source", str(src), "--format", "csv",
+          "--warehouse", wh_dir, "--start", "1/11/2025", "--end", "10/11/2025"])
+    wh = Warehouse(spark, wh_dir)
+    # a human registers the card lot + its terminal closure ticket
+    wh.rewrite("cards", wh.read("cards").withColumn("lote", F.lit("L-1")))
+    wh.append("batch_closures", spark.createDataFrame(
+        [(dt.date(2025, 11, 3), "L-1", 550.0, True, "ok")],
+        ALL_TABLES["batch_closures"],
+    ))
+    capsys.readouterr()
+
+    out = str(tmp_path / "report.xlsx")
+    rc = main(["render", "--warehouse", wh_dir, "--out", out])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report == {
+        "Conciliacion_Transferencias": 1, "Conciliacion_Tarjetas": 1,
+        "totales": 1, "Cierres_Lotes": 1,
+    }
+
+    book = read_workbook(out)
+    assert set(book) == set(report)
+    t = book["Conciliacion_Transferencias"]
+    assert t[0][:6] == ["Fecha", "Folio", "Cliente", "Servicio (s)", "Banco", "Monto"]
+    assert t[1][1] == "0-1" and t[1][5] == 1200.5
+    tot = book["totales"]
+    assert tot[0] == ["Fecha", "Transferencia", "Banco"]
+    assert tot[1] == [dt.date(2025, 11, 2), 1200.5, None]  # SUMIFS value
+    (header, cierre) = book["Cierres_Lotes"]
+    assert header[:5] == ["Fecha", "# Lote", "Total Cierre", "Total Folios", "✅ Cuadra"]
+    assert cierre[1] == "L-1" and cierre[2] == 550.0
+    assert cierre[3] == 550.0 and cierre[4] == "✅"  # D=SUMIF, E balances
+    assert cierre[5] is True and cierre[6] == "ok"   # human cols survive egress

@@ -135,3 +135,43 @@ def test_approx_percentile_within_bound(spark, sf_dir):
 
     driver = entrymod.queries()["a10_approx_percentile_calibration"](spark, sf_dir).collect()
     assert driver and all(r["within_bound"] for r in driver)
+
+
+def test_append_is_snapshot_committed(spark, tmp_path):
+    """Round-8 append atomicity: an append commits a NEW version (the
+    previous snapshot's files hard-linked in), so committed snapshots
+    stay immutable under appends and time travel sees pre-append
+    state."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed(wh, 100.0)
+    v_before = wh.current_version("transfers")
+    extra = wh.read("transfers").withColumn("folio", F.lit("0-2"))
+    wh.append("transfers", extra)
+    v_after = wh.current_version("transfers")
+    assert v_after != v_before
+    assert set(_folio_rows(wh)) == {"0-1", "0-2"}
+    # the pre-append snapshot is untouched — no partial-append pollution
+    assert set(_folio_rows(wh, version=v_before)) == {"0-1"}
+
+
+def test_append_crash_leaves_current_intact(spark, tmp_path):
+    """Simulated crash mid-append: linked files + a torn new file sit
+    in an UNCOMMITTED version dir — readers stay on the committed
+    snapshot and vacuum removes the junk (the pass-B crash window
+    ADVICE r7 flagged, now closed by construction)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed(wh, 100.0)
+    cur = wh.current_version("transfers")
+    src = os.path.join(wh.path("transfers"), cur)
+    orphan = os.path.join(wh.path("transfers"), wh._next_version("transfers"))
+    os.makedirs(orphan)
+    for name in os.listdir(src):
+        if name.endswith(".parquet"):
+            os.link(os.path.join(src, name), os.path.join(orphan, name))
+    with open(os.path.join(orphan, "part-9999-torn.snappy.parquet"), "wb") as f:
+        f.write(b"\x00partial")  # torn write, no pointer commit
+    assert wh.current_version("transfers") == cur
+    assert _folio_rows(wh) == {"0-1": 100.0}
+    wh.vacuum("transfers", keep=2)
+    assert not os.path.isdir(orphan)
+    assert _folio_rows(wh) == {"0-1": 100.0}
