@@ -72,7 +72,9 @@ def _workbook_oracles() -> tuple[str | None, str | None]:
     WITH wb_transfers(fecha, monto) AS (VALUES {t_rows}),
          spine(fecha) AS (VALUES {spine})
     SELECT CAST(s.fecha AS VARCHAR) AS fecha_iso,
-           ROUND(COALESCE(SUM(t.monto), 0.0), 2) AS transferencia,
+           -- CAST inside the SUM: the VALUES literals type as DECIMAL,
+           -- and the engines must share double summation semantics
+           ROUND(COALESCE(SUM(CAST(t.monto AS DOUBLE)), 0.0), 2) AS transferencia,
            CAST(NULL AS DOUBLE) AS banco
     FROM spine s LEFT JOIN wb_transfers t ON t.fecha = s.fecha
     GROUP BY s.fecha
@@ -85,9 +87,10 @@ def _workbook_oracles() -> tuple[str | None, str | None]:
     xlsx3 = f"""
     WITH wb_cards(lote, monto) AS (VALUES {c_rows})
     SELECT lote,
-           ROUND(SUM(monto), 2) AS total_folios,
+           ROUND(SUM(CAST(monto AS DOUBLE)), 2) AS total_folios,
            CAST(NULL AS DOUBLE) AS total_cierre,
-           CASE WHEN ROUND(SUM(monto), 2) = 0.0 THEN '✅' ELSE '❌' END AS cuadra
+           CASE WHEN ROUND(SUM(CAST(monto AS DOUBLE)), 2) = 0.0
+                THEN '✅' ELSE '❌' END AS cuadra
     FROM wb_cards GROUP BY lote
     """
     return xlsx2, xlsx3
