@@ -15,7 +15,11 @@ Mechanics per contract method:
 ensure         ``CREATE TABLE`` (saveAsTable of an empty canonical-
                schema frame) if ``tableExists`` is false
 read           ``spark.table`` — catalog-resolved scan
-append         ``mode("append").saveAsTable`` (by-name resolution)
+append         ``mode("append").saveAsTable`` (by-name resolution);
+               crash durability comes from Spark's file-commit
+               protocol (stage to ``_temporary``, rename on job
+               commit) — the Warehouse backend instead snapshots
+               appends via its hard-link + pointer-flip commit
 append_once    recompute (prior state minus this run_id's rows) ∪ df,
                then the staged-swap rewrite below
 rewrite        write a ``__staged`` table, park the target as
