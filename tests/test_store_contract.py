@@ -175,3 +175,58 @@ def test_migrate_legacy_widens_v1_audit(spark, tmp_path):
     wh.migrate_legacy()
     assert wh.current_version("audit_log") == before
     assert wh.read("audit_log").count() == 1
+
+
+class _SqlCrash(Exception):
+    pass
+
+
+class _SqlCrashProxy:
+    """SparkSession proxy that raises in place of the N-th .sql() call
+    — fault injection INSIDE CatalogStore.rewrite's DDL sequence, one
+    level deeper than the call-boundary sweep in test_crash_sweep.py."""
+
+    def __init__(self, spark, crash_after):
+        self._spark = spark
+        self._left = crash_after
+
+    def sql(self, *a, **k):
+        if self._left <= 0:
+            raise _SqlCrash(a[0] if a else "")
+        self._left -= 1
+        return self._spark.sql(*a, **k)
+
+    def __getattr__(self, name):
+        return getattr(self._spark, name)
+
+
+def test_catalog_rewrite_crash_at_every_ddl_boundary(spark, tmp_path):
+    """Systematic sweep of the two-rename swap protocol: kill rewrite
+    before EACH of its five DDL statements (drop staged, drop old,
+    park target as old, rename staged in, drop old). After every
+    crash the table must read back CONSISTENT — fully the previous
+    committed state or fully the new one, never empty or mixed — and
+    a plain retry of the same rewrite must converge with no manual
+    repair. The curated 'worst point' cases above pin two boundaries
+    exactly; this proves the other windows by construction."""
+    for crash_after in range(5):
+        store = CatalogStore(spark, str(tmp_path / f"swap{crash_after}"))
+        store.append("audit_log", _audit_row(spark, store, "keep", 3))
+        new_df = _audit_row(spark, store, "new", 1)
+        real_spark = store.spark
+        store.spark = _SqlCrashProxy(real_spark, crash_after)
+        try:
+            store.rewrite("audit_log", new_df)
+            raised = False
+        except _SqlCrash:
+            raised = True
+        finally:
+            store.spark = real_spark
+        assert raised, crash_after  # rewrite issues exactly 5 DDLs
+        rows = store.read("audit_log").collect()  # triggers recovery
+        states = {(r["run_id"]) for r in rows}
+        assert states in ({"keep"}, {"new"}), (crash_after, rows)
+        assert len(rows) == (3 if states == {"keep"} else 1), (crash_after, rows)
+        store.rewrite("audit_log", _audit_row(spark, store, "new", 1))
+        final = store.read("audit_log").collect()
+        assert len(final) == 1 and final[0]["run_id"] == "new", crash_after
