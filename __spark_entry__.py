@@ -220,4 +220,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: ORACLES[n] for n in _ordered() if n in ORACLES}
+    out: dict[str, str] = {}
+    for n in _ordered():
+        sql = ORACLES.get(n)
+        if callable(sql):
+            # lazy oracle (text derived from an external artifact):
+            # resolve once, memoize; None → rows-only, like unregistered
+            sql = sql()
+            if sql is None:
+                del ORACLES[n]
+            else:
+                ORACLES[n] = sql
+        if sql is not None:
+            out[n] = sql
+    return out

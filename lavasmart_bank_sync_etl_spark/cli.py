@@ -27,6 +27,8 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .sources import xlsx
+
 DEFAULT_LOOKBACK_DAYS = 10  # DIAS_LOOKBACK, Code.gs:22
 
 
@@ -210,18 +212,14 @@ _RENDER_HEADERS = {
     ],
 }
 
-#: warehouse column order behind each data sheet (reference layouts)
+#: warehouse (table, column order) behind each data sheet — derived
+#: from the staging source of truth (sources/xlsx.py REFERENCE_SHEETS,
+#: minus the coercion tags) so a column added or reordered there
+#: cannot leave render emitting a stale shape.
 _RENDER_COLS = {
-    "Conciliacion_Transferencias": (
-        "transfers",
-        ["fecha", "folio", "cliente", "servicio", "banco", "monto",
-         "conciliado", "concepto_banco", "observaciones"],
-    ),
-    "Conciliacion_Tarjetas": (
-        "cards",
-        ["fecha", "folio", "cliente", "servicio", "monto", "recibo",
-         "afiliacion", "lote", "observaciones"],
-    ),
+    sheet: (table, [name for name, _ in cols])
+    for sheet, (table, cols) in xlsx.REFERENCE_SHEETS.items()
+    if sheet in ("Conciliacion_Transferencias", "Conciliacion_Tarjetas")
 }
 
 

@@ -39,9 +39,15 @@ def fixed_width_bin(col: Column, vmin: Column, vmax: Column, bins: int) -> Colum
     division itself is exact at any long magnitude: the numerator is
     reduced to an exact multiple of ``span``, and the quotient is
     taken in decimal, not double, so bins never come out one low past
-    2^53 (the failure mode of float division)."""
-    span = (vmax - vmin + F.lit(1)).cast("long")
-    scaled = ((col - vmin).cast("long") * F.lit(bins))
+    2^53 (the failure mode of float division).
+
+    Operands are widened to long BEFORE the subtractions: an
+    IntegerType column whose span exceeds int32 would otherwise wrap
+    in 32-bit arithmetic (e.g. col=2^31-1, vmin=-2^31 → -1) and
+    violate the non-negative-numerator precondition invisibly."""
+    vmin_l = vmin.cast("long")
+    span = vmax.cast("long") - vmin_l + F.lit(1)
+    scaled = (col.cast("long") - vmin_l) * F.lit(bins)
     exact = scaled - F.pmod(scaled, span)
     # decimal division of an exact multiple: integral quotient, no
     # rounding at any long magnitude (matches the SQL twin's `//`)

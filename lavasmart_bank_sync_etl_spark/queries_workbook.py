@@ -20,9 +20,10 @@ DEFINED semantics computed from the workbook's own data sheets —
 Conciliacion_Transferencias!$A$2:$A1000, $A2)` (sheet7.xml) and
 `Cierres_Lotes!D2 = SUMIF(Tarjetas!H:H, B2, Tarjetas!E:E)`,
 `E2 = IF(C2=D2,"✅","❌")` (Code.gs:499-500) — cross-checked by a
-DuckDB oracle whose input literals are extracted from the workbook at
-import time by the same stdlib reader the engine ships (the staleness
-fact itself is pinned in tests/test_xlsx.py).
+DuckDB oracle whose input literals are extracted from the workbook
+lazily at the first ``oracle_sql()`` resolution by the same stdlib
+reader the engine ships (the staleness fact itself is pinned in
+tests/test_xlsx.py).
 
 Scale boundary: identical to xlsx1 — one workbook is a driver-side,
 dimension-grade artifact (see sources/xlsx.py module docstring); the
@@ -32,6 +33,7 @@ staged parquet is what distributes.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,8 +55,10 @@ def _workbook_oracles() -> tuple[str | None, str | None]:
     workbook's data-sheet values as literals (DuckDB cannot open an
     xlsx; both engines' shared upstream is the stdlib reader, so the
     comparison proves staging + the formula-semantics aggregation,
-    which is the new surface). None if the workbook is absent —
-    queries then run rows-only, like every non-SQL-expressible op."""
+    which is the new surface). None if the workbook is absent OR an
+    extracted table has no qualifying rows (a ``VALUES`` CTE with zero
+    tuples is a parse error, not an empty relation) — those queries
+    then run rows-only, like every non-SQL-expressible op."""
     if not os.path.exists(WORKBOOK):
         return None, None
     tables = extract_tables(WORKBOOK)
@@ -68,7 +72,10 @@ def _workbook_oracles() -> tuple[str | None, str | None]:
         for r in tables["daily_totals"]
         if r["fecha"] is not None
     )
-    xlsx2 = f"""
+    if not t_rows or not spine:
+        xlsx2 = None
+    else:
+        xlsx2 = f"""
     WITH wb_transfers(fecha, monto) AS (VALUES {t_rows}),
          spine(fecha) AS (VALUES {spine})
     SELECT CAST(s.fecha AS VARCHAR) AS fecha_iso,
@@ -84,6 +91,8 @@ def _workbook_oracles() -> tuple[str | None, str | None]:
         for r in tables["cards"]
         if r["lote"] is not None and r["lote"] != ""
     )
+    if not c_rows:
+        return xlsx2, None
     xlsx3 = f"""
     WITH wb_cards(lote, monto) AS (VALUES {c_rows})
     SELECT lote,
@@ -96,7 +105,20 @@ def _workbook_oracles() -> tuple[str | None, str | None]:
     return xlsx2, xlsx3
 
 
-_XLSX2_SQL, _XLSX3_SQL = _workbook_oracles()
+# Lazy + memoized: the workbook unzip/parse (~0.25 s) must not tax
+# every package import (JVM-free CLI paths included) — it runs at the
+# first oracle_sql() resolution only (r8 review finding).
+_ORACLE_CACHE: tuple[str | None, str | None] | None = None
+
+
+def _oracle(idx: int) -> Callable[[], str | None]:
+    def resolve() -> str | None:
+        global _ORACLE_CACHE
+        if _ORACLE_CACHE is None:
+            _ORACLE_CACHE = _workbook_oracles()
+        return _ORACLE_CACHE[idx]
+
+    return resolve
 
 
 def _staged_workbook(spark: SparkSession, sf_dir: str) -> str:
@@ -109,7 +131,7 @@ def _staged_workbook(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
-@query("xlsx2_totales_render", _XLSX2_SQL)
+@query("xlsx2_totales_render", _oracle(0))
 def xlsx2_totales_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLSX2 — render the `totales` sheet from engine state: one row
     per spine date (the sheet's 396 `Fecha` rows, 2025-01-01 →
@@ -140,7 +162,7 @@ def xlsx2_totales_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("xlsx3_cierres_lotes_render", _XLSX3_SQL)
+@query("xlsx3_cierres_lotes_render", _oracle(1))
 def xlsx3_cierres_lotes_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XLSX3 — render the `Cierres_Lotes` computed columns from engine
     state: D = per-lot SUMIF over the staged cards

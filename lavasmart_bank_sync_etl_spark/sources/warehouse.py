@@ -13,7 +13,12 @@ A rewrite writes the next ``v_*`` snapshot in full, then atomically
 replaces ``_CURRENT`` (``os.replace`` of a one-line file — POSIX
 rename atomicity). Readers resolve the pointer first, so a crashed
 write leaves a dangling snapshot dir but NEVER a truncated or
-half-visible table — the poor-man's Delta/Iceberg commit. Retained
+half-visible table — the poor-man's Delta/Iceberg commit. Version
+numbers advance from the COMMITTED pointer and every writer clears
+dangling (uncommitted) dirs before writing, so a crashed attempt can
+never be "sandwiched" under a later commit into looking like a
+committed snapshot; ``history``/``read_version`` expose committed
+versions only. Retained
 snapshots give time travel (``read_version``/``history``) until
 ``vacuum`` prunes them; ``compact`` rewrites the current state into a
 target file count as a new version (small-file management).
@@ -128,16 +133,52 @@ class Warehouse:
         except FileNotFoundError:
             return None
 
-    def history(self, table: str) -> list[str]:
-        """All retained snapshot names, oldest first."""
+    def _versions(self, table: str) -> list[str]:
+        """Every ``v_*`` dir on disk, committed or not, oldest first."""
         if not self.exists(table):
             return []
         return sorted(v for v in os.listdir(self.path(table)) if v.startswith("v_"))
 
+    def history(self, table: str) -> list[str]:
+        """COMMITTED snapshot names, oldest first. Dirs newer than the
+        ``_CURRENT`` pointer are crash leftovers (write happened, the
+        atomic pointer commit did not) — they are garbage, never
+        snapshots, so they are excluded here and must never be exposed
+        as time-travel targets."""
+        cur = self.current_version(table)
+        versions = self._versions(table)
+        if cur is None:
+            return versions
+        return [v for v in versions if v <= cur]
+
     def _next_version(self, table: str) -> str:
-        hist = self.history(table)
-        n = int(hist[-1][2:]) + 1 if hist else 1
-        return f"v_{n:08d}"
+        """The next version name, numbered from the COMMITTED pointer
+        (not the max dir on disk): a crashed attempt's dangling dir
+        must not advance the sequence, or once a later commit lands the
+        torn dir sorts below ``_CURRENT`` and masquerades as a
+        committed snapshot — polluting vacuum's keep budget and time
+        travel. Writers clear dangling dirs (``_clear_dangling``)
+        before reusing the number."""
+        cur = self.current_version(table)
+        if cur is None:
+            hist = self._versions(table)
+            n = int(hist[-1][2:]) + 1 if hist else 1
+            return f"v_{n:08d}"
+        return f"v_{int(cur[2:]) + 1:08d}"
+
+    def _clear_dangling(self, table: str) -> None:
+        """Delete uncommitted ``v_*`` dirs (newer than ``_CURRENT``).
+        Safe under the single-writer contract: nothing else can be
+        mid-write, so any such dir is a crashed attempt's leftover.
+        Called by every writer before choosing its version so a retry
+        both reuses the number (no gap) and never leaves torn files
+        mixed into — or sandwiched below — a later commit."""
+        cur = self.current_version(table)
+        if cur is None:
+            return
+        for v in self._versions(table):
+            if v > cur:
+                shutil.rmtree(os.path.join(self.path(table), v))
 
     def _data_path(self, table: str) -> str:
         cur = self.current_version(table)
@@ -197,7 +238,15 @@ class Warehouse:
         return self.spark.read.schema(ALL_TABLES[table]).parquet(self._data_path(table))
 
     def read_version(self, table: str, version: str) -> DataFrame:
-        """Time travel: read a retained snapshot by name."""
+        """Time travel: read a retained COMMITTED snapshot by name.
+        Uncommitted dirs (newer than ``_CURRENT``) are crash leftovers
+        and possibly torn — refuse them rather than expose
+        never-published state."""
+        cur = self.current_version(table)
+        if cur is not None and version > cur:
+            raise ValueError(
+                f"{table}/{version} was never committed (current is {cur})"
+            )
         return self.spark.read.schema(ALL_TABLES[table]).parquet(
             os.path.join(self.path(table), version)
         )
@@ -224,10 +273,11 @@ class Warehouse:
             ).parquet(self._data_path(table))
             self.spark.catalog.refreshByPath(self._data_path(table))
             return
+        self._clear_dangling(table)
         v = self._next_version(table)
         src = os.path.join(self.path(table), cur)
         dest = os.path.join(self.path(table), v)
-        os.makedirs(dest, exist_ok=True)
+        os.makedirs(dest)
         for name in os.listdir(src):
             if name.endswith(".parquet"):
                 try:
@@ -264,6 +314,7 @@ class Warehouse:
         commit; a failed write never truncates or half-exposes the
         target (SURVEY §7.3 risk note)."""
         self.ensure(table)
+        self._clear_dangling(table)
         v = self._next_version(table)
         dest = os.path.join(self.path(table), v)
         df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
@@ -292,8 +343,8 @@ class Warehouse:
         cur = self.current_version(table)
         if cur is None:
             return
-        committed = [v for v in self.history(table) if v <= cur]
-        dangling = [v for v in self.history(table) if v > cur]
+        committed = self.history(table)
+        dangling = [v for v in self._versions(table) if v > cur]
         doomed = committed[: max(0, len(committed) - keep)] + dangling
         for v in doomed:
             shutil.rmtree(os.path.join(self.path(table), v))

@@ -212,6 +212,26 @@ def test_fixed_width_bin_exact_past_double_precision(spark):
         assert r["b"] == (r["v"] * bins) // span, (r["v"], r["b"])
 
 
+def test_fixed_width_bin_int32_column_full_range(spark):
+    """An IntegerType column spanning the full int32 range: the
+    subtraction must be widened to long BEFORE it happens, or
+    (col - vmin) wraps in 32-bit arithmetic (2^31-1 - (-2^31) → -1)
+    and bins come out negative (r8 review finding)."""
+    vmin, vmax, bins = -(1 << 31), (1 << 31) - 1, 256
+    vals = [vmin, -1, 0, 1, vmax]
+    df = spark.createDataFrame([(v,) for v in vals], "v: int")
+    out = df.select(
+        "v",
+        L.fixed_width_bin(
+            F.col("v"), F.lit(vmin).cast("int"), F.lit(vmax).cast("int"), bins
+        ).alias("b"),
+    ).collect()
+    span = vmax - vmin + 1
+    for r in out:
+        assert r["b"] == ((r["v"] - vmin) * bins) // span, (r["v"], r["b"])
+    assert {r["b"] for r in out if r["v"] == vmax} == {255}
+
+
 def test_b3_zorder_prunes_both_dimensions(spark, sf_dir):
     """The operator's reason to exist: for a 2-D box probe the
     z-layout must open a smaller row fraction than the 1-D sort, and

@@ -175,3 +175,44 @@ def test_append_crash_leaves_current_intact(spark, tmp_path):
     wh.vacuum("transfers", keep=2)
     assert not os.path.isdir(orphan)
     assert _folio_rows(wh) == {"0-1": 100.0}
+
+
+def test_crash_sandwich_never_commits_torn_version(spark, tmp_path):
+    """The r8 review's sandwich hole: a crashed append's torn dir must
+    NOT become indistinguishable from a committed snapshot once the
+    retry commits. The retry reuses the version number (cleared
+    first), history/read_version never expose the torn state, and
+    vacuum keeps the real rollback snapshot, not the junk."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed(wh, 100.0)
+    _seed(wh, 200.0)
+    v_rollback = wh.current_version("transfers")
+    # crashed append: linked files + torn part file, no pointer commit
+    src = os.path.join(wh.path("transfers"), v_rollback)
+    torn_name = wh._next_version("transfers")
+    torn = os.path.join(wh.path("transfers"), torn_name)
+    os.makedirs(torn)
+    for name in os.listdir(src):
+        if name.endswith(".parquet"):
+            os.link(os.path.join(src, name), os.path.join(torn, name))
+    with open(os.path.join(torn, "part-9999-torn.snappy.parquet"), "wb") as f:
+        f.write(b"\x00partial")
+    # dangling dirs are not history and not time-travel targets
+    assert torn_name not in wh.history("transfers")
+    with pytest.raises(ValueError):
+        wh.read_version("transfers", torn_name)
+    # the retry lands cleanly ON that version number (torn dir cleared,
+    # no stale part files mixed in) — committed state is exactly the
+    # retry's rows
+    extra = wh.read("transfers").withColumn("folio", F.lit("0-2"))
+    wh.append("transfers", extra)
+    assert wh.current_version("transfers") == torn_name
+    assert set(_folio_rows(wh)) == {"0-1", "0-2"}
+    assert set(_folio_rows(wh, version=torn_name)) == {"0-1", "0-2"}
+    # vacuum's keep budget counts real snapshots: the rollback version
+    # survives keep=2 and time-travels correctly
+    wh.vacuum("transfers", keep=2)
+    assert wh.history("transfers")[-2:] == [v_rollback, torn_name]
+    assert _folio_rows(wh, version=v_rollback) == {"0-1": 200.0}

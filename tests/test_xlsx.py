@@ -257,3 +257,34 @@ def test_shipped_workbook_totales_cache_is_stale():
     }
     assert len(days) == 18            # the data the cache ignores
     assert days <= {r[0] for r in tot}  # every sale day is on the spine
+
+
+def test_workbook_oracles_empty_tables_degrade_to_rows_only(monkeypatch):
+    """A workbook revision with a blank data sheet must downgrade the
+    affected oracle to None (rows-only), not emit a zero-tuple
+    `VALUES ` clause that breaks every oracle run (r8 review
+    finding). Cards blank → xlsx3 None; all blank → both None."""
+    from lavasmart_bank_sync_etl_spark import queries_workbook as qw
+
+    full = extract_tables(WORKBOOK) if os.path.exists(WORKBOOK) else {
+        "transfers": [{"fecha": dt.date(2025, 11, 16), "monto": 1.0}],
+        "daily_totals": [{"fecha": dt.date(2025, 11, 16)}],
+        "cards": [],
+    }
+
+    def fake(path, **kw):
+        t = dict(full)
+        t["cards"] = []
+        return t
+
+    monkeypatch.setattr(qw, "extract_tables", fake)
+    monkeypatch.setattr(qw.os.path, "exists", lambda p: True)
+    x2, x3 = qw._workbook_oracles()
+    assert x3 is None
+    assert x2 is not None and "VALUES )" not in x2
+
+    monkeypatch.setattr(
+        qw, "extract_tables",
+        lambda path, **kw: {"transfers": [], "daily_totals": [], "cards": []},
+    )
+    assert qw._workbook_oracles() == (None, None)
