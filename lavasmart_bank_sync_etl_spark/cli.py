@@ -233,7 +233,10 @@ def cmd_render(args: argparse.Namespace) -> int:
     real .xlsx via the stdlib writer, readable by any spreadsheet
     app and by sources/xlsx.py. Driver-side collect by design — a
     workbook is a bounded dimension-grade artifact (the xlsx scale
-    boundary, sources/xlsx.py docstring)."""
+    boundary, sources/xlsx.py docstring). The formula semantics are
+    the shared functions/workbook.py builders, the same expressions
+    the oracle-verified xlsx2/xlsx3 queries run."""
+    from .functions.workbook import cuadra, daily_transfer_totals, lot_totals
     from .session import get_spark
     from .sources.warehouse import Warehouse
     from .sources.xlsx import write_workbook
@@ -255,39 +258,27 @@ def cmd_render(args: argparse.Namespace) -> int:
     lo, hi = transfers.agg(F.min("fecha"), F.max("fecha")).first()
     tot_rows: list[list[object]] = []
     if lo is not None:
+        # continuous day spine over the observed range (the sheet's
+        # Fecha column); the aggregation itself is the shared builder
         spine = spark.range(1).select(
             F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias("fecha")
         )
-        per_day = transfers.groupBy("fecha").agg(F.sum("monto").alias("t"))
-        tot = (
-            spine.join(per_day, "fecha", "left")
-            .orderBy("fecha")
-            .select("fecha", F.round(F.coalesce("t", F.lit(0.0)), 2).alias("t"))
-        )
-        tot_rows = [[r["fecha"], r["t"], None] for r in tot.collect()]
+        tot = daily_transfer_totals(transfers, spine).orderBy("fecha")
+        tot_rows = [[r["fecha"], r["transferencia"], None] for r in tot.collect()]
     sheets["totales"] = [_RENDER_HEADERS["totales"]] + tot_rows
 
-    lots = (
-        wh.read("cards")
-        .where(F.col("lote").isNotNull() & (F.col("lote") != ""))
-        .groupBy("lote")
-        .agg(F.round(F.sum(F.coalesce("monto", F.lit(0.0))), 2).alias("total_folios"))
-    )
     closures = wh.read("batch_closures").select(
         "lote", "fecha", "total_cierre", "depositado", "observaciones"
     )
     cierres = (
-        lots.join(closures, "lote", "full_outer")
+        lot_totals(wh.read("cards"))
+        .join(closures, "lote", "full_outer")
         .orderBy("lote")
         .select(
             "fecha", "lote", "total_cierre",
+            # a closure-registered lot absent from cards displays 0.00
             F.round(F.coalesce("total_folios", F.lit(0.0)), 2).alias("total_folios"),
-            # E2 = IF(C2=D2,"✅","❌") under spreadsheet blank-is-zero
-            F.when(
-                F.round(F.coalesce("total_cierre", F.lit(0.0)), 2)
-                == F.round(F.coalesce("total_folios", F.lit(0.0)), 2),
-                F.lit("✅"),
-            ).otherwise(F.lit("❌")).alias("cuadra"),
+            cuadra(F.col("total_cierre"), F.col("total_folios")).alias("cuadra"),
             "depositado", "observaciones",
         )
         .collect()

@@ -38,6 +38,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.workbook import cuadra, daily_transfer_totals, lot_totals
 from .queries import query
 from .queries_llm import _ss7_sql, ss7_ann_recall_scorecard
 from .queries_pipeline import _staged_dir
@@ -58,19 +59,29 @@ def _workbook_oracles() -> tuple[str | None, str | None]:
     which is the new surface). None if the workbook is absent OR an
     extracted table has no qualifying rows (a ``VALUES`` CTE with zero
     tuples is a parse error, not an empty relation) — those queries
-    then run rows-only, like every non-SQL-expressible op."""
+    then run rows-only, like every non-SQL-expressible op. An
+    UNREADABLE workbook (truncated copy, bad zip) degrades the same
+    way — it must not propagate out of ``oracle_sql()`` and take the
+    other 150+ healthy oracles down with it."""
     if not os.path.exists(WORKBOOK):
         return None, None
-    tables = extract_tables(WORKBOOK)
+    try:
+        tables = extract_tables(WORKBOOK)
+    except Exception:
+        return None, None
     t_rows = ", ".join(
         f"(DATE '{r['fecha'].isoformat()}', {float(r['monto'])!r})"
         for r in tables["transfers"]
         if r["fecha"] is not None and r["monto"] is not None
     )
+    # deduped + sorted: the ENGINE dedups its spine (.distinct()), so a
+    # workbook revision repeating a Fecha row must not double-count the
+    # oracle's LEFT JOIN + SUM
     spine = ", ".join(
-        f"(DATE '{r['fecha'].isoformat()}')"
-        for r in tables["daily_totals"]
-        if r["fecha"] is not None
+        f"(DATE '{d.isoformat()}')"
+        for d in sorted(
+            {r["fecha"] for r in tables["daily_totals"] if r["fecha"] is not None}
+        )
     )
     if not t_rows or not spine:
         xlsx2 = None
@@ -141,23 +152,15 @@ def xlsx2_totales_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the production dashboard the reference maintains by formula,
     reproduced as a query over the staged workbook — per-day sums of
     a date-windowed fact table: one partial-aggregated groupBy
-    against a broadcastable 396-row spine at any scale."""
+    against a broadcastable 396-row spine at any scale. Formula
+    semantics shared with the render CLI via
+    functions/workbook.py::daily_transfer_totals."""
     staged = _staged_workbook(spark, sf_dir)
-    spine = (
-        spark.read.parquet(os.path.join(staged, "daily_totals"))
-        .where(F.col("fecha").isNotNull())
-        .select("fecha")
-        .distinct()
-    )
-    transfers = (
-        spark.read.parquet(os.path.join(staged, "transfers"))
-        .where(F.col("fecha").isNotNull() & F.col("monto").isNotNull())
-        .groupBy("fecha")
-        .agg(F.sum("monto").alias("_sum"))
-    )
-    return spine.join(transfers, "fecha", "left").select(
+    spine = spark.read.parquet(os.path.join(staged, "daily_totals"))
+    transfers = spark.read.parquet(os.path.join(staged, "transfers"))
+    return daily_transfer_totals(transfers, spine).select(
         F.col("fecha").cast("string").alias("fecha_iso"),
-        F.round(F.coalesce(F.col("_sum"), F.lit(0.0)), 2).alias("transferencia"),
+        "transferencia",
         F.lit(None).cast("double").alias("banco"),
     )
 
@@ -174,16 +177,16 @@ def xlsx3_cierres_lotes_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     blank-is-zero semantics — all ❌ until a human registers
     closures, exactly what the recalculated sheet would show. The
     lot-keyed groupBy is A1/J4's shape: map-side partial aggregation,
-    broadcastable output (#lots rows)."""
+    broadcastable output (#lots rows). Formula semantics shared with
+    the render CLI via functions/workbook.py::lot_totals/cuadra."""
     staged = _staged_workbook(spark, sf_dir)
-    cards = spark.read.parquet(os.path.join(staged, "cards")).where(
-        F.col("lote").isNotNull() & (F.col("lote") != "")
-    )
-    total = F.round(F.sum(F.coalesce("monto", F.lit(0.0))), 2)
-    return cards.groupBy("lote").agg(
-        total.alias("total_folios"),
-        F.lit(None).cast("double").alias("total_cierre"),
-        F.when(total == 0.0, F.lit("✅")).otherwise(F.lit("❌")).alias("cuadra"),
+    cards = spark.read.parquet(os.path.join(staged, "cards"))
+    declared = F.lit(None).cast("double")
+    return lot_totals(cards).select(
+        "lote",
+        "total_folios",
+        declared.alias("total_cierre"),
+        cuadra(declared, F.col("total_folios")).alias("cuadra"),
     )
 
 

@@ -144,12 +144,14 @@ class Warehouse:
         ``_CURRENT`` pointer are crash leftovers (write happened, the
         atomic pointer commit did not) — they are garbage, never
         snapshots, so they are excluded here and must never be exposed
-        as time-travel targets."""
+        as time-travel targets. No pointer at all means NO version was
+        ever committed (a crash inside the very first ``ensure``, or a
+        pre-versioning legacy layout, which has no ``v_*`` dirs) — so
+        history is empty, not "every dir on disk"."""
         cur = self.current_version(table)
-        versions = self._versions(table)
         if cur is None:
-            return versions
-        return [v for v in versions if v <= cur]
+            return []
+        return [v for v in self._versions(table) if v <= cur]
 
     def _next_version(self, table: str) -> str:
         """The next version name, numbered from the COMMITTED pointer
@@ -158,26 +160,26 @@ class Warehouse:
         torn dir sorts below ``_CURRENT`` and masquerades as a
         committed snapshot — polluting vacuum's keep budget and time
         travel. Writers clear dangling dirs (``_clear_dangling``)
-        before reusing the number."""
+        before reusing the number. No pointer → nothing was ever
+        committed → the sequence starts at 1 (any ``v_*`` dir on disk
+        is an uncommitted leftover the writer just cleared)."""
         cur = self.current_version(table)
         if cur is None:
-            hist = self._versions(table)
-            n = int(hist[-1][2:]) + 1 if hist else 1
-            return f"v_{n:08d}"
+            return "v_00000001"
         return f"v_{int(cur[2:]) + 1:08d}"
 
     def _clear_dangling(self, table: str) -> None:
-        """Delete uncommitted ``v_*`` dirs (newer than ``_CURRENT``).
-        Safe under the single-writer contract: nothing else can be
-        mid-write, so any such dir is a crashed attempt's leftover.
-        Called by every writer before choosing its version so a retry
-        both reuses the number (no gap) and never leaves torn files
-        mixed into — or sandwiched below — a later commit."""
+        """Delete uncommitted ``v_*`` dirs (newer than ``_CURRENT``,
+        or — when no pointer exists — every ``v_*`` dir, since nothing
+        was ever committed). Safe under the single-writer contract:
+        nothing else can be mid-write, so any such dir is a crashed
+        attempt's leftover. Called by every writer before choosing its
+        version so a retry both reuses the number (no gap) and never
+        leaves torn files mixed into — or sandwiched below — a later
+        commit."""
         cur = self.current_version(table)
-        if cur is None:
-            return
         for v in self._versions(table):
-            if v > cur:
+            if cur is None or v > cur:
                 shutil.rmtree(os.path.join(self.path(table), v))
 
     def _data_path(self, table: str) -> str:
@@ -222,7 +224,27 @@ class Warehouse:
 
     def ensure(self, table: str) -> None:
         """S7 — create-if-missing with the canonical schema
-        (Code.gs:289-329 et al.)."""
+        (Code.gs:289-329 et al.).
+
+        Also heals a torn FIRST commit: a crash between the initial
+        snapshot write and the pointer commit leaves the table dir
+        holding ``v_*`` dirs but no ``_CURRENT``. Without healing,
+        that torn dir would pass ``exists`` (so ensure never retried)
+        yet carry no committed state — and once a later write
+        committed, it would sort below ``_CURRENT`` and masquerade as
+        history. Here: no pointer ⇒ every ``v_*`` dir is uncommitted
+        garbage, cleared; if no pre-versioning legacy data remains
+        either, the create is re-run from scratch. Distinguishable
+        from the legacy layout because legacy tables keep their
+        parquet files in the table root, never under ``v_*``."""
+        if self.exists(table) and self.current_version(table) is None:
+            self._clear_dangling(table)  # torn first commit(s), if any
+            legacy = any(
+                n.endswith(".parquet") for n in os.listdir(self.path(table))
+            )
+            if legacy:
+                return  # pre-versioning layout: data lives in the root
+            shutil.rmtree(self.path(table))  # empty husk → recreate below
         if not self.exists(table):
             v = "v_00000001"
             empty = self.spark.createDataFrame([], ALL_TABLES[table])
@@ -239,11 +261,11 @@ class Warehouse:
 
     def read_version(self, table: str, version: str) -> DataFrame:
         """Time travel: read a retained COMMITTED snapshot by name.
-        Uncommitted dirs (newer than ``_CURRENT``) are crash leftovers
-        and possibly torn — refuse them rather than expose
-        never-published state."""
+        Uncommitted dirs (newer than ``_CURRENT``, or any dir when no
+        pointer was ever committed) are crash leftovers and possibly
+        torn — refuse them rather than expose never-published state."""
         cur = self.current_version(table)
-        if cur is not None and version > cur:
+        if cur is None or version > cur:
             raise ValueError(
                 f"{table}/{version} was never committed (current is {cur})"
             )
@@ -342,6 +364,7 @@ class Warehouse:
         vacuum while another process may be mid-rewrite."""
         cur = self.current_version(table)
         if cur is None:
+            self._clear_dangling(table)  # nothing committed: all garbage
             return
         committed = self.history(table)
         dangling = [v for v in self._versions(table) if v > cur]

@@ -216,3 +216,36 @@ def test_crash_sandwich_never_commits_torn_version(spark, tmp_path):
     wh.vacuum("transfers", keep=2)
     assert wh.history("transfers")[-2:] == [v_rollback, torn_name]
     assert _folio_rows(wh, version=v_rollback) == {"0-1": 200.0}
+
+
+def test_torn_first_ensure_heals_and_never_masquerades(spark, tmp_path):
+    """The cur=None corner of the sandwich hole (r8 review, second
+    pass): a crash inside the very FIRST ensure — snapshot dir written,
+    pointer never committed — must not leave a torn v_00000001 that
+    (a) blocks ensure from retrying (the dir makes exists() true),
+    (b) shows up in history once a later write commits, or (c) is
+    readable via read_version. ensure heals it: torn dirs cleared,
+    create re-run from scratch."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    torn = os.path.join(wh.path("transfers"), "v_00000001")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-0000-torn.snappy.parquet"), "wb") as f:
+        f.write(b"\x00partial")
+    assert wh.exists("transfers")
+    assert wh.current_version("transfers") is None
+    # nothing was ever committed: no history, no time travel
+    assert wh.history("transfers") == []
+    with pytest.raises(ValueError):
+        wh.read_version("transfers", "v_00000001")
+    # any reader/writer heals via ensure: torn bytes gone, clean create
+    assert wh.read("transfers").count() == 0
+    assert wh.current_version("transfers") == "v_00000001"
+    assert wh.history("transfers") == ["v_00000001"]
+    # the healed v_00000001 is a real snapshot: later commits stack on
+    # top and time travel back to it reads the (empty) committed state
+    _seed(wh, 100.0)
+    assert wh.history("transfers") == ["v_00000001", "v_00000002"]
+    assert wh.read_version("transfers", "v_00000001").count() == 0
+    assert _folio_rows(wh) == {"0-1": 100.0}

@@ -288,3 +288,42 @@ def test_workbook_oracles_empty_tables_degrade_to_rows_only(monkeypatch):
         lambda path, **kw: {"transfers": [], "daily_totals": [], "cards": []},
     )
     assert qw._workbook_oracles() == (None, None)
+
+
+def test_workbook_oracles_unreadable_workbook_degrades_to_rows_only(monkeypatch, tmp_path):
+    """A workbook that EXISTS but cannot be parsed (truncated copy,
+    bad zip) must degrade to (None, None) — not raise out of
+    oracle_sql() and take every other healthy oracle down with it
+    (r8 review finding)."""
+    from lavasmart_bank_sync_etl_spark import queries_workbook as qw
+
+    bad = tmp_path / "corrupt.xlsx"
+    bad.write_bytes(b"PK\x03\x04 this is not a real zip")
+    monkeypatch.setattr(qw, "WORKBOOK", str(bad))
+    assert qw._workbook_oracles() == (None, None)
+
+
+def test_workbook_oracle_spine_dedupes_repeated_dates(monkeypatch):
+    """The engine dedups its spine (.distinct()); a workbook revision
+    repeating a Fecha row must not double-count the oracle's
+    LEFT JOIN + SUM (r8 review finding): the generated spine VALUES
+    must carry each date once."""
+    from lavasmart_bank_sync_etl_spark import queries_workbook as qw
+
+    d = dt.date(2025, 11, 16)
+    monkeypatch.setattr(qw.os.path, "exists", lambda p: True)
+    monkeypatch.setattr(
+        qw, "extract_tables",
+        lambda path, **kw: {
+            "transfers": [{"fecha": d, "monto": 100.0}],
+            "daily_totals": [{"fecha": d}, {"fecha": d}],  # duplicated row
+            "cards": [],
+        },
+    )
+    x2, x3 = qw._workbook_oracles()
+    assert x3 is None
+    spine_clause = x2.split("spine(fecha)")[1].split("SELECT")[0]
+    assert spine_clause.count(f"DATE '{d.isoformat()}'") == 1  # deduped
+    import duckdb
+    rows = duckdb.connect().execute(x2).fetchall()
+    assert rows == [("2025-11-16", 100.0, None)]  # summed once
