@@ -548,3 +548,18 @@ def test_b3_zorder_stays_map_side_until_zone_maps(q):
     # facts are only ever hash-partitioned by the zone/group keys
     for args in re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "layout#" in args or "file_id#" in args, args
+
+
+def test_workbook_renders_broadcast_and_partial_aggregate(q):
+    """xlsx2/xlsx3: the spine join is dimension-grade (≤396 dates) —
+    it must resolve as a broadcast hash join, never a sort-merge
+    exchange of the fact aggregation; the per-lot SUMIF must
+    partial-aggregate before its exchange (the shuffle carries one
+    row per (partition, lot), not per card)."""
+    plan = q("xlsx2_totales_render")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan  # the per-day SUMIFS partial-aggregates
+    plan3 = q("xlsx3_cierres_lotes_render")
+    assert "partial_" in plan3
+    assert "SortMergeJoin" not in plan3
