@@ -243,3 +243,57 @@ def test_week_then_maintenance_keeps_state(spark, tmp_path):
     cur = wh.current_version("transfers")
     assert sorted(map(tuple, wh.read_version("transfers", cur).collect())) == before
     check_invariants(wh)
+
+
+def test_midweek_maintenance_interleaves_with_runs(spark, tmp_path):
+    """Maintenance BETWEEN runs (the realistic nightly schedule), not
+    just as an epilogue: after compact+vacuum of every table —
+    including the review queue holding a parked Pendiente snapshot and
+    the run_id-stamped audit log — later syncs must still converge
+    (the parked folio stays frozen, resolution re-enters it, retries
+    stay idempotent on the compacted state) and all invariants hold.
+    Exercises vacuum pruning snapshots that append_once later rewrites
+    and compact folding the queue into one file mid-lifecycle."""
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import ALL_TABLES
+
+    wh = Warehouse(spark, str(tmp_path / "whmid"))
+    # Mon: seed A transfers, B cards with human work
+    sync(spark, wh, [row("0-1", 2), row("0-2", 3, metodo="tarjeta CREDITO")])
+    wh.rewrite("cards", wh.read("cards").withColumn("lote", F.lit("L-1")))
+    # Tue: B tries to move with work → parked conflict
+    tue = [row("0-1", 2), row("0-2", 3, metodo="EFECTIVO")]
+    counts = sync(spark, wh, tue)
+    assert counts.get("conflicts") == 1
+    check_invariants(wh)
+
+    # ---- nightly maintenance over EVERY table ------------------------
+    for t in ALL_TABLES:
+        wh.compact(t)
+        wh.vacuum(t, keep=1)
+    queue_before = sorted(map(tuple, wh.read("review_queue").collect()))
+    check_invariants(wh)
+
+    # Wed: parked folio stays frozen on the compacted state; the
+    # same-run_id retry is idempotent across the vacuumed history
+    counts = sync(spark, wh, tue, run_id="mid-wed")
+    assert counts.get("parked") == 1 and not counts.get("conflicts")
+    counts = sync(spark, wh, tue, run_id="mid-wed")
+    assert counts.get("parked") == 1
+    assert sorted(map(tuple, wh.read("review_queue").collect())) == queue_before
+    check_invariants(wh)
+
+    # Thu: resolution still re-enters the folio after maintenance
+    wh.rewrite(
+        "review_queue",
+        wh.read("review_queue").withColumn("estado", F.lit("Resuelto")),
+    )
+    counts = sync(spark, wh, [row("0-1", 2), row("0-2", 3, monto=77.0, metodo="EFECTIVO")])
+    assert counts.get("insert") == 1 and not counts.get("parked")
+    cash = {r["folio"]: r["monto"] for r in wh.read("cash").collect()}
+    assert cash["0-2"] == 77.0
+    check_invariants(wh)
+    # run_log survived its own compaction: one row per LOGICAL run —
+    # Mon, Tue, mid-wed (two attempts, one row), Thu
+    run_ids = [r["run_id"] for r in wh.read("run_log").collect()]
+    assert len(run_ids) == len(set(run_ids)) == 4
+    assert "mid-wed" in run_ids
