@@ -208,6 +208,12 @@ class Warehouse:
                 os.rename(self.path(old), self.path(new))
         if not self.exists("audit_log"):
             return
+        # This raw read bypasses ensure()'s heal, so clear crash
+        # leftovers first: a widening rewrite that tore between its
+        # snapshot write and the pointer commit leaves a v_* dir under
+        # the legacy root, and Spark refuses the mixed-depth layout
+        # ("conflicting directory structures") on every retry.
+        self._clear_dangling("audit_log")
         current = self.spark.read.parquet(self._data_path("audit_log"))
         if set(current.columns) != AUDIT_V1_COLUMNS:
             return
@@ -362,12 +368,7 @@ class Warehouse:
         budget; counting them would silently evict valid rollback
         snapshots while retaining junk. Single-writer contract: do not
         vacuum while another process may be mid-rewrite."""
-        cur = self.current_version(table)
-        if cur is None:
-            self._clear_dangling(table)  # nothing committed: all garbage
-            return
+        self._clear_dangling(table)  # ONE definition of "dangling"
         committed = self.history(table)
-        dangling = [v for v in self._versions(table) if v > cur]
-        doomed = committed[: max(0, len(committed) - keep)] + dangling
-        for v in doomed:
+        for v in committed[: max(0, len(committed) - keep)]:
             shutil.rmtree(os.path.join(self.path(table), v))

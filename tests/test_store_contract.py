@@ -177,6 +177,39 @@ def test_migrate_legacy_widens_v1_audit(spark, tmp_path):
     assert wh.read("audit_log").count() == 1
 
 
+def test_migrate_legacy_retries_through_torn_widening_rewrite(spark, tmp_path):
+    """A widening rewrite that crashed between its snapshot write and
+    the pointer commit leaves a v_* dir under the LEGACY root (mixed
+    parquet depths, which Spark refuses to read). The retry path runs
+    migrate_legacy() again BEFORE any ensure() — it must clear the
+    torn dir itself and converge, not wedge on 'conflicting directory
+    structures' forever (r8 review finding)."""
+    import datetime as dt
+    import os
+
+    root = str(tmp_path / "store")
+    legacy_dir = os.path.join(root, "audit_log")
+    v1 = spark.createDataFrame(
+        [(dt.datetime(2025, 11, 23, 22, 34, 28), "0-18758", "Banco", "", "SCOTIABANK")],
+        "ts timestamp, folio string, campo_modificado string, "
+        "valor_anterior string, valor_nuevo string",
+    )
+    v1.write.mode("overwrite").parquet(legacy_dir)
+    # simulate the crashed first attempt: snapshot dir written (torn),
+    # no _CURRENT pointer
+    torn = os.path.join(legacy_dir, "v_00000001")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-0000-torn.snappy.parquet"), "wb") as f:
+        f.write(b"\x00partial")
+
+    wh = Warehouse(spark, root)
+    wh.migrate_legacy()  # the retry — must not raise
+    out = wh.read("audit_log").collect()
+    assert len(out) == 1 and out[0]["accion"] == "ACTUALIZACI\u00d3N"
+    assert wh.current_version("audit_log") == "v_00000001"
+    assert wh.history("audit_log") == ["v_00000001"]
+
+
 class _SqlCrash(Exception):
     pass
 
