@@ -182,6 +182,20 @@ class Warehouse:
             if cur is None or v > cur:
                 shutil.rmtree(os.path.join(self.path(table), v))
 
+    def _clear_legacy_root(self, table: str) -> None:
+        """Once a version is committed, any data files still sitting in
+        the table ROOT are stale pre-versioning leftovers (the first
+        rewrite of a legacy table reads them, writes ``v_00000001``,
+        and commits — the copies then serve no reader): delete them so
+        they neither double storage nor re-trigger ensure()'s
+        legacy-layout detection if the pointer were ever lost. Only
+        call with a committed pointer present."""
+        root = self.path(table)
+        for n in os.listdir(root):
+            p = os.path.join(root, n)
+            if os.path.isfile(p) and n != _CURRENT:
+                os.remove(p)
+
     def _data_path(self, table: str) -> str:
         cur = self.current_version(table)
         if cur is None:
@@ -214,6 +228,13 @@ class Warehouse:
         # the legacy root, and Spark refuses the mixed-depth layout
         # ("conflicting directory structures") on every retry.
         self._clear_dangling("audit_log")
+        if self.current_version("audit_log") is None and not any(
+            n.endswith(".parquet") for n in os.listdir(self.path("audit_log"))
+        ):
+            # torn FIRST ensure husk (no pointer, no legacy root data):
+            # nothing to migrate, and reading the now-empty dir would
+            # raise; leave it for ensure()'s recreate heal
+            return
         current = self.spark.read.parquet(self._data_path("audit_log"))
         if set(current.columns) != AUDIT_V1_COLUMNS:
             return
@@ -251,6 +272,11 @@ class Warehouse:
             if legacy:
                 return  # pre-versioning layout: data lives in the root
             shutil.rmtree(self.path(table))  # empty husk → recreate below
+        elif self.exists(table):
+            # converged pointer: sweep stale pre-versioning root copies
+            # (covers a crash between a legacy table's first versioned
+            # commit and that rewrite's own root cleanup)
+            self._clear_legacy_root(table)
         if not self.exists(table):
             v = "v_00000001"
             empty = self.spark.createDataFrame([], ALL_TABLES[table])
@@ -343,12 +369,18 @@ class Warehouse:
         target (SURVEY §7.3 risk note)."""
         self.ensure(table)
         self._clear_dangling(table)
+        was_legacy = self.current_version(table) is None
         v = self._next_version(table)
         dest = os.path.join(self.path(table), v)
         df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
             "overwrite"
         ).parquet(dest)
         self._commit(table, v)
+        if was_legacy:
+            # first versioned commit of a pre-versioning table: the
+            # root copies just became stale (ensure also sweeps them on
+            # the next touch if this line is never reached)
+            self._clear_legacy_root(table)
         self.spark.catalog.refreshByPath(dest)
 
     # -- maintenance ---------------------------------------------------
@@ -366,9 +398,13 @@ class Warehouse:
         pointer commit did not) — they are garbage, not snapshots, so
         they are deleted outright and never count toward the keep
         budget; counting them would silently evict valid rollback
-        snapshots while retaining junk. Single-writer contract: do not
-        vacuum while another process may be mid-rewrite."""
+        snapshots while retaining junk. ``keep`` is clamped to ≥1 —
+        the CURRENT snapshot is never evicted, whatever the caller
+        passes (a keep=0 slice would rmtree the live data out from
+        under the still-pointing ``_CURRENT``). Single-writer
+        contract: do not vacuum while another process may be
+        mid-rewrite."""
         self._clear_dangling(table)  # ONE definition of "dangling"
         committed = self.history(table)
-        for v in committed[: max(0, len(committed) - keep)]:
+        for v in committed[: max(0, len(committed) - max(1, keep))]:
             shutil.rmtree(os.path.join(self.path(table), v))

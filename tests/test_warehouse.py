@@ -249,3 +249,61 @@ def test_torn_first_ensure_heals_and_never_masquerades(spark, tmp_path):
     assert wh.history("transfers") == ["v_00000001", "v_00000002"]
     assert wh.read_version("transfers", "v_00000001").count() == 0
     assert _folio_rows(wh) == {"0-1": 100.0}
+
+
+def test_vacuum_keep_zero_never_evicts_current(spark, tmp_path):
+    """keep is clamped to >=1: 'maintain --vacuum --keep 0' (or a
+    negative value) must not rmtree the live snapshot out from under
+    _CURRENT (r8 review finding)."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed(wh, 100.0)
+    _seed(wh, 200.0)
+    cur = wh.current_version("transfers")
+    wh.vacuum("transfers", keep=0)
+    assert wh.history("transfers") == [cur]
+    assert _folio_rows(wh) == {"0-1": 200.0}
+    wh.vacuum("transfers", keep=-3)
+    assert _folio_rows(wh) == {"0-1": 200.0}
+
+
+def test_first_versioned_commit_sweeps_stale_legacy_root(spark, tmp_path):
+    """A pre-versioning table's first rewrite reads the root files,
+    commits v_00000001, and must then delete the stale root copies —
+    they serve no reader, double storage, and would re-trigger the
+    legacy-layout detection if the pointer were ever lost (r8 review
+    finding). ensure() also sweeps them on the next touch, covering a
+    crash between the commit and the rewrite's own cleanup."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    root = wh.path("transfers")
+    _seed(wh, 100.0)  # creates a versioned table; use its rows as donor
+    import shutil as _sh
+    legacy_root = os.path.join(str(tmp_path), "wh2", "transfers")
+    os.makedirs(os.path.dirname(legacy_root), exist_ok=True)
+    cur_dir = os.path.join(root, wh.current_version("transfers"))
+    _sh.copytree(cur_dir, legacy_root)  # parquet files directly in root
+    wh2 = Warehouse(spark, os.path.join(str(tmp_path), "wh2"))
+    assert wh2.current_version("transfers") is None
+    assert _folio_rows(wh2) == {"0-1": 100.0}          # legacy read OK
+    _seed(wh2, 500.0)                                   # first rewrite
+    assert wh2.current_version("transfers") == "v_00000001"
+    stale = [n for n in os.listdir(legacy_root)
+             if os.path.isfile(os.path.join(legacy_root, n)) and n != "_CURRENT"]
+    assert stale == []                                  # root swept
+    assert _folio_rows(wh2) == {"0-1": 500.0}
+
+
+def test_migrate_legacy_survives_torn_first_ensure_husk(spark, tmp_path):
+    """migrate_legacy runs BEFORE ensure in SyncJob; on an audit_log
+    husk left by a torn first ensure (v_* dir, no pointer, no legacy
+    root data) it must return quietly after clearing — not raise
+    UNABLE_TO_INFER_SCHEMA reading the now-empty dir (r8 review
+    finding) — leaving ensure() to recreate."""
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    torn = os.path.join(wh.path("audit_log"), "v_00000001")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-0000-torn.snappy.parquet"), "wb") as f:
+        f.write(b"\x00partial")
+    wh.migrate_legacy()          # must not raise
+    wh.migrate_legacy()          # and stays quiet on the cleared husk
+    assert wh.read("audit_log").count() == 0   # ensure recreated
+    assert wh.history("audit_log") == ["v_00000001"]
