@@ -101,6 +101,11 @@ def cmd_maintain(args: argparse.Namespace) -> int:
 
     spark = get_spark("lavasmart-maintain")
     wh = Warehouse(spark, args.warehouse)
+    # migrate BEFORE any read/rewrite, like SyncJob.run: compacting an
+    # unmigrated v1 audit_log under the canonical schema would commit
+    # a null-corrupted copy (migrate_legacy can heal it, but never
+    # arm the corner in the first place)
+    wh.migrate_legacy()
     tables = args.tables or [t for t in ALL_TABLES if wh.exists(t)]
     report = {}
     for t in tables:
@@ -123,6 +128,7 @@ def cmd_verify(args: argparse.Namespace) -> int:
 
     spark = get_spark("lavasmart-verify")
     wh = Warehouse(spark, args.warehouse)
+    wh.migrate_legacy()  # canonical shapes before fingerprinting
     tables = args.tables or [t for t in ALL_TABLES if wh.exists(t)]
     report = {}
     for t in tables:
@@ -146,6 +152,7 @@ def cmd_sql(args: argparse.Namespace) -> int:
 
     spark = get_spark("lavasmart-sql")
     wh = Warehouse(spark, args.warehouse)
+    wh.migrate_legacy()  # canonical shapes before registering views
     for t in ALL_TABLES:
         if wh.exists(t):
             wh.read(t).createOrReplaceTempView(t)
@@ -243,6 +250,7 @@ def cmd_render(args: argparse.Namespace) -> int:
 
     spark = get_spark("lavasmart-render")
     wh = Warehouse(spark, args.warehouse)
+    wh.migrate_legacy()  # canonical shapes before egress
     sheets: dict[str, list[list[object]]] = {}
 
     for sheet, (table, cols) in _RENDER_COLS.items():

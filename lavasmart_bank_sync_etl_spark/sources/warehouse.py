@@ -108,6 +108,14 @@ AUDIT_V1_COLUMNS = frozenset(
 _CURRENT = "_CURRENT"
 
 
+def _parquet_columns(path: str) -> set[str]:
+    """Column names from one parquet file's footer (driver-side,
+    no Spark job) — used to recognize unmigrated v1 audit payloads."""
+    import pyarrow.parquet as pq
+
+    return set(pq.read_schema(path).names)
+
+
 class Warehouse:
     """A directory of versioned parquet tables with the reference's
     DDL semantics."""
@@ -182,19 +190,34 @@ class Warehouse:
             if cur is None or v > cur:
                 shutil.rmtree(os.path.join(self.path(table), v))
 
-    def _clear_legacy_root(self, table: str) -> None:
-        """Once a version is committed, any data files still sitting in
-        the table ROOT are stale pre-versioning leftovers (the first
-        rewrite of a legacy table reads them, writes ``v_00000001``,
-        and commits — the copies then serve no reader): delete them so
-        they neither double storage nor re-trigger ensure()'s
-        legacy-layout detection if the pointer were ever lost. Only
-        call with a committed pointer present."""
+    def _clear_legacy_root(self, table: str, migrated: bool = False) -> None:
+        """Once a version is committed, data files still sitting in the
+        table ROOT are normally stale pre-versioning leftovers (the
+        first rewrite of a legacy table reads them, writes
+        ``v_00000001``, and commits — the copies then serve no
+        reader): delete them so they neither double storage nor
+        re-trigger ensure()'s legacy-layout detection if the pointer
+        were ever lost. Only call with a committed pointer present.
+
+        EXCEPTION: root files in the legacy v1 audit shape are refused
+        unless ``migrated=True`` — a version committed WITHOUT
+        ``migrate_legacy`` (e.g. a compact run first) read them under
+        the canonical schema and nulled every v1-mapped column, so
+        these files are the only surviving copy of the payload.
+        ``migrate_legacy`` detects exactly that case, re-widens from
+        the originals, and is the one caller allowed to force the
+        sweep afterward."""
         root = self.path(table)
-        for n in os.listdir(root):
-            p = os.path.join(root, n)
-            if os.path.isfile(p) and n != _CURRENT:
-                os.remove(p)
+        files = [
+            n for n in os.listdir(root)
+            if os.path.isfile(os.path.join(root, n)) and n != _CURRENT
+        ]
+        if not migrated:
+            pq = [n for n in files if n.endswith(".parquet")]
+            if pq and _parquet_columns(os.path.join(root, pq[0])) == AUDIT_V1_COLUMNS:
+                return
+        for n in files:
+            os.remove(os.path.join(root, n))
 
     def _data_path(self, table: str) -> str:
         cur = self.current_version(table)
@@ -210,35 +233,12 @@ class Warehouse:
         os.replace(tmp, self._pointer(table))
 
     # -- DDL -----------------------------------------------------------
-    def migrate_legacy(self) -> None:
-        """S9 — one-shot rename of legacy table directories, plus the
-        v1→v2 audit-log widening (a v1 row records one field-level
+    def _widen_v1(self, v1: DataFrame) -> DataFrame:
+        """The v1→v2 audit widening: a v1 row records one field-level
         update, so it becomes an ACTUALIZACIÓN whose detalle names the
         modified field; run_id null — pre-engine history carries no
-        idempotence stamp). Both are idempotent: a canonical-shaped
-        audit table passes through untouched."""
-        for old, new in LEGACY_RENAMES.items():
-            if os.path.isdir(self.path(old)) and not self.exists(new):
-                os.rename(self.path(old), self.path(new))
-        if not self.exists("audit_log"):
-            return
-        # This raw read bypasses ensure()'s heal, so clear crash
-        # leftovers first: a widening rewrite that tore between its
-        # snapshot write and the pointer commit leaves a v_* dir under
-        # the legacy root, and Spark refuses the mixed-depth layout
-        # ("conflicting directory structures") on every retry.
-        self._clear_dangling("audit_log")
-        if self.current_version("audit_log") is None and not any(
-            n.endswith(".parquet") for n in os.listdir(self.path("audit_log"))
-        ):
-            # torn FIRST ensure husk (no pointer, no legacy root data):
-            # nothing to migrate, and reading the now-empty dir would
-            # raise; leave it for ensure()'s recreate heal
-            return
-        current = self.spark.read.parquet(self._data_path("audit_log"))
-        if set(current.columns) != AUDIT_V1_COLUMNS:
-            return
-        widened = current.select(
+        idempotence stamp."""
+        return v1.select(
             F.col("ts"),
             F.col("folio"),
             F.lit("ACTUALIZACIÓN").alias("accion"),
@@ -247,7 +247,63 @@ class Warehouse:
             F.col("valor_nuevo").alias("valores_nuevos"),
             F.lit(None).cast("string").alias("run_id"),
         )
-        self.rewrite("audit_log", widened)
+
+    def migrate_legacy(self) -> None:
+        """S9 — one-shot rename of legacy table directories, plus the
+        v1→v2 audit-log widening (``_widen_v1``). Idempotent: a
+        canonical-shaped audit table passes through untouched.
+
+        Also the recovery point for two crash/misuse corners:
+        a torn widening rewrite (v_* dir under the legacy root, no
+        pointer) is cleared and retried; and a version committed
+        WITHOUT migrating first (e.g. a compact run before this
+        method) — which read the v1 files under the canonical schema
+        and nulled every v1-mapped column — is detected (the commit
+        carries no ``accion`` payload while v1 originals survive in
+        the root, because ``_clear_legacy_root`` refuses to sweep
+        them) and HEALED by re-widening from the originals."""
+        for old, new in LEGACY_RENAMES.items():
+            if os.path.isdir(self.path(old)) and not self.exists(new):
+                os.rename(self.path(old), self.path(new))
+        if not self.exists("audit_log"):
+            return
+        # Raw reads below bypass ensure()'s heal, so clear crash
+        # leftovers first: a widening rewrite that tore between its
+        # snapshot write and the pointer commit leaves a v_* dir under
+        # the legacy root, and Spark refuses the mixed-depth layout
+        # ("conflicting directory structures") on every retry.
+        self._clear_dangling("audit_log")
+        root = self.path("audit_log")
+        root_pq = sorted(n for n in os.listdir(root) if n.endswith(".parquet"))
+        if self.current_version("audit_log") is None:
+            if not root_pq:
+                # torn FIRST ensure husk (no pointer, no legacy root
+                # data): nothing to migrate, and reading the now-empty
+                # dir would raise; leave it for ensure()'s recreate
+                return
+            current = self.spark.read.parquet(root)
+            if set(current.columns) != AUDIT_V1_COLUMNS:
+                return  # canonical-shaped legacy root: nothing to widen
+            self.rewrite("audit_log", self._widen_v1(current))
+            # rewrite's own sweep refuses v1-shaped roots (it cannot
+            # know the payload was preserved); we just committed the
+            # widened copy, so the sweep is safe here.
+            self._clear_legacy_root("audit_log", migrated=True)
+            return
+        # Pointer already committed. v1 originals still in the root
+        # mean either a previous widening crashed before its sweep, or
+        # something committed without migrating (the corrupted-compact
+        # case) — distinguishable because a widened commit carries
+        # accion on every row while a canonical-schema read of v1
+        # files nulls it everywhere.
+        if root_pq and _parquet_columns(os.path.join(root, root_pq[0])) == AUDIT_V1_COLUMNS:
+            committed = self.read("audit_log")
+            if committed.where(F.col("accion").isNotNull()).limit(1).count() == 0:
+                v1 = self.spark.read.parquet(
+                    *[os.path.join(root, n) for n in root_pq]
+                )
+                self.rewrite("audit_log", self._widen_v1(v1))
+            self._clear_legacy_root("audit_log", migrated=True)
 
     def ensure(self, table: str) -> None:
         """S7 — create-if-missing with the canonical schema
@@ -272,11 +328,6 @@ class Warehouse:
             if legacy:
                 return  # pre-versioning layout: data lives in the root
             shutil.rmtree(self.path(table))  # empty husk → recreate below
-        elif self.exists(table):
-            # converged pointer: sweep stale pre-versioning root copies
-            # (covers a crash between a legacy table's first versioned
-            # commit and that rewrite's own root cleanup)
-            self._clear_legacy_root(table)
         if not self.exists(table):
             v = "v_00000001"
             empty = self.spark.createDataFrame([], ALL_TABLES[table])
@@ -378,8 +429,8 @@ class Warehouse:
         self._commit(table, v)
         if was_legacy:
             # first versioned commit of a pre-versioning table: the
-            # root copies just became stale (ensure also sweeps them on
-            # the next touch if this line is never reached)
+            # root copies just became stale (migrate_legacy/vacuum
+            # also sweep them later if this line is never reached)
             self._clear_legacy_root(table)
         self.spark.catalog.refreshByPath(dest)
 
@@ -405,6 +456,12 @@ class Warehouse:
         contract: do not vacuum while another process may be
         mid-rewrite."""
         self._clear_dangling(table)  # ONE definition of "dangling"
+        if self.current_version(table) is not None:
+            # maintenance also converges the stale-legacy-root sweep
+            # (covers a crash between a legacy table's first versioned
+            # commit and that rewrite's own cleanup) — refused for
+            # unmigrated v1 payloads, see _clear_legacy_root
+            self._clear_legacy_root(table)
         committed = self.history(table)
         for v in committed[: max(0, len(committed) - max(1, keep))]:
             shutil.rmtree(os.path.join(self.path(table), v))

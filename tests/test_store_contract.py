@@ -263,3 +263,47 @@ def test_catalog_rewrite_crash_at_every_ddl_boundary(spark, tmp_path):
         store.rewrite("audit_log", _audit_row(spark, store, "new", 1))
         final = store.read("audit_log").collect()
         assert len(final) == 1 and final[0]["run_id"] == "new", crash_after
+
+
+def test_unmigrated_v1_audit_survives_compact_and_heals(spark, tmp_path):
+    """The corrupted-compact corner (r8 review, third pass): compacting
+    a v1-shaped legacy audit_log WITHOUT migrating first reads it
+    under the canonical schema (v1-mapped columns → NULL) and commits
+    that as v_00000001. The sweep must REFUSE to delete the v1
+    originals (only surviving copy of the payload), and the next
+    migrate_legacy must detect the payload-free commit and heal by
+    re-widening from them — then sweep."""
+    import datetime as dt
+    import os
+
+    root = str(tmp_path / "store")
+    legacy_dir = os.path.join(root, "audit_log")
+    v1 = spark.createDataFrame(
+        [(dt.datetime(2025, 11, 23, 22, 34, 28), "0-18758", "Banco", "", "SCOTIABANK")],
+        "ts timestamp, folio string, campo_modificado string, "
+        "valor_anterior string, valor_nuevo string",
+    )
+    v1.write.mode("overwrite").parquet(legacy_dir)
+
+    wh = Warehouse(spark, root)
+    wh.compact("audit_log")  # misuse: maintenance before migration
+    # the commit is corrupted (null payload), but the originals survive
+    corrupted = wh.read("audit_log").collect()
+    assert len(corrupted) == 1 and corrupted[0]["accion"] is None
+    originals = [n for n in os.listdir(legacy_dir) if n.endswith(".parquet")]
+    assert originals, "v1 originals must not be swept before migration"
+    # vacuum must also refuse the sweep while unmigrated
+    wh.vacuum("audit_log", keep=1)
+    assert [n for n in os.listdir(legacy_dir) if n.endswith(".parquet")]
+    # migrate_legacy heals: widened payload, originals swept after
+    wh.migrate_legacy()
+    healed = wh.read("audit_log").collect()
+    assert len(healed) == 1
+    assert healed[0]["accion"] == "ACTUALIZACIÓN"
+    assert healed[0]["detalle"] == "Banco"
+    assert healed[0]["valores_nuevos"] == "SCOTIABANK"
+    assert not [n for n in os.listdir(legacy_dir) if n.endswith(".parquet")]
+    # idempotent afterwards
+    before = wh.current_version("audit_log")
+    wh.migrate_legacy()
+    assert wh.current_version("audit_log") == before

@@ -271,7 +271,7 @@ def test_first_versioned_commit_sweeps_stale_legacy_root(spark, tmp_path):
     commits v_00000001, and must then delete the stale root copies —
     they serve no reader, double storage, and would re-trigger the
     legacy-layout detection if the pointer were ever lost (r8 review
-    finding). ensure() also sweeps them on the next touch, covering a
+    finding). migrate_legacy/vacuum also sweep them later, covering a
     crash between the commit and the rewrite's own cleanup."""
     wh = Warehouse(spark, str(tmp_path / "wh"))
     root = wh.path("transfers")
