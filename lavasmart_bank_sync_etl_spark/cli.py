@@ -95,6 +95,32 @@ def cmd_sync(args: argparse.Namespace) -> int:
     return 0
 
 
+def _warn_if_unmigrated(wh) -> None:
+    """Read-oriented verbs (verify/sql/render) must not mutate the
+    warehouse — migrate_legacy commits rewrites and deletes root
+    files, and a concurrent sync could be mid-write (single-writer
+    contract). But silently fingerprinting / querying an unmigrated
+    v1 audit_log under the canonical schema shows NULL payload
+    columns, so surface the state instead of hiding it."""
+    from .sources.warehouse import AUDIT_V1_COLUMNS, _parquet_columns
+    import os as _os
+
+    root = wh.path("audit_log")
+    if not _os.path.isdir(root):
+        return
+    for n in _os.listdir(root):
+        if n.endswith(".parquet") and _parquet_columns(
+            _os.path.join(root, n)
+        ) == AUDIT_V1_COLUMNS:
+            print(
+                "warning: audit_log holds unmigrated legacy v1 data; "
+                "its payload columns read as NULL here — run `sync` or "
+                "`maintain` (which migrate first) to widen it",
+                file=sys.stderr,
+            )
+            return
+
+
 def cmd_maintain(args: argparse.Namespace) -> int:
     from .session import get_spark
     from .sources.warehouse import ALL_TABLES, Warehouse
@@ -128,7 +154,7 @@ def cmd_verify(args: argparse.Namespace) -> int:
 
     spark = get_spark("lavasmart-verify")
     wh = Warehouse(spark, args.warehouse)
-    wh.migrate_legacy()  # canonical shapes before fingerprinting
+    _warn_if_unmigrated(wh)  # read-only verb: report, don't rewrite
     tables = args.tables or [t for t in ALL_TABLES if wh.exists(t)]
     report = {}
     for t in tables:
@@ -152,7 +178,7 @@ def cmd_sql(args: argparse.Namespace) -> int:
 
     spark = get_spark("lavasmart-sql")
     wh = Warehouse(spark, args.warehouse)
-    wh.migrate_legacy()  # canonical shapes before registering views
+    _warn_if_unmigrated(wh)  # read-only verb: report, don't rewrite
     for t in ALL_TABLES:
         if wh.exists(t):
             wh.read(t).createOrReplaceTempView(t)
@@ -250,7 +276,7 @@ def cmd_render(args: argparse.Namespace) -> int:
 
     spark = get_spark("lavasmart-render")
     wh = Warehouse(spark, args.warehouse)
-    wh.migrate_legacy()  # canonical shapes before egress
+    _warn_if_unmigrated(wh)  # read-only verb: report, don't rewrite
     sheets: dict[str, list[list[object]]] = {}
 
     for sheet, (table, cols) in _RENDER_COLS.items():

@@ -108,12 +108,36 @@ AUDIT_V1_COLUMNS = frozenset(
 _CURRENT = "_CURRENT"
 
 
-def _parquet_columns(path: str) -> set[str]:
-    """Column names from one parquet file's footer (driver-side,
-    no Spark job) — used to recognize unmigrated v1 audit payloads."""
-    import pyarrow.parquet as pq
+def _parquet_columns(path: str) -> set[str] | None:
+    """Column names from one parquet file's footer (driver-side, no
+    Spark job) — used to recognize unmigrated v1 audit payloads.
+    Returns None when the footer cannot be read (torn/partial file,
+    or pyarrow unavailable): callers must treat unknown as
+    NOT-sweepable, never as safe."""
+    try:
+        import pyarrow.parquet as pq
 
-    return set(pq.read_schema(path).names)
+        return set(pq.read_schema(path).names)
+    except Exception:
+        return None
+
+
+def _v1_files(root: str) -> tuple[list[str], bool]:
+    """(v1-shaped parquet file names under ``root``, any-unreadable
+    flag). Probes EVERY root parquet footer — a mixed-schema root
+    (e.g. a legacy in-place append added a canonical file next to the
+    v1 originals) must not defeat the sweep refusal just because one
+    arbitrary listing-order file probed canonical."""
+    v1, unreadable = [], False
+    for n in sorted(os.listdir(root)):
+        if not n.endswith(".parquet"):
+            continue
+        cols = _parquet_columns(os.path.join(root, n))
+        if cols is None:
+            unreadable = True
+        elif cols == AUDIT_V1_COLUMNS:
+            v1.append(n)
+    return v1, unreadable
 
 
 class Warehouse:
@@ -206,15 +230,16 @@ class Warehouse:
         these files are the only surviving copy of the payload.
         ``migrate_legacy`` detects exactly that case, re-widens from
         the originals, and is the one caller allowed to force the
-        sweep afterward."""
+        sweep afterward. A root holding any UNREADABLE parquet footer
+        is likewise refused (unknown is never sweepable)."""
         root = self.path(table)
         files = [
             n for n in os.listdir(root)
             if os.path.isfile(os.path.join(root, n)) and n != _CURRENT
         ]
         if not migrated:
-            pq = [n for n in files if n.endswith(".parquet")]
-            if pq and _parquet_columns(os.path.join(root, pq[0])) == AUDIT_V1_COLUMNS:
+            v1, unreadable = _v1_files(root)
+            if v1 or unreadable:
                 return
         for n in files:
             os.remove(os.path.join(root, n))
@@ -265,6 +290,16 @@ class Warehouse:
         for old, new in LEGACY_RENAMES.items():
             if os.path.isdir(self.path(old)) and not self.exists(new):
                 os.rename(self.path(old), self.path(new))
+        # Converge the stale-legacy-root sweep for every versioned
+        # table: covers a crash between a legacy table's first
+        # versioned commit and that rewrite's own cleanup. This method
+        # runs at the start of every SyncJob and mutating CLI verb, so
+        # the stale-copy window is one run, not unbounded. The sweep
+        # itself refuses v1/unreadable payloads, so this is safe
+        # before the audit handling below.
+        for table in ALL_TABLES:
+            if self.exists(table) and self.current_version(table) is not None:
+                self._clear_legacy_root(table)
         if not self.exists("audit_log"):
             return
         # Raw reads below bypass ensure()'s heal, so clear crash
@@ -281,28 +316,56 @@ class Warehouse:
                 # data): nothing to migrate, and reading the now-empty
                 # dir would raise; leave it for ensure()'s recreate
                 return
-            current = self.spark.read.parquet(root)
-            if set(current.columns) != AUDIT_V1_COLUMNS:
+            v1_names, unreadable = _v1_files(root)
+            if unreadable:
+                return  # torn bytes: refuse to widen past them
+            if not v1_names:
                 return  # canonical-shaped legacy root: nothing to widen
-            self.rewrite("audit_log", self._widen_v1(current))
+            # Widen the v1 files by EXPLICIT list; a mixed root (a
+            # legacy in-place append added canonical rows next to the
+            # v1 originals) folds the canonical files in under the
+            # canonical schema rather than letting spark.read infer
+            # one arbitrary file's schema for all of them.
+            v1 = self.spark.read.parquet(
+                *[os.path.join(root, n) for n in v1_names]
+            )
+            widened = self._widen_v1(v1)
+            canonical = [n for n in root_pq if n not in set(v1_names)]
+            if canonical:
+                widened = widened.unionByName(
+                    self.spark.read.schema(ALL_TABLES["audit_log"]).parquet(
+                        *[os.path.join(root, n) for n in canonical]
+                    )
+                )
+            self.rewrite("audit_log", widened)
             # rewrite's own sweep refuses v1-shaped roots (it cannot
             # know the payload was preserved); we just committed the
             # widened copy, so the sweep is safe here.
             self._clear_legacy_root("audit_log", migrated=True)
             return
-        # Pointer already committed. v1 originals still in the root
-        # mean either a previous widening crashed before its sweep, or
-        # something committed without migrating (the corrupted-compact
-        # case) — distinguishable because a widened commit carries
-        # accion on every row while a canonical-schema read of v1
-        # files nulls it everywhere.
-        if root_pq and _parquet_columns(os.path.join(root, root_pq[0])) == AUDIT_V1_COLUMNS:
+        # Pointer already committed. v1-shaped originals still in the
+        # root mean either a previous widening crashed before its
+        # sweep, or something committed without migrating (the
+        # corrupted-compact case). Distinguish PER ROW, not per table:
+        # a widened/engine row always carries accion, while a
+        # canonical-schema read of a v1 file nulls it — so rows with
+        # accion IS NULL are exactly the corrupted images of the v1
+        # originals (a commit can legitimately mix both, e.g. a legacy
+        # in-place append added a canonical row before the compact).
+        # Heal = replace the corrupted rows with the re-widened
+        # originals, keep every healthy row, then sweep.
+        v1_names, unreadable = _v1_files(root)
+        if v1_names and not unreadable:
             committed = self.read("audit_log")
-            if committed.where(F.col("accion").isNotNull()).limit(1).count() == 0:
+            corrupted = committed.where(F.col("accion").isNull())
+            if corrupted.limit(1).count() > 0:
+                healthy = committed.where(F.col("accion").isNotNull())
                 v1 = self.spark.read.parquet(
-                    *[os.path.join(root, n) for n in root_pq]
+                    *[os.path.join(root, n) for n in v1_names]
                 )
-                self.rewrite("audit_log", self._widen_v1(v1))
+                self.rewrite(
+                    "audit_log", healthy.unionByName(self._widen_v1(v1))
+                )
             self._clear_legacy_root("audit_log", migrated=True)
 
     def ensure(self, table: str) -> None:

@@ -307,3 +307,79 @@ def test_unmigrated_v1_audit_survives_compact_and_heals(spark, tmp_path):
     before = wh.current_version("audit_log")
     wh.migrate_legacy()
     assert wh.current_version("audit_log") == before
+
+
+def test_mixed_v1_and_canonical_audit_heals_per_row(spark, tmp_path):
+    """The mixed-commit corner (r8 review, fourth pass): a legacy
+    in-place append put a CANONICAL row next to the v1 originals, then
+    a compact-before-migrate committed both — the v1 rows null-
+    corrupted, the appended row healthy. The sweep must still refuse
+    (any v1-shaped root file refuses, not just an arbitrary probe),
+    and migrate_legacy must heal PER ROW: keep the healthy row,
+    re-widen the originals, then sweep."""
+    import datetime as dt
+    import os
+
+    from lavasmart_bank_sync_etl_spark.schemas import AUDIT_LOG
+
+    root = str(tmp_path / "store")
+    legacy_dir = os.path.join(root, "audit_log")
+    v1 = spark.createDataFrame(
+        [(dt.datetime(2025, 11, 23, 22, 34, 28), "0-18758", "Banco", "", "SCOTIABANK")],
+        "ts timestamp, folio string, campo_modificado string, "
+        "valor_anterior string, valor_nuevo string",
+    )
+    v1.write.mode("overwrite").parquet(legacy_dir)
+
+    wh = Warehouse(spark, root)
+    healthy = spark.createDataFrame(
+        [(dt.datetime(2025, 11, 24, 8, 0, 0), "0-19001", "ALTA",
+          "insertado", None, None, "run-x")],
+        AUDIT_LOG,
+    )
+    wh.append("audit_log", healthy)   # legacy in-place append (no pointer)
+    assert wh.current_version("audit_log") is None
+    wh.compact("audit_log")           # misuse: commit before migration
+    # v1 rows corrupted in the commit, originals preserved on disk
+    assert [n for n in os.listdir(legacy_dir) if n.endswith(".parquet")]
+    wh.migrate_legacy()
+    rows = {r["folio"]: r.asDict() for r in wh.read("audit_log").collect()}
+    assert set(rows) == {"0-18758", "0-19001"}
+    assert rows["0-19001"]["accion"] == "ALTA"           # healthy row kept
+    assert rows["0-18758"]["accion"] == "ACTUALIZACIÓN"  # v1 re-widened
+    assert rows["0-18758"]["valores_nuevos"] == "SCOTIABANK"
+    assert not [n for n in os.listdir(legacy_dir) if n.endswith(".parquet")]
+    # idempotent afterwards
+    before = wh.current_version("audit_log")
+    wh.migrate_legacy()
+    assert wh.current_version("audit_log") == before
+
+
+def test_torn_root_parquet_refuses_sweep_and_never_raises(spark, tmp_path):
+    """An unreadable parquet footer in a table root (partial restore,
+    killed copy) must make the legacy-root sweep REFUSE, not raise —
+    vacuum and migrate_legacy are crash-recovery points and cannot
+    themselves wedge on torn bytes (r8 review, fourth pass)."""
+    import os
+
+    root = str(tmp_path / "store")
+    wh = Warehouse(spark, root)
+    df = wh.read("transfers").sparkSession.createDataFrame(
+        [("0-1", 100.0)], "folio string, monto double"
+    ).select(
+        "folio",
+        F.lit("2025-11-02").cast("date").alias("fecha"),
+        F.lit("Ana").alias("cliente"), F.lit("Sala").alias("servicio"),
+        F.lit("SANTANDER").alias("banco"), "monto",
+        F.lit(None).cast("boolean").alias("conciliado"),
+        F.lit(None).cast("string").alias("concepto_banco"),
+        F.lit(None).cast("string").alias("observaciones"),
+    )
+    wh.rewrite("transfers", df)
+    torn = os.path.join(wh.path("transfers"), "stray-torn.parquet")
+    with open(torn, "wb") as f:
+        f.write(b"\x00not parquet")
+    wh.vacuum("transfers", keep=1)    # must not raise
+    wh.migrate_legacy()               # must not raise
+    assert os.path.exists(torn)       # unknown bytes are never swept
+    assert {r["folio"] for r in wh.read("transfers").collect()} == {"0-1"}
