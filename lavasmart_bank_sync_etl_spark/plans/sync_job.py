@@ -99,7 +99,22 @@ class SyncJob:
     def run(self, source: DataFrame) -> dict[str, int]:
         """Execute the sync. ``source`` columns: folio, sale_date,
         cliente, servicio, monto, metodo (classified), banco,
-        src_row_idx. Returns the A4 run summary counts."""
+        src_row_idx. Returns the A4 run summary counts.
+
+        The whole run holds the store's single-writer lease when the
+        backend exposes one (``lock()``), so two overlapping syncs on
+        the same warehouse fail fast with ``ConcurrentWriterError``
+        instead of interleaving reads and rewrites at call granularity
+        (lost updates, cleared in-flight versions). Stores without a
+        lease (test doubles, transactional engines) run unguarded —
+        their own concurrency story applies."""
+        lock = getattr(self.wh, "lock", None)
+        if callable(lock):
+            with lock():
+                return self._run(source)
+        return self._run(source)
+
+    def _run(self, source: DataFrame) -> dict[str, int]:
         wh = self.wh
         wh.migrate_legacy()
         for t in TABLE_ORDER + ["audit_log", "review_queue"]:

@@ -47,22 +47,31 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .lease import WriterLease
 from .warehouse import ALL_TABLES, LEGACY_RENAMES
 
 
 class CatalogStore:
     """TableStore over Spark catalog managed tables (SURVEY §2.1
-    S2-S7 via DDL instead of directory layout)."""
+    S2-S7 via DDL instead of directory layout). Single-writer like
+    Warehouse, enforced by the same root-scoped ``WriterLease``: the
+    two-rename swap protocol assumes nothing else touches the
+    ``__staged``/``__old`` names mid-swap."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._lease = WriterLease(root)
         digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:12]
         self.db = f"spark_graft_store_{digest}"
         spark.sql(
             f"CREATE DATABASE IF NOT EXISTS {self.db} "
             f"LOCATION '{os.path.abspath(root)}'"
         )
+
+    def lock(self) -> WriterLease:
+        """Run-scoped single-writer hold (see Warehouse.lock)."""
+        return self._lease
 
     def _qualified(self, table: str) -> str:
         return f"{self.db}.{table}"
@@ -76,24 +85,33 @@ class CatalogStore:
         If a crash during ``rewrite``'s swap left the committed state
         parked under ``<table>__old`` (target renamed away but the
         staged table not yet renamed in), recover it with the single
-        rename the swap protocol guarantees suffices."""
-        target = self._qualified(table)
-        old = f"{target}__old"
-        if not self.exists(table) and self.spark.catalog.tableExists(old):
-            self.spark.sql(f"ALTER TABLE {old} RENAME TO {target}")
-        if not self.exists(table):
-            empty = self.spark.createDataFrame([], ALL_TABLES[table])
-            empty.write.format("parquet").saveAsTable(target)
+        rename the swap protocol guarantees suffices.
+
+        Lease note: the committed-state fast path is lock-free so read
+        verbs never contend with a writer's lease; the lease is taken
+        only when there is something to create or recover, and the
+        state is re-checked under it."""
+        if self.exists(table):
+            return
+        with self._lease:
+            target = self._qualified(table)
+            old = f"{target}__old"
+            if not self.exists(table) and self.spark.catalog.tableExists(old):
+                self.spark.sql(f"ALTER TABLE {old} RENAME TO {target}")
+            if not self.exists(table):
+                empty = self.spark.createDataFrame([], ALL_TABLES[table])
+                empty.write.format("parquet").saveAsTable(target)
 
     def migrate_legacy(self) -> None:
         """S9 — legacy renames as metastore DDL (vs Warehouse's
         directory rename)."""
-        for old, new in LEGACY_RENAMES.items():
-            if self.exists(old) and not self.exists(new):
-                self.spark.sql(
-                    f"ALTER TABLE {self._qualified(old)} "
-                    f"RENAME TO {self._qualified(new)}"
-                )
+        with self._lease:
+            for old, new in LEGACY_RENAMES.items():
+                if self.exists(old) and not self.exists(new):
+                    self.spark.sql(
+                        f"ALTER TABLE {self._qualified(old)} "
+                        f"RENAME TO {self._qualified(new)}"
+                    )
 
     def read(self, table: str) -> DataFrame:
         """S2 — catalog-resolved scan of committed state."""
@@ -102,10 +120,11 @@ class CatalogStore:
 
     def append(self, table: str, df: DataFrame) -> None:
         """S3/S5/S6 — append sink."""
-        self.ensure(table)
-        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
-            "append"
-        ).format("parquet").saveAsTable(self._qualified(table))
+        with self._lease:
+            self.ensure(table)
+            df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
+                "append"
+            ).format("parquet").saveAsTable(self._qualified(table))
 
     def append_once(
         self, table: str, df: DataFrame, run_id: str, run_id_col: str = "run_id"
@@ -113,16 +132,19 @@ class CatalogStore:
         """Effectively-once append: drop any rows a previous attempt of
         this run wrote, then fold the new rows in via the staged-swap
         rewrite (same semantics as Warehouse.append_once)."""
-        self.ensure(table)
-        # Column API, not string interpolation: a run_id containing a
-        # quote must compare as data, not splice into the predicate.
-        cur = self.read(table).where(
-            F.col(run_id_col).isNull() | (F.col(run_id_col) != F.lit(run_id))
-        )
-        self.rewrite(
-            table,
-            cur.unionByName(df.select(*[f.name for f in ALL_TABLES[table].fields])),
-        )
+        with self._lease:  # read→fold→rewrite is ONE critical section
+            self.ensure(table)
+            # Column API, not string interpolation: a run_id containing
+            # a quote must compare as data, not splice into the predicate.
+            cur = self.read(table).where(
+                F.col(run_id_col).isNull() | (F.col(run_id_col) != F.lit(run_id))
+            )
+            self.rewrite(
+                table,
+                cur.unionByName(
+                    df.select(*[f.name for f in ALL_TABLES[table].fields])
+                ),
+            )
 
     def rewrite(self, table: str, df: DataFrame) -> None:
         """S4 — replace table state via staged table + metastore swap.
@@ -137,16 +159,17 @@ class CatalogStore:
         healed by ``ensure``'s single recovery rename. True one-call
         atomicity is what a Delta/Iceberg backend buys
         (sources/store.py)."""
-        self.ensure(table)
-        target = self._qualified(table)
-        staged = f"{target}__staged"
-        old = f"{target}__old"
-        self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
-        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.format(
-            "parquet"
-        ).saveAsTable(staged)
-        self.spark.sql(f"DROP TABLE IF EXISTS {old}")
-        self.spark.sql(f"ALTER TABLE {target} RENAME TO {old}")
-        self.spark.sql(f"ALTER TABLE {staged} RENAME TO {target}")
-        self.spark.sql(f"DROP TABLE {old}")
-        self.spark.catalog.refreshTable(target)
+        with self._lease:
+            self.ensure(table)
+            target = self._qualified(table)
+            staged = f"{target}__staged"
+            old = f"{target}__old"
+            self.spark.sql(f"DROP TABLE IF EXISTS {staged}")
+            df.select(*[f.name for f in ALL_TABLES[table].fields]).write.format(
+                "parquet"
+            ).saveAsTable(staged)
+            self.spark.sql(f"DROP TABLE IF EXISTS {old}")
+            self.spark.sql(f"ALTER TABLE {target} RENAME TO {old}")
+            self.spark.sql(f"ALTER TABLE {staged} RENAME TO {target}")
+            self.spark.sql(f"DROP TABLE {old}")
+            self.spark.catalog.refreshTable(target)

@@ -36,10 +36,14 @@ review-append → target rewrites → audit-append, every step keyed or
 run_id-guarded, so a rerun of the same run_id converges to the same
 state).
 
-Single-writer by design (the reference is one daily trigger); a
-multi-writer deployment swaps this module for a Delta/Iceberg
-implementation of the ``sources.store.TableStore`` protocol — the
-SyncJob semantics (MERGE with protected columns) are unchanged, and
+Single-writer by design (the reference is one daily trigger), and
+ENFORCED since round 9: every mutating verb holds the store's
+``WriterLease`` (sources/lease.py), so a second concurrent writer
+raises ``ConcurrentWriterError`` instead of interleaving with — and
+silently corrupting — the first's in-flight commit. A multi-writer
+deployment swaps this module for a Delta/Iceberg implementation of
+the ``sources.store.TableStore`` protocol — the SyncJob semantics
+(MERGE with protected columns) are unchanged, and
 tests/test_store_contract.py pins the behavior any replacement must
 match.
 """
@@ -61,6 +65,7 @@ from pyspark.sql.types import (
 )
 
 from ..schemas import AUDIT_LOG, BATCH_CLOSURES, FOLIO_DIM, REVIEW_QUEUE, TARGETS
+from .lease import WriterLease
 
 #: A4 run summary persisted as a durable table (one row per logical
 #: run, run_id-keyed): the reference logs its summary per execution
@@ -107,6 +112,14 @@ AUDIT_V1_COLUMNS = frozenset(
 
 _CURRENT = "_CURRENT"
 
+#: prefix a committed snapshot is renamed to immediately before vacuum
+#: deletes it. The rename is atomic, so the snapshot leaves
+#: ``history()``/``_versions`` (which match ``v_*`` only) in one step;
+#: a crash mid-``rmtree`` then leaves a TOMBSTONE, never a torn dir
+#: that still sorts below ``_CURRENT`` and masquerades as time-travel
+#: history. Leftover tombstones are swept by the next writer/vacuum.
+_TOMBSTONE = "_rm_"
+
 
 def _parquet_columns(path: str) -> set[str] | None:
     """Column names from one parquet file's footer (driver-side, no
@@ -147,6 +160,16 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._lease = WriterLease(root)
+
+    def lock(self) -> WriterLease:
+        """The store's single-writer lease, for run-scoped holds:
+        ``with wh.lock(): ...`` makes a whole multi-statement job
+        exclusive (SyncJob.run does this), turning a concurrent second
+        writer into a loud ``ConcurrentWriterError`` instead of silent
+        interleaved corruption. Reentrant — the per-verb acquisitions
+        below nest inside it."""
+        return self._lease
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -213,6 +236,21 @@ class Warehouse:
         for v in self._versions(table):
             if cur is None or v > cur:
                 shutil.rmtree(os.path.join(self.path(table), v))
+        self._clear_tombstones(table)
+
+    def _clear_tombstones(self, table: str) -> None:
+        """Finish crashed vacuum deletions: a ``_rm_*`` dir is a
+        snapshot vacuum renamed away whose ``rmtree`` tore mid-delete.
+        It is already invisible to ``history``/``read_version`` (the
+        rename is the atomic eviction), so this is pure space
+        reclamation — retried by every writer via ``_clear_dangling``
+        and by the next ``vacuum``."""
+        if not self.exists(table):
+            return
+        for n in os.listdir(self.path(table)):
+            p = os.path.join(self.path(table), n)
+            if n.startswith(_TOMBSTONE) and os.path.isdir(p):
+                shutil.rmtree(p)
 
     def _clear_legacy_root(self, table: str, migrated: bool = False) -> None:
         """Once a version is committed, data files still sitting in the
@@ -287,6 +325,10 @@ class Warehouse:
         carries no ``accion`` payload while v1 originals survive in
         the root, because ``_clear_legacy_root`` refuses to sweep
         them) and HEALED by re-widening from the originals."""
+        with self._lease:
+            self._migrate_legacy()
+
+    def _migrate_legacy(self) -> None:
         for old, new in LEGACY_RENAMES.items():
             if os.path.isdir(self.path(old)) and not self.exists(new):
                 os.rename(self.path(old), self.path(new))
@@ -382,20 +424,31 @@ class Warehouse:
         garbage, cleared; if no pre-versioning legacy data remains
         either, the create is re-run from scratch. Distinguishable
         from the legacy layout because legacy tables keep their
-        parquet files in the table root, never under ``v_*``."""
-        if self.exists(table) and self.current_version(table) is None:
-            self._clear_dangling(table)  # torn first commit(s), if any
-            legacy = any(
-                n.endswith(".parquet") for n in os.listdir(self.path(table))
-            )
-            if legacy:
-                return  # pre-versioning layout: data lives in the root
-            shutil.rmtree(self.path(table))  # empty husk → recreate below
-        if not self.exists(table):
-            v = "v_00000001"
-            empty = self.spark.createDataFrame([], ALL_TABLES[table])
-            empty.write.mode("overwrite").parquet(os.path.join(self.path(table), v))
-            self._commit(table, v)
+        parquet files in the table root, never under ``v_*``.
+
+        Lease note: the committed-state fast path below is lock-free
+        so READ verbs (which call ensure via ``read``) never contend
+        with — or error on — a concurrent writer's lease; the lease is
+        taken only when there is actually something to create or heal,
+        and the state is re-checked under it."""
+        if self.exists(table) and self.current_version(table) is not None:
+            return  # committed state present: nothing to create/heal
+        with self._lease:
+            if self.exists(table) and self.current_version(table) is None:
+                self._clear_dangling(table)  # torn first commit(s), if any
+                legacy = any(
+                    n.endswith(".parquet") for n in os.listdir(self.path(table))
+                )
+                if legacy:
+                    return  # pre-versioning layout: data lives in the root
+                shutil.rmtree(self.path(table))  # empty husk → recreate below
+            if not self.exists(table):
+                v = "v_00000001"
+                empty = self.spark.createDataFrame([], ALL_TABLES[table])
+                empty.write.mode("overwrite").parquet(
+                    os.path.join(self.path(table), v)
+                )
+                self._commit(table, v)
 
     # -- IO ------------------------------------------------------------
     def read(self, table: str) -> DataFrame:
@@ -409,11 +462,14 @@ class Warehouse:
         """Time travel: read a retained COMMITTED snapshot by name.
         Uncommitted dirs (newer than ``_CURRENT``, or any dir when no
         pointer was ever committed) are crash leftovers and possibly
-        torn — refuse them rather than expose never-published state."""
-        cur = self.current_version(table)
-        if cur is None or version > cur:
+        torn — refuse them rather than expose never-published state.
+        Membership in ``history()`` is the check (not a ``<= cur``
+        string compare), so non-snapshot names — vacuum tombstones,
+        arbitrary paths — are refused too."""
+        if version not in self.history(table):
             raise ValueError(
-                f"{table}/{version} was never committed (current is {cur})"
+                f"{table}/{version} is not a committed snapshot "
+                f"(current is {self.current_version(table)})"
             )
         return self.spark.read.schema(ALL_TABLES[table]).parquet(
             os.path.join(self.path(table), version)
@@ -432,31 +488,34 @@ class Warehouse:
         pass-B hole ADVICE r7 flagged). Collision-free by Spark's
         job-unique part-file names; falls back to a copy on
         filesystems without hard links."""
-        self.ensure(table)
-        cur = self.current_version(table)
-        if cur is None:
-            # pre-versioning directory layout: in-place legacy append
+        with self._lease:
+            self.ensure(table)
+            cur = self.current_version(table)
+            if cur is None:
+                # pre-versioning directory layout: in-place legacy append
+                df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
+                    "append"
+                ).parquet(self._data_path(table))
+                self.spark.catalog.refreshByPath(self._data_path(table))
+                return
+            self._clear_dangling(table)
+            v = self._next_version(table)
+            src = os.path.join(self.path(table), cur)
+            dest = os.path.join(self.path(table), v)
+            os.makedirs(dest)
+            for name in os.listdir(src):
+                if name.endswith(".parquet"):
+                    try:
+                        os.link(os.path.join(src, name), os.path.join(dest, name))
+                    except OSError:
+                        shutil.copy2(
+                            os.path.join(src, name), os.path.join(dest, name)
+                        )
             df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
                 "append"
-            ).parquet(self._data_path(table))
-            self.spark.catalog.refreshByPath(self._data_path(table))
-            return
-        self._clear_dangling(table)
-        v = self._next_version(table)
-        src = os.path.join(self.path(table), cur)
-        dest = os.path.join(self.path(table), v)
-        os.makedirs(dest)
-        for name in os.listdir(src):
-            if name.endswith(".parquet"):
-                try:
-                    os.link(os.path.join(src, name), os.path.join(dest, name))
-                except OSError:
-                    shutil.copy2(os.path.join(src, name), os.path.join(dest, name))
-        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
-            "append"
-        ).parquet(dest)
-        self._commit(table, v)
-        self.spark.catalog.refreshByPath(dest)
+            ).parquet(dest)
+            self._commit(table, v)
+            self.spark.catalog.refreshByPath(dest)
 
     def append_once(self, table: str, df: DataFrame, run_id: str, run_id_col: str = "run_id") -> None:
         """Idempotent append: fold ``df`` (whose rows are stamped
@@ -469,39 +528,49 @@ class Warehouse:
         the reference-sized audit/review tables; an engine with real
         transactions (see sources/store.py) does it as a guarded
         append instead."""
-        self.ensure(table)
-        # Column API, not string interpolation: a run_id containing a
-        # quote must compare as data, not splice into the predicate.
-        cur = self.read(table).where(
-            F.col(run_id_col).isNull() | (F.col(run_id_col) != F.lit(run_id))
-        )
-        self.rewrite(table, cur.unionByName(df.select(*[f.name for f in ALL_TABLES[table].fields])))
+        with self._lease:  # read→fold→rewrite is ONE critical section
+            self.ensure(table)
+            # Column API, not string interpolation: a run_id containing
+            # a quote must compare as data, not splice into the predicate.
+            cur = self.read(table).where(
+                F.col(run_id_col).isNull() | (F.col(run_id_col) != F.lit(run_id))
+            )
+            self.rewrite(
+                table,
+                cur.unionByName(
+                    df.select(*[f.name for f in ALL_TABLES[table].fields])
+                ),
+            )
 
     def rewrite(self, table: str, df: DataFrame) -> None:
         """S4 — full-state rewrite as a NEW snapshot + atomic pointer
         commit; a failed write never truncates or half-exposes the
         target (SURVEY §7.3 risk note)."""
-        self.ensure(table)
-        self._clear_dangling(table)
-        was_legacy = self.current_version(table) is None
-        v = self._next_version(table)
-        dest = os.path.join(self.path(table), v)
-        df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
-            "overwrite"
-        ).parquet(dest)
-        self._commit(table, v)
-        if was_legacy:
-            # first versioned commit of a pre-versioning table: the
-            # root copies just became stale (migrate_legacy/vacuum
-            # also sweep them later if this line is never reached)
-            self._clear_legacy_root(table)
-        self.spark.catalog.refreshByPath(dest)
+        with self._lease:
+            self.ensure(table)
+            self._clear_dangling(table)
+            was_legacy = self.current_version(table) is None
+            v = self._next_version(table)
+            dest = os.path.join(self.path(table), v)
+            df.select(*[f.name for f in ALL_TABLES[table].fields]).write.mode(
+                "overwrite"
+            ).parquet(dest)
+            self._commit(table, v)
+            if was_legacy:
+                # first versioned commit of a pre-versioning table: the
+                # root copies just became stale (migrate_legacy/vacuum
+                # also sweep them later if this line is never reached)
+                self._clear_legacy_root(table)
+            self.spark.catalog.refreshByPath(dest)
 
     # -- maintenance ---------------------------------------------------
     def compact(self, table: str, num_files: int = 1) -> None:
         """Small-file management: rewrite the current state into
-        ``num_files`` files as a new snapshot (the OPTIMIZE analog)."""
-        self.rewrite(table, self.read(table).coalesce(num_files))
+        ``num_files`` files as a new snapshot (the OPTIMIZE analog).
+        The read→rewrite pair holds the lease as one critical
+        section."""
+        with self._lease:
+            self.rewrite(table, self.read(table).coalesce(num_files))
 
     def vacuum(self, table: str, keep: int = 2) -> None:
         """Prune old snapshots, retaining the latest ``keep`` COMMITTED
@@ -515,16 +584,24 @@ class Warehouse:
         snapshots while retaining junk. ``keep`` is clamped to ≥1 —
         the CURRENT snapshot is never evicted, whatever the caller
         passes (a keep=0 slice would rmtree the live data out from
-        under the still-pointing ``_CURRENT``). Single-writer
-        contract: do not vacuum while another process may be
-        mid-rewrite."""
-        self._clear_dangling(table)  # ONE definition of "dangling"
-        if self.current_version(table) is not None:
-            # maintenance also converges the stale-legacy-root sweep
-            # (covers a crash between a legacy table's first versioned
-            # commit and that rewrite's own cleanup) — refused for
-            # unmigrated v1 payloads, see _clear_legacy_root
-            self._clear_legacy_root(table)
-        committed = self.history(table)
-        for v in committed[: max(0, len(committed) - max(1, keep))]:
-            shutil.rmtree(os.path.join(self.path(table), v))
+        under the still-pointing ``_CURRENT``).
+
+        Eviction is rename-then-delete: the victim is atomically
+        renamed to a ``_rm_*`` tombstone FIRST, so it leaves
+        ``history()`` in one step and a crash mid-``rmtree`` can
+        never leave a torn dir that still reads as a committed
+        snapshot — only a tombstone the next writer/vacuum sweeps
+        (``_clear_tombstones``)."""
+        with self._lease:
+            self._clear_dangling(table)  # ONE definition of "dangling"
+            if self.current_version(table) is not None:
+                # maintenance also converges the stale-legacy-root
+                # sweep (covers a crash between a legacy table's first
+                # versioned commit and that rewrite's own cleanup) —
+                # refused for unmigrated v1 payloads, _clear_legacy_root
+                self._clear_legacy_root(table)
+            committed = self.history(table)
+            for v in committed[: max(0, len(committed) - max(1, keep))]:
+                tomb = os.path.join(self.path(table), _TOMBSTONE + v)
+                os.rename(os.path.join(self.path(table), v), tomb)
+                shutil.rmtree(tomb)

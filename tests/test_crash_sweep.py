@@ -175,3 +175,68 @@ def test_every_crash_boundary_converges(spark, tmp_path, backend):
             assert accion == g_mut[folio] or (
                 g_mut[folio] == S.ACTION_MOVE and accion == S.ACTION_NEW
             ), (*ctx, folio, accion, g_mut[folio])
+
+
+# -- maintenance boundaries (round 9: VERDICT r8 task 6) ---------------
+
+#: a target table (pass-A rewrite path), the two append_once logs, —
+#: enough to cover both maintenance verbs over every storage shape
+#: without sweeping all 7 tables (each boundary costs a full retry)
+_MAINT_TABLES = ["transfers", "audit_log", "review_queue"]
+
+
+def _maintain(wh_like) -> None:
+    """One maintenance pass: compact then vacuum each table — the
+    cmd_maintain verb order."""
+    for t in _MAINT_TABLES:
+        wh_like.compact(t, num_files=1)
+    for t in _MAINT_TABLES:
+        wh_like.vacuum(t, keep=2)
+
+
+def test_maintenance_crash_boundaries_converge(spark, tmp_path):
+    """Kill a maintenance pass (compact/vacuum over the synced
+    warehouse) at EVERY verb boundary, then retry: invariants must
+    hold at the crash point and the retried pass must converge to the
+    never-crashed outcome. Warehouse-only — compact/vacuum are its
+    versioned-layout maintenance; CatalogStore has no snapshots to
+    prune. Mid-verb tears (rmtree dying inside vacuum) are pinned
+    separately in test_warehouse.py's tombstone tests."""
+    import shutil
+
+    base = Warehouse(spark, str(tmp_path / "base"))
+    _seed(spark, base)
+    SyncJob(spark, base, WIN[0], WIN[1], run_id="r2").run(_src(spark, RUN2))
+
+    gold_wh = Warehouse(spark, str(tmp_path / "mgold"))
+    shutil.copytree(base.root, gold_wh.root)
+    counter = CountingStore(gold_wh)
+    _maintain(counter)
+    golden = _state(gold_wh)
+    n_calls = len(counter.calls)
+    assert {c.split(":", 1)[0] for c in counter.calls} == {"compact", "vacuum"}
+    assert n_calls == 2 * len(_MAINT_TABLES)
+
+    for crash_after in range(n_calls):
+        wh = Warehouse(spark, str(tmp_path / f"m{crash_after}"))
+        shutil.copytree(base.root, wh.root)
+        with pytest.raises(CrashInjected):
+            _maintain(CrashingStore(wh, crash_after))
+        check_invariants(wh)
+        _maintain(wh)  # retry the whole pass
+        check_invariants(wh)
+        got = _state(wh)
+        ctx = ("maintenance", crash_after, counter.calls[crash_after])
+        for table in _EXACT:
+            assert got[table] == golden[table], (*ctx, table)
+        assert got["run_log"] == golden["run_log"], ctx
+        # no reclassification happens in maintenance: audit converges
+        # EXACTLY (no MOVE→NUEVO substitution window here)
+        g_tel, g_mut = _split_audit(golden["audit"])
+        r_tel, r_mut = _split_audit(got["audit"])
+        assert r_tel == g_tel and r_mut == g_mut, ctx
+        # vacuum outcome: pruned history, current snapshot readable
+        for t in _MAINT_TABLES:
+            hist = wh.history(t)
+            assert 1 <= len(hist) <= 2, (*ctx, t)
+            assert wh.current_version(t) in hist, (*ctx, t)

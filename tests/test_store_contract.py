@@ -383,3 +383,85 @@ def test_torn_root_parquet_refuses_sweep_and_never_raises(spark, tmp_path):
     wh.migrate_legacy()               # must not raise
     assert os.path.exists(torn)       # unknown bytes are never swept
     assert {r["folio"] for r in wh.read("transfers").collect()} == {"0-1"}
+
+
+# -- single-writer lease (round 9: the documented contract, enforced) --
+
+def _dead_pid() -> int:
+    """A real pid that is guaranteed dead: a reaped child's."""
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    return proc.pid
+
+
+def test_second_writer_raises_while_lease_held(spark, store):
+    """Contract: a mutating verb on a store another LIVE writer is
+    mid-run on must raise, never interleave (the silent-corruption
+    mode the prose contract used to allow)."""
+    from lavasmart_bank_sync_etl_spark.sources.lease import (
+        ConcurrentWriterError,
+    )
+
+    store.ensure("audit_log")
+    second = type(store)(store.spark, store.root)
+    with store.lock():  # writer #1 holds a run-scoped lease
+        with pytest.raises(ConcurrentWriterError):
+            second.append("audit_log", _audit_row(spark, store, "r2", 1))
+        # reads stay lock-free: a held lease must not block read verbs
+        assert second.read("audit_log").count() == 0
+        # and the holder itself nests (reentrant): its own verbs work
+        store.append("audit_log", _audit_row(spark, store, "r1", 1))
+    # lease released on exit: the second writer now proceeds
+    second.append("audit_log", _audit_row(spark, store, "r2", 1))
+    assert store.read("audit_log").count() == 2
+
+
+def test_stale_lock_is_taken_over(spark, store):
+    """A lock whose owner pid is dead (crashed writer) must not brick
+    the store: the next writer takes it over and releases normally."""
+    import os
+
+    store.ensure("audit_log")
+    lease = store.lock()
+    os.makedirs(store.root, exist_ok=True)
+    with open(lease.path, "w") as f:
+        f.write(f"{_dead_pid()}\n")
+    store.append("audit_log", _audit_row(spark, store, "r1", 1))
+    assert store.read("audit_log").count() == 1
+    assert not os.path.exists(lease.path)  # released after the verb
+
+
+def test_unparseable_lock_is_stale(spark, store):
+    """A torn lock write (garbage content) means its owner died
+    mid-create — treated as stale, not as a live writer."""
+    import os
+
+    store.ensure("audit_log")
+    lease = store.lock()
+    os.makedirs(store.root, exist_ok=True)
+    with open(lease.path, "w") as f:
+        f.write("not-a-pid")
+    store.append("audit_log", _audit_row(spark, store, "r1", 1))
+    assert store.read("audit_log").count() == 1
+
+
+def test_crashed_verb_releases_lease(spark, store, monkeypatch):
+    """An exception inside a leased critical section must release the
+    lease (else one failed run bricks the store for its process
+    lifetime)."""
+    import os
+
+    boom = RuntimeError("injected")
+
+    def explode(*a, **k):
+        raise boom
+
+    store.ensure("audit_log")
+    monkeypatch.setattr(type(store), "rewrite", explode)
+    with pytest.raises(RuntimeError):
+        store.append_once("audit_log", _audit_row(spark, store, "r", 1), "r")
+    monkeypatch.undo()
+    assert not os.path.exists(store.lock().path)
+    store.append("audit_log", _audit_row(spark, store, "r1", 1))  # usable

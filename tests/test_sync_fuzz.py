@@ -62,7 +62,11 @@ class CrashingStore:
     step boundary (mid-call atomicity is the storage protocol's own
     contract, pinned separately in test_store_contract.py)."""
 
-    MUTATORS = frozenset({"append", "append_once", "rewrite"})
+    #: compact/vacuum are Warehouse maintenance verbs (not part of the
+    #: TableStore protocol); listing them here lets the maintenance
+    #: crash sweep (test_crash_sweep.py) reuse this hook — SyncJob
+    #: never calls them, so the SyncJob fuzz/sweep are unaffected.
+    MUTATORS = frozenset({"append", "append_once", "rewrite", "compact", "vacuum"})
 
     def __init__(self, inner, crash_after: int):
         self._inner = inner

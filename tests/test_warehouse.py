@@ -307,3 +307,102 @@ def test_migrate_legacy_survives_torn_first_ensure_husk(spark, tmp_path):
     wh.migrate_legacy()          # and stays quiet on the cleared husk
     assert wh.read("audit_log").count() == 0   # ensure recreated
     assert wh.history("audit_log") == ["v_00000001"]
+
+
+def test_torn_vacuum_rmtree_never_pollutes_history(spark, tmp_path, monkeypatch):
+    """The round-9 deleter corner: vacuum's delete of an old COMMITTED
+    snapshot is rename-to-tombstone + rmtree. A crash mid-rmtree
+    (simulated: rmtree deletes one file then dies) must leave the
+    victim OUT of history — the atomic rename already evicted it — so
+    time travel can never read its torn contents; the tombstone is
+    pure garbage the next writer/vacuum sweeps."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from lavasmart_bank_sync_etl_spark.sources import warehouse as W
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _seed(wh, 100.0)
+    _seed(wh, 200.0)
+    _seed(wh, 300.0)
+    victim = wh.history("transfers")[0]
+
+    real_rmtree = _shutil.rmtree
+
+    def torn_rmtree(path, *a, **k):
+        if W._TOMBSTONE in os.path.basename(path):
+            # tear: remove one data file, then die mid-delete
+            for n in sorted(os.listdir(path)):
+                p = os.path.join(path, n)
+                if os.path.isfile(p):
+                    os.remove(p)
+                    break
+            raise OSError("injected mid-rmtree crash")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(W.shutil, "rmtree", torn_rmtree)
+    with _pytest.raises(OSError, match="injected"):
+        wh.vacuum("transfers", keep=1)
+    monkeypatch.undo()
+
+    # the victim left history atomically at the rename — the torn
+    # remains are a tombstone, never a readable snapshot
+    assert victim not in wh.history("transfers")
+    with _pytest.raises(ValueError):
+        wh.read_version("transfers", victim)
+    tomb = W._TOMBSTONE + victim
+    assert tomb in os.listdir(wh.path("transfers"))
+    # read_version must also refuse the tombstone name itself
+    with _pytest.raises(ValueError):
+        wh.read_version("transfers", tomb)
+    # current state is untouched
+    assert _folio_rows(wh)["0-1"] == 300.0
+
+    # convergence: the next writer (any mutating verb goes through
+    # _clear_dangling) sweeps the tombstone and the table is healthy
+    _seed(wh, 400.0)
+    assert not [
+        n for n in os.listdir(wh.path("transfers"))
+        if n.startswith(W._TOMBSTONE)
+    ]
+    assert _folio_rows(wh)["0-1"] == 400.0
+    wh.vacuum("transfers", keep=1)
+    assert len(wh.history("transfers")) == 1
+
+
+def test_vacuum_retry_after_torn_rmtree_converges(spark, tmp_path, monkeypatch):
+    """Retrying vacuum itself (not another writer) after a torn
+    eviction must sweep the leftover tombstone and finish the prune."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from lavasmart_bank_sync_etl_spark.sources import warehouse as W
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    for m in (100.0, 200.0, 300.0, 400.0):
+        _seed(wh, m)
+
+    real_rmtree = _shutil.rmtree
+    calls = {"n": 0}
+
+    def crash_first_tombstone(path, *a, **k):
+        if W._TOMBSTONE in os.path.basename(path) and calls["n"] == 0:
+            calls["n"] += 1
+            raise OSError("injected")
+        return real_rmtree(path, *a, **k)
+
+    monkeypatch.setattr(W.shutil, "rmtree", crash_first_tombstone)
+    with _pytest.raises(OSError, match="injected"):
+        wh.vacuum("transfers", keep=1)
+    monkeypatch.undo()
+
+    wh.vacuum("transfers", keep=1)  # retry
+    hist = wh.history("transfers")
+    assert len(hist) == 1 and hist[0] == wh.current_version("transfers")
+    assert not [
+        n for n in os.listdir(wh.path("transfers"))
+        if n.startswith(W._TOMBSTONE)
+    ]
+    assert _folio_rows(wh)["0-1"] == 400.0
