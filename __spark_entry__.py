@@ -66,15 +66,30 @@ def _row_green(row: object) -> bool:
 
 
 def _green_rounds() -> dict[str, int]:
-    """Newest fully-green driver round per query (0 = never green)."""
+    """Newest fully-green driver round per query (0 = never green).
+
+    A malformed round artifact only DROPS evidence (conservative: the
+    affected queries re-verify sooner), but silently — so each skipped
+    file gets a one-line stderr warning to make rotation-health
+    regressions visible instead of invisible."""
     green: dict[str, int] = {}
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
         try:
             rnd = int(path.stem.split("_r")[1])
             rows = json.loads(path.read_text())
-        except (ValueError, IndexError, OSError, json.JSONDecodeError):
+        except (ValueError, IndexError, OSError, json.JSONDecodeError) as exc:
+            print(
+                f"warning: skipping malformed correctness artifact "
+                f"{path.name}: {exc}",
+                file=sys.stderr,
+            )
             continue
         if not isinstance(rows, dict):
+            print(
+                f"warning: skipping malformed correctness artifact "
+                f"{path.name}: top-level JSON is not an object",
+                file=sys.stderr,
+            )
             continue
         for name, row in rows.items():
             if _row_green(row):
@@ -225,12 +240,13 @@ def oracle_sql() -> dict[str, str]:
         sql = ORACLES.get(n)
         if callable(sql):
             # lazy oracle (text derived from an external artifact):
-            # resolve once, memoize; None → rows-only, like unregistered
+            # resolve once, memoize — including the None (rows-only)
+            # outcome, as a stored value rather than a key deletion, so
+            # the registry's key set stays stable for other readers and
+            # a monkeypatched resolution can't leak a permanent del
+            # across tests (ADVICE r8)
             sql = sql()
-            if sql is None:
-                del ORACLES[n]
-            else:
-                ORACLES[n] = sql
+            ORACLES[n] = sql
         if sql is not None:
             out[n] = sql
     return out

@@ -256,6 +256,24 @@ _RENDER_COLS = {
 }
 
 
+def _read_or_empty(spark, wh, table: str):
+    """Read a warehouse table WITHOUT creating it when absent: a
+    read-oriented verb pointed at a fresh (or wrong) --warehouse path
+    must neither mutate the directory (``wh.read`` ensures, i.e.
+    creates) nor surface a raw Spark path error — it renders the
+    canonical empty shape instead (ADVICE r8)."""
+    from .sources.warehouse import ALL_TABLES
+
+    if wh.exists(table):
+        return wh.read(table)
+    print(
+        f"warning: table {table!r} not found under {wh.root!r}; "
+        "rendering it empty",
+        file=sys.stderr,
+    )
+    return spark.createDataFrame([], ALL_TABLES[table])
+
+
 def cmd_render(args: argparse.Namespace) -> int:
     """Workbook egress: render engine state back into the reference's
     spreadsheet shapes — the two conciliation data sheets, the
@@ -281,14 +299,14 @@ def cmd_render(args: argparse.Namespace) -> int:
 
     for sheet, (table, cols) in _RENDER_COLS.items():
         rows = (
-            wh.read(table)
+            _read_or_empty(spark, wh, table)
             .orderBy("fecha", "folio")
             .select(*cols)
             .collect()
         )
         sheets[sheet] = [_RENDER_HEADERS[sheet]] + [list(r) for r in rows]
 
-    transfers = wh.read("transfers")
+    transfers = _read_or_empty(spark, wh, "transfers")
     lo, hi = transfers.agg(F.min("fecha"), F.max("fecha")).first()
     tot_rows: list[list[object]] = []
     if lo is not None:
@@ -301,11 +319,11 @@ def cmd_render(args: argparse.Namespace) -> int:
         tot_rows = [[r["fecha"], r["transferencia"], None] for r in tot.collect()]
     sheets["totales"] = [_RENDER_HEADERS["totales"]] + tot_rows
 
-    closures = wh.read("batch_closures").select(
+    closures = _read_or_empty(spark, wh, "batch_closures").select(
         "lote", "fecha", "total_cierre", "depositado", "observaciones"
     )
     cierres = (
-        lot_totals(wh.read("cards"))
+        lot_totals(_read_or_empty(spark, wh, "cards"))
         .join(closures, "lote", "full_outer")
         .orderBy("lote")
         .select(

@@ -26,19 +26,27 @@ from pyspark.sql import functions as F
 #: money displays at 2 decimal places everywhere in the workbook
 ROUND_DP = 2
 
+#: money is summed at an explicit fixed decimal precision (ADVICE r8):
+#: the per-row cast is exact for 2-dp money values, the decimal SUM is
+#: order-independent, and the final double cast of the same exact
+#: decimal is deterministic — so Spark and the DuckDB oracle can never
+#: diverge on a .xx5 rounding boundary the way ROUND(SUM(double), 2)
+#: could when engines sum in different orders
+MONEY = "decimal(18,2)"
+
 
 def daily_transfer_totals(transfers: DataFrame, spine: DataFrame) -> DataFrame:
     """``totales!B`` — one row per spine date with the day's transfer
-    SUMIFS, blank (no sales that day) coerced to 0.0 and rounded to
-    2 dp. ``spine`` is any frame with a ``fecha`` column (the sheet's
-    Fecha rows, or a generated continuous day range); it is deduped
-    here so a repeated spine date cannot double-count the join.
-    Returns columns ``(fecha, transferencia)``."""
+    SUMIFS, blank (no sales that day) coerced to 0.0, exact 2-dp money
+    summation (``MONEY``). ``spine`` is any frame with a ``fecha``
+    column (the sheet's Fecha rows, or a generated continuous day
+    range); it is deduped here so a repeated spine date cannot
+    double-count the join. Returns columns ``(fecha, transferencia)``."""
     per_day = (
         transfers
         .where(F.col("fecha").isNotNull() & F.col("monto").isNotNull())
         .groupBy("fecha")
-        .agg(F.sum("monto").alias("_sum"))
+        .agg(F.sum(F.col("monto").cast(MONEY)).alias("_sum"))
     )
     return (
         spine.select("fecha")
@@ -47,24 +55,26 @@ def daily_transfer_totals(transfers: DataFrame, spine: DataFrame) -> DataFrame:
         .join(per_day, "fecha", "left")
         .select(
             "fecha",
-            F.round(F.coalesce("_sum", F.lit(0.0)), ROUND_DP).alias("transferencia"),
+            F.coalesce(F.col("_sum").cast("double"), F.lit(0.0)).alias(
+                "transferencia"
+            ),
         )
     )
 
 
 def lot_totals(cards: DataFrame) -> DataFrame:
     """``Cierres_Lotes!D`` — per-lot SUMIF over the cards table
-    (Code.gs:499), blank montos as zero, 2 dp. Rows with no lot are
-    outside the sheet's key space and excluded. Returns columns
-    ``(lote, total_folios)``."""
+    (Code.gs:499), blank montos as zero, exact 2-dp money summation
+    (``MONEY``). Rows with no lot are outside the sheet's key space
+    and excluded. Returns columns ``(lote, total_folios)``."""
     return (
         cards
         .where(F.col("lote").isNotNull() & (F.col("lote") != ""))
         .groupBy("lote")
         .agg(
-            F.round(
-                F.sum(F.coalesce("monto", F.lit(0.0))), ROUND_DP
-            ).alias("total_folios")
+            F.sum(F.coalesce("monto", F.lit(0.0)).cast(MONEY))
+            .cast("double")
+            .alias("total_folios")
         )
     )
 

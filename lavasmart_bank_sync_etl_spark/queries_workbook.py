@@ -44,7 +44,14 @@ from .queries_llm import _ss7_sql, ss7_ann_recall_scorecard
 from .queries_pipeline import _staged_dir
 from .sources.xlsx import extract_tables, stage_workbook
 
-WORKBOOK = "/root/reference/Hoja de conciliación de movimientos bancarios.xlsx"
+#: the shipped reference workbook; overridable so the query surface is
+#: not hard-wired to one machine's path (ADVICE r8). Absent workbook:
+#: the oracles degrade to None (rows-only) and the query bodies raise
+#: a clear error naming the env var instead of a raw FileNotFoundError.
+WORKBOOK = os.environ.get(
+    "SPARK_GRAFT_REFERENCE_WORKBOOK",
+    "/root/reference/Hoja de conciliación de movimientos bancarios.xlsx",
+)
 
 
 def _sqlq(s: str) -> str:
@@ -90,9 +97,13 @@ def _workbook_oracles() -> tuple[str | None, str | None]:
     WITH wb_transfers(fecha, monto) AS (VALUES {t_rows}),
          spine(fecha) AS (VALUES {spine})
     SELECT CAST(s.fecha AS VARCHAR) AS fecha_iso,
-           -- CAST inside the SUM: the VALUES literals type as DECIMAL,
-           -- and the engines must share double summation semantics
-           ROUND(COALESCE(SUM(CAST(t.monto AS DOUBLE)), 0.0), 2) AS transferencia,
+           -- DECIMAL(18,2) summation (ADVICE r8): exact per-row cast
+           -- (workbook montos are 2-dp money, pinned in
+           -- tests/test_xlsx.py) + exact decimal sum, so the value is
+           -- independent of summation order on BOTH engines; the final
+           -- double cast of the same exact decimal is deterministic
+           CAST(COALESCE(SUM(CAST(t.monto AS DECIMAL(18,2))), 0) AS DOUBLE)
+               AS transferencia,
            CAST(NULL AS DOUBLE) AS banco
     FROM spine s LEFT JOIN wb_transfers t ON t.fecha = s.fecha
     GROUP BY s.fecha
@@ -107,9 +118,10 @@ def _workbook_oracles() -> tuple[str | None, str | None]:
     xlsx3 = f"""
     WITH wb_cards(lote, monto) AS (VALUES {c_rows})
     SELECT lote,
-           ROUND(SUM(CAST(monto AS DOUBLE)), 2) AS total_folios,
+           -- exact decimal sum, order-independent (see xlsx2 note)
+           CAST(SUM(CAST(monto AS DECIMAL(18,2))) AS DOUBLE) AS total_folios,
            CAST(NULL AS DOUBLE) AS total_cierre,
-           CASE WHEN ROUND(SUM(CAST(monto AS DOUBLE)), 2) = 0.0
+           CASE WHEN SUM(CAST(monto AS DECIMAL(18,2))) = 0
                 THEN '✅' ELSE '❌' END AS cuadra
     FROM wb_cards GROUP BY lote
     """
@@ -136,6 +148,12 @@ def _staged_workbook(spark: SparkSession, sf_dir: str) -> str:
     """Stage the shipped workbook once per session (driver-side xlsx
     boundary → typed parquet; sf_dir only keys the cache, the
     workbook is the data source)."""
+    if not os.path.exists(WORKBOOK):
+        raise FileNotFoundError(
+            f"reference workbook not found at {WORKBOOK!r}; the "
+            "xlsx2/xlsx3 render queries read the shipped workbook — "
+            "point SPARK_GRAFT_REFERENCE_WORKBOOK at a copy of it"
+        )
     return _staged_dir(
         spark, sf_dir, "xlsx_wb",
         lambda d: stage_workbook(spark, WORKBOOK, d),

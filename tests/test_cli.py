@@ -221,3 +221,33 @@ def test_cli_render_workbook(spark, tmp_path, capsys):
     assert cierre[1] == "L-1" and cierre[2] == 550.0
     assert cierre[3] == 550.0 and cierre[4] == "✅"  # D=SUMIF, E balances
     assert cierre[5] is True and cierre[6] == "ok"   # human cols survive egress
+
+
+def test_cli_render_fresh_warehouse_renders_empty_sheets(tmp_path, capsys):
+    """ADVICE r8: render pointed at a fresh/wrong --warehouse must be
+    a true read verb — no table creation on disk, no raw Spark path
+    error — emitting header-only sheets plus a stderr warning per
+    missing table."""
+    import os
+
+    from lavasmart_bank_sync_etl_spark.sources.xlsx import read_workbook
+
+    wh_dir = str(tmp_path / "nowhere")
+    out = str(tmp_path / "empty.xlsx")
+    rc = main(["render", "--warehouse", wh_dir, "--out", out])
+    assert rc == 0
+    captured = capsys.readouterr()
+    report = json.loads(captured.out.strip().splitlines()[-1])
+    assert report == {
+        "Cierres_Lotes": 0, "Conciliacion_Tarjetas": 0,
+        "Conciliacion_Transferencias": 0, "totales": 0,
+    }
+    assert "not found" in captured.err
+    sheets = read_workbook(out)
+    assert all(len(rows) == 1 for rows in sheets.values())  # headers only
+    # read verb: it must not have materialized any table on disk
+    created = [
+        n for n in (os.listdir(wh_dir) if os.path.isdir(wh_dir) else [])
+        if not n.startswith("_")
+    ]
+    assert created == []

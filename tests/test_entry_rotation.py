@@ -45,8 +45,12 @@ def test_ordered_covers_every_query_once():
     e = _load_entry()
     order = e._ordered()
     assert sorted(order) == sorted(e.QUERIES)
-    assert len(e.oracle_sql()) == len(
-        [n for n in order if n in e.ORACLES]
+    # oracle_sql() resolves lazy oracles in place; a None memo (absent
+    # external artifact → rows-only) keeps its registry key but is
+    # omitted from the driver-facing dict
+    resolved = e.oracle_sql()
+    assert len(resolved) == len(
+        [n for n in order if e.ORACLES.get(n) is not None]
     )
 
 
@@ -101,3 +105,51 @@ def test_query_files_resolve_to_package_sources():
     files = e._query_files(fn)
     assert any(p.endswith("queries.py") for p in files)
     assert all(p.startswith("lavasmart_bank_sync_etl_spark") for p in files)
+
+
+def test_green_rounds_warns_on_malformed_artifact(tmp_path, capsys, monkeypatch):
+    """A malformed CORRECTNESS_r*.json silently DROPPED evidence
+    before round 9 — conservative but invisible. Pin the one-line
+    stderr warning per skipped file, and that healthy files still
+    count."""
+    import json as _json
+
+    e = _load_entry()
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_r02.json").write_text(_json.dumps(["a", "list"]))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(_json.dumps({
+        "q_ok": {
+            "err": None, "rows_match": True,
+            "schema_match": True, "hash_match": True,
+        }
+    }))
+    monkeypatch.setattr(e, "_REPO", tmp_path)
+    green = e._green_rounds()
+    err = capsys.readouterr().err
+    assert green == {"q_ok": 3}
+    assert "CORRECTNESS_r01.json" in err
+    assert "CORRECTNESS_r02.json" in err
+    assert "CORRECTNESS_r03.json" not in err
+    assert err.count("warning: skipping malformed") == 2
+
+
+def test_lazy_none_oracle_memoizes_without_deleting(monkeypatch):
+    """An oracle resolving to None (absent external artifact) must be
+    memoized AS None — repeat calls stay rows-only without re-probing,
+    and the registry key set stays stable (ADVICE r8: the old ``del``
+    made a transient failure sticky AND mutated shared state)."""
+    e = _load_entry()
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        return None
+
+    name = next(iter(e.QUERIES))
+    monkeypatch.setitem(e.ORACLES, name, flaky)
+    out1 = e.oracle_sql()
+    out2 = e.oracle_sql()
+    assert name not in out1 and name not in out2
+    assert calls["n"] == 1          # resolved once, memoized
+    assert name in e.ORACLES        # key survives (stable registry)
+    assert e.ORACLES[name] is None

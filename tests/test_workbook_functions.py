@@ -77,9 +77,12 @@ def test_lot_totals_excludes_blank_lots_and_zeroes_null_montos(spark):
     rows = {r["lote"]: r["total_folios"] for r in lot_totals(cards).collect()}
     assert set(rows) == {"14", "15"}
     assert rows["14"] == 100.0
-    # Spark ROUND on a double goes through Double.toString ("1.005")
-    # then HALF_UP → 1.01; DuckDB rounds the binary value (1.00499…)
-    # → 1.0. Pin Spark's behavior here; the oracle-facing queries are
-    # insulated because real workbook montos carry ≤2 dp, but any NEW
-    # query rounding a half-cent boundary must check both engines.
+    # The money sum casts each row to DECIMAL(18,2) first: Spark's
+    # double→decimal cast goes through Double.toString ("1.005") then
+    # HALF_UP → 1.01. The oracle side embeds the same shortest-repr
+    # digits as a DECIMAL literal, so its cast agrees (1.005 → 1.01);
+    # the old ROUND(SUM(double), 2) form diverged here because DuckDB
+    # ROUND works on the binary value (1.00499…) → 1.0. Real workbook
+    # montos carry ≤2 dp, making the cast exact — this pins the
+    # >2-dp corner.
     assert rows["15"] == 1.01

@@ -327,3 +327,19 @@ def test_workbook_oracle_spine_dedupes_repeated_dates(monkeypatch):
     import duckdb
     rows = duckdb.connect().execute(x2).fetchall()
     assert rows == [("2025-11-16", 100.0, None)]  # summed once
+
+
+def test_missing_workbook_degrades_clearly(monkeypatch):
+    """ADVICE r8: the workbook path is env-overridable
+    (SPARK_GRAFT_REFERENCE_WORKBOOK) and an absent workbook must (a)
+    resolve the lazy oracles to None (rows-only degradation) and (b)
+    make the query bodies raise a clear error naming the knob — never
+    a raw FileNotFoundError from deep inside staging."""
+    from lavasmart_bank_sync_etl_spark import queries_workbook as qw
+
+    monkeypatch.setattr(qw, "WORKBOOK", "/nonexistent/wb.xlsx")
+    monkeypatch.setattr(qw, "_ORACLE_CACHE", None)
+    assert qw._workbook_oracles() == (None, None)
+    assert qw._oracle(0)() is None and qw._oracle(1)() is None
+    with pytest.raises(FileNotFoundError, match="SPARK_GRAFT_REFERENCE_WORKBOOK"):
+        qw._staged_workbook(None, "/tmp")
