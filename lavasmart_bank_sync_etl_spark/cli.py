@@ -155,10 +155,11 @@ def cmd_verify(args: argparse.Namespace) -> int:
     spark = get_spark("lavasmart-verify")
     wh = Warehouse(spark, args.warehouse)
     _warn_if_unmigrated(wh)  # read-only verb: report, don't rewrite
+    read_only = _ReadOnlyTables(spark, wh)
     tables = args.tables or [t for t in ALL_TABLES if wh.exists(t)]
     report = {}
     for t in tables:
-        fp = table_fingerprint(wh.read(t), month_col=args.month_col)
+        fp = table_fingerprint(read_only(t), month_col=args.month_col)
         report[t] = {
             r["month"]: {"n_rows": r["n_rows"], "xor_fingerprint": r["xor_fingerprint"]}
             for r in fp.collect()
@@ -180,8 +181,9 @@ def cmd_sql(args: argparse.Namespace) -> int:
     wh = Warehouse(spark, args.warehouse)
     _warn_if_unmigrated(wh)  # read-only verb: report, don't rewrite
     for t in ALL_TABLES:
-        if wh.exists(t):
-            wh.read(t).createOrReplaceTempView(t)
+        df = wh.peek(t)  # strictly read-only: never creates or heals
+        if df is not None:
+            df.createOrReplaceTempView(t)
     df = spark.sql(args.query).limit(args.limit)
     for row in df.toJSON().collect():
         print(row)
@@ -256,22 +258,34 @@ _RENDER_COLS = {
 }
 
 
-def _read_or_empty(spark, wh, table: str):
-    """Read a warehouse table WITHOUT creating it when absent: a
-    read-oriented verb pointed at a fresh (or wrong) --warehouse path
-    must neither mutate the directory (``wh.read`` ensures, i.e.
-    creates) nor surface a raw Spark path error — it renders the
-    canonical empty shape instead (ADVICE r8)."""
-    from .sources.warehouse import ALL_TABLES
+class _ReadOnlyTables:
+    """Per-verb cache of strictly read-only table views (ADVICE r8 +
+    its review follow-up): a read verb pointed at a fresh, wrong, or
+    crash-torn --warehouse path must neither mutate the directory
+    (``wh.read`` ensures — creates, heals, takes the writer lease)
+    nor surface a raw Spark path error. ``Warehouse.peek`` provides
+    the no-side-effect view; missing/unreadable tables degrade to the
+    canonical empty shape with ONE stderr warning each (the cache also
+    keeps repeat readers from building duplicate scan plans)."""
 
-    if wh.exists(table):
-        return wh.read(table)
-    print(
-        f"warning: table {table!r} not found under {wh.root!r}; "
-        "rendering it empty",
-        file=sys.stderr,
-    )
-    return spark.createDataFrame([], ALL_TABLES[table])
+    def __init__(self, spark, wh):
+        self.spark, self.wh = spark, wh
+        self._cache: dict = {}
+
+    def __call__(self, table: str):
+        from .sources.warehouse import ALL_TABLES
+
+        if table not in self._cache:
+            df = self.wh.peek(table)
+            if df is None:
+                print(
+                    f"warning: table {table!r} has no readable state under "
+                    f"{self.wh.root!r}; rendering it empty",
+                    file=sys.stderr,
+                )
+                df = self.spark.createDataFrame([], ALL_TABLES[table])
+            self._cache[table] = df
+        return self._cache[table]
 
 
 def cmd_render(args: argparse.Namespace) -> int:
@@ -295,18 +309,19 @@ def cmd_render(args: argparse.Namespace) -> int:
     spark = get_spark("lavasmart-render")
     wh = Warehouse(spark, args.warehouse)
     _warn_if_unmigrated(wh)  # read-only verb: report, don't rewrite
+    tables = _ReadOnlyTables(spark, wh)
     sheets: dict[str, list[list[object]]] = {}
 
     for sheet, (table, cols) in _RENDER_COLS.items():
         rows = (
-            _read_or_empty(spark, wh, table)
+            tables(table)
             .orderBy("fecha", "folio")
             .select(*cols)
             .collect()
         )
         sheets[sheet] = [_RENDER_HEADERS[sheet]] + [list(r) for r in rows]
 
-    transfers = _read_or_empty(spark, wh, "transfers")
+    transfers = tables("transfers")
     lo, hi = transfers.agg(F.min("fecha"), F.max("fecha")).first()
     tot_rows: list[list[object]] = []
     if lo is not None:
@@ -319,11 +334,11 @@ def cmd_render(args: argparse.Namespace) -> int:
         tot_rows = [[r["fecha"], r["transferencia"], None] for r in tot.collect()]
     sheets["totales"] = [_RENDER_HEADERS["totales"]] + tot_rows
 
-    closures = _read_or_empty(spark, wh, "batch_closures").select(
+    closures = tables("batch_closures").select(
         "lote", "fecha", "total_cierre", "depositado", "observaciones"
     )
     cierres = (
-        lot_totals(_read_or_empty(spark, wh, "cards"))
+        lot_totals(tables("cards"))
         .join(closures, "lote", "full_outer")
         .orderBy("lote")
         .select(

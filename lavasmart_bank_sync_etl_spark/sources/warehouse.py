@@ -426,13 +426,20 @@ class Warehouse:
         from the legacy layout because legacy tables keep their
         parquet files in the table root, never under ``v_*``.
 
-        Lease note: the committed-state fast path below is lock-free
-        so READ verbs (which call ensure via ``read``) never contend
-        with — or error on — a concurrent writer's lease; the lease is
-        taken only when there is actually something to create or heal,
-        and the state is re-checked under it."""
-        if self.exists(table) and self.current_version(table) is not None:
-            return  # committed state present: nothing to create/heal
+        Lease note: BOTH no-op fast paths below are lock-free — a
+        committed pointer, and a pure pre-versioning legacy layout
+        (root parquet, no ``v_*`` dirs) — so READ verbs (which call
+        ensure via ``read``) never contend with — or error on — a
+        concurrent writer's lease; the lease is taken only when there
+        is actually something to create or heal (absent table, torn
+        husk, dangling dirs), and the state is re-checked under it."""
+        if self.exists(table):
+            if self.current_version(table) is not None:
+                return  # committed state present: nothing to create/heal
+            if not self._versions(table) and any(
+                n.endswith(".parquet") for n in os.listdir(self.path(table))
+            ):
+                return  # pure legacy layout: reads serve the root as-is
         with self._lease:
             if self.exists(table) and self.current_version(table) is None:
                 self._clear_dangling(table)  # torn first commit(s), if any
@@ -457,6 +464,34 @@ class Warehouse:
         canonical schema."""
         self.ensure(table)
         return self.spark.read.schema(ALL_TABLES[table]).parquet(self._data_path(table))
+
+    def peek(self, table: str) -> DataFrame | None:
+        """Strictly read-only view of the current state for READ verbs
+        (verify/sql/render): the committed snapshot, or the
+        pre-versioning legacy root when no pointer exists. Returns
+        None when there is no readable state — absent table, or a
+        torn first-commit husk (``v_*`` dirs, no pointer) that only a
+        WRITER may heal. Unlike ``read``, never creates, heals, or
+        takes the writer lease — a diagnostic verb pointed at a
+        crashed or in-use warehouse must not mutate it."""
+        if not self.exists(table):
+            return None
+        cur = self.current_version(table)
+        if cur is not None:
+            return self.spark.read.schema(ALL_TABLES[table]).parquet(
+                os.path.join(self.path(table), cur)
+            )
+        # no pointer: serve the legacy root files by EXPLICIT list so a
+        # dangling v_* leftover next to them cannot trip Spark's
+        # mixed-depth directory refusal (a writer's ensure heals that)
+        files = [
+            n for n in os.listdir(self.path(table)) if n.endswith(".parquet")
+        ]
+        if not files:
+            return None  # torn husk or empty dir: no committed state
+        return self.spark.read.schema(ALL_TABLES[table]).parquet(
+            *[os.path.join(self.path(table), n) for n in files]
+        )
 
     def read_version(self, table: str, version: str) -> DataFrame:
         """Time travel: read a retained COMMITTED snapshot by name.

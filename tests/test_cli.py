@@ -242,7 +242,10 @@ def test_cli_render_fresh_warehouse_renders_empty_sheets(tmp_path, capsys):
         "Cierres_Lotes": 0, "Conciliacion_Tarjetas": 0,
         "Conciliacion_Transferencias": 0, "totales": 0,
     }
-    assert "not found" in captured.err
+    assert "no readable state" in captured.err
+    # one warning per missing table, even though transfers/cards are
+    # read twice (data sheet + computed sheet): the per-verb cache
+    assert captured.err.count("transfers") == 1
     sheets = read_workbook(out)
     assert all(len(rows) == 1 for rows in sheets.values())  # headers only
     # read verb: it must not have materialized any table on disk
@@ -251,3 +254,30 @@ def test_cli_render_fresh_warehouse_renders_empty_sheets(tmp_path, capsys):
         if not n.startswith("_")
     ]
     assert created == []
+
+
+def test_cli_render_torn_husk_is_not_healed(spark, tmp_path, capsys):
+    """Review follow-up to the ADVICE r8 render guard: a table dir in
+    the torn-first-commit state (v_* dir, no _CURRENT pointer) passes
+    exists(), but a READ verb must still not heal it — peek() serves
+    None (rendered empty) and the husk stays byte-identical for the
+    next WRITER to heal."""
+    import os
+
+    wh_dir = tmp_path / "wh"
+    husk = wh_dir / "transfers" / "v_00000001"
+    husk.mkdir(parents=True)
+    (husk / "part-torn.parquet").write_bytes(b"PAR1 torn bytes")
+    before = sorted(os.listdir(husk))
+
+    out = str(tmp_path / "report.xlsx")
+    rc = main(["render", "--warehouse", str(wh_dir), "--out", out])
+    assert rc == 0
+    captured = capsys.readouterr()
+    report = json.loads(captured.out.strip().splitlines()[-1])
+    assert report["Conciliacion_Transferencias"] == 0
+    assert "transfers" in captured.err  # warned, not healed
+    # the husk is untouched: no pointer written, no dir cleared
+    assert sorted(os.listdir(husk)) == before
+    assert not (wh_dir / "transfers" / "_CURRENT").exists()
+    assert not (wh_dir / "transfers" / "_WRITER_LOCK").exists()

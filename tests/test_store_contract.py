@@ -465,3 +465,62 @@ def test_crashed_verb_releases_lease(spark, store, monkeypatch):
     monkeypatch.undo()
     assert not os.path.exists(store.lock().path)
     store.append("audit_log", _audit_row(spark, store, "r1", 1))  # usable
+
+
+def test_recycled_pid_lock_is_stale(tmp_path):
+    """Review follow-up: a crashed writer's pid recycled by an
+    unrelated live process must not brick the store forever — the
+    lock records the pid's /proc start time, and a token mismatch
+    classifies the lock stale even though os.kill(pid, 0) succeeds."""
+    import os
+
+    from lavasmart_bank_sync_etl_spark.sources.lease import (
+        WriterLease, _start_token,
+    )
+
+    lease = WriterLease(str(tmp_path))
+    os.makedirs(str(tmp_path), exist_ok=True)
+    # a LIVE pid (our own) with a start token that cannot match it:
+    # exactly what a recycled pid looks like to the next writer
+    assert _start_token(os.getpid()) not in (None, "1")
+    with open(lease.path, "w") as f:
+        f.write(f"{os.getpid()} 1\n")
+    with lease:  # takes over instead of raising
+        pass
+    assert not os.path.exists(lease.path)
+
+
+def test_release_never_unlinks_a_foreign_lock(tmp_path):
+    """If another writer somehow holds the lock at release time (e.g.
+    it took over after misclassifying us), exiting must NOT delete
+    their lock — that would cascade the failure to a third writer."""
+    import os
+
+    from lavasmart_bank_sync_etl_spark.sources.lease import WriterLease
+
+    lease = WriterLease(str(tmp_path))
+    with lease:
+        # simulate a foreign takeover mid-hold
+        os.unlink(lease.path)
+        with open(lease.path, "w") as f:
+            f.write("99999999 12345\n")
+    assert os.path.exists(lease.path)  # foreign lock left intact
+    os.unlink(lease.path)
+
+
+def test_lock_creation_is_atomic_with_content(tmp_path):
+    """The lock never exists without its pid content (tmp + hard
+    link), so a racing writer can never read an empty lock and
+    misclassify a live owner as stale."""
+    import os
+
+    from lavasmart_bank_sync_etl_spark.sources.lease import WriterLease
+
+    lease = WriterLease(str(tmp_path))
+    with lease:
+        with open(lease.path) as f:
+            parts = f.read().split()
+        assert int(parts[0]) == os.getpid()
+        assert len(parts) == 2  # pid + start-time token
+        # no stray temp file left behind after acquisition
+        assert [n for n in os.listdir(str(tmp_path)) if n.endswith(".tmp")] == []

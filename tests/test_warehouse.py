@@ -406,3 +406,71 @@ def test_vacuum_retry_after_torn_rmtree_converges(spark, tmp_path, monkeypatch):
         if n.startswith(W._TOMBSTONE)
     ]
     assert _folio_rows(wh)["0-1"] == 400.0
+
+
+def test_peek_is_strictly_read_only(spark, tmp_path):
+    """peek(): committed state and legacy roots are served, torn husks
+    and absent tables return None — and NOTHING is created, healed, or
+    locked in any of those states (the read-verb contract)."""
+    import shutil as _shutil
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # absent table
+    assert wh.peek("transfers") is None
+    assert not wh.exists("transfers")
+    # committed state
+    _seed(wh, 100.0)
+    assert {r["folio"] for r in wh.peek("transfers").collect()} == {"0-1"}
+    # legacy layout: root parquet, no pointer — served as-is, even
+    # with a dangling v_* leftover alongside (explicit file list)
+    legacy = str(tmp_path / "wh" / "audit_log")
+    df = spark.createDataFrame(
+        [(None, "F-1", "ALTA", "d", "", "", None)],
+        wh.read("audit_log").schema,
+    )
+    wh.ensure("audit_log")
+    df.write.mode("overwrite").parquet(str(tmp_path / "flat"))
+    _shutil.rmtree(legacy)
+    os.makedirs(legacy)
+    for n in os.listdir(str(tmp_path / "flat")):
+        if n.endswith(".parquet"):
+            _shutil.copy(os.path.join(str(tmp_path / "flat"), n), legacy)
+    os.makedirs(os.path.join(legacy, "v_00000007"))  # dangling junk
+    got = wh.peek("audit_log").collect()
+    assert [r["folio"] for r in got] == ["F-1"]
+    assert os.path.isdir(os.path.join(legacy, "v_00000007"))  # untouched
+    assert not os.path.exists(os.path.join(legacy, "_CURRENT"))
+    # torn husk: v_* dirs, no pointer, no root parquet → None, unhealed
+    husk = str(tmp_path / "wh" / "cards")
+    os.makedirs(os.path.join(husk, "v_00000001"))
+    assert wh.peek("cards") is None
+    assert os.path.isdir(os.path.join(husk, "v_00000001"))
+
+
+def test_legacy_layout_read_is_lock_free(spark, tmp_path):
+    """ensure()'s no-op fast paths must include the pure pre-versioning
+    legacy layout (root parquet, no pointer): reading such a table
+    while ANOTHER writer holds the lease must serve the data, not
+    raise ConcurrentWriterError — reads never contend."""
+    import shutil as _shutil
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.ensure("audit_log")
+    df = spark.createDataFrame(
+        [(None, "F-1", "ALTA", "d", "", "", None)],
+        wh.read("audit_log").schema,
+    )
+    flat = str(tmp_path / "flat")
+    df.write.mode("overwrite").parquet(flat)
+    legacy = wh.path("audit_log")
+    _shutil.rmtree(legacy)
+    os.makedirs(legacy)
+    for n in os.listdir(flat):
+        if n.endswith(".parquet"):
+            _shutil.copy(os.path.join(flat, n), legacy)
+
+    other = Warehouse(spark, str(tmp_path / "wh"))
+    with other.lock():  # a concurrent writer mid-run
+        got = wh.read("audit_log").collect()  # must not contend
+    assert [r["folio"] for r in got] == ["F-1"]
+    assert wh.current_version("audit_log") is None  # still legacy
