@@ -80,15 +80,24 @@ def cmd_sync(args: argparse.Namespace) -> int:
 
     src, rejects = load_source(spark, args.source, args.format)
     wh = Warehouse(spark, args.warehouse)
-    n_rejects = 0
-    if rejects is not None:
-        n_rejects = rejects.count()
-        if n_rejects:  # quarantine table: plain append-only parquet
-            rejects.withColumn("rejected_at", F.current_timestamp()).write.mode(
-                "append"
-            ).parquet(f"{args.warehouse}/rejects")
-
-    summary = SyncJob(spark, wh, start, end).run(src)
+    # construct (and so VALIDATE start/end) before any write: a bad
+    # window must fail before the quarantine append, or a corrected
+    # rerun double-counts the rejects
+    job = SyncJob(spark, wh, start, end)
+    # the whole verb — quarantine append included — runs under the
+    # run-scoped writer lease (SyncJob.run nests reentrantly), so an
+    # overlapping second sync fails BEFORE mutating anything: the old
+    # order wrote rejects first and a ConcurrentWriterError loser left
+    # them behind, double-counting on retry
+    with wh.lock():
+        n_rejects = 0
+        if rejects is not None:
+            n_rejects = rejects.count()
+            if n_rejects:  # quarantine table: plain append-only parquet
+                rejects.withColumn(
+                    "rejected_at", F.current_timestamp()
+                ).write.mode("append").parquet(f"{args.warehouse}/rejects")
+        summary = job.run(src)
     summary["rejects"] = n_rejects
     summary["window"] = [start.isoformat(), end.isoformat()]
     print(json.dumps(summary, sort_keys=True))
@@ -180,10 +189,13 @@ def cmd_sql(args: argparse.Namespace) -> int:
     spark = get_spark("lavasmart-sql")
     wh = Warehouse(spark, args.warehouse)
     _warn_if_unmigrated(wh)  # read-only verb: report, don't rewrite
+    read_only = _ReadOnlyTables(spark, wh)
     for t in ALL_TABLES:
-        df = wh.peek(t)  # strictly read-only: never creates or heals
-        if df is not None:
-            df.createOrReplaceTempView(t)
+        # EVERY canonical table gets a view — absent/torn ones as the
+        # canonical empty shape (with one warning) — so ad-hoc SQL
+        # never dies with TABLE_OR_VIEW_NOT_FOUND on a fresh or
+        # crash-torn warehouse, and nothing is created or healed
+        read_only(t).createOrReplaceTempView(t)
     df = spark.sql(args.query).limit(args.limit)
     for row in df.toJSON().collect():
         print(row)

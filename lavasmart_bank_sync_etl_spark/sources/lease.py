@@ -14,39 +14,64 @@ ATOMIC-WITH-CONTENT: the content is written to a unique temp file
 first and ``os.link``ed to the lock name (hard-link creation fails if
 the name exists), so no reader can ever observe an empty/torn lock
 that a racing writer would misclassify as stale — the TOCTOU a plain
-O_EXCL-create-then-write would have. Mutating store verbs acquire it
-around their critical section; ``SyncJob.run`` holds it for the whole
-run so two overlapping syncs fail fast rather than interleave at call
-granularity. Reentrant per lease instance (a run-scoped hold nests
-the per-call holds). Release verifies ownership (own pid in the file)
-before unlinking, so a process can never delete a lock it no longer
+O_EXCL-create-then-write would have. On filesystems without hard
+links the create degrades to O_EXCL + immediate same-call write (the
+empty-lock window returns, bounded by one syscall, and is documented
+here). Mutating store verbs acquire the lease around their critical
+section; ``SyncJob.run`` holds it for the whole run so two
+overlapping syncs fail fast rather than interleave at call
+granularity. Reentrant per lease instance FOR THE ACQUIRING THREAD —
+a second thread of the same process entering a held lease is a
+concurrent writer and raises, and release is owner-verified (own pid
+still in the file) so a process can never delete a lock it no longer
 owns.
 
 Staleness: a lock is stale when its recorded pid no longer exists,
 when the pid exists but its /proc start time differs from the
 recorded token (the pid was RECYCLED by an unrelated process — plain
 ``os.kill(pid, 0)`` aliveness would brick the store forever in that
-case), or when the content is unparseable (impossible for this
-protocol's own writes, which are link-atomic; treated as stale
-because only external interference produces it). Stale locks are
-taken over by unlink + one retry of the atomic link. The /proc probe
-makes the contract SINGLE HOST — exactly the scope of these
-filesystem backends; a multi-writer / multi-host deployment swaps in
+case), or when the content is unparseable (impossible for the
+link-atomic path's own writes; treated as stale because only external
+interference or the degraded-create window produces it).
+
+Takeover is QUARANTINE-RENAME, not blind unlink: the stale lock is
+atomically renamed to a taker-unique name — so exactly one racing
+taker wins the stale file, and a loser whose rename finds nothing
+simply retries the create and then sees the winner as a live owner.
+The quarantined content is re-verified: if it turns out live (the
+probed-stale lock was replaced in the probe→rename window), it is
+restored link-atomically when the name is still free and the taker
+raises; when restore is impossible the quarantine is LEFT ON DISK
+(never destroyed while its content pid lives — the sweep clears it
+after that pid dies; no automatic re-install, because the robbed
+owner may have released in the meantime and a restored released lock
+would wedge the store until its pid exits).
+
+Scope and residual windows, explicitly: the /proc probe makes the
+contract SINGLE HOST — exactly the scope of these filesystem
+backends; a multi-writer / multi-host deployment swaps in
 Delta/Iceberg (sources/store.py) whose transactions subsume this
-file. The takeover has a theoretical two-taker race (both probe the
-same dead pid, both unlink); the loser's retry then sees the winner
-live and raises — no window with two acquired writers.
+file. The lease is an ENFORCEMENT AID for an already-documented
+single-writer contract (one daily trigger), not a distributed lock:
+when two-plus takers race RECOVERY of the same crashed writer while
+yet another writer starts inside their microsecond probe→rename
+windows, a robbed-then-freed name can briefly admit a second writer.
+Those interleavings require simultaneous crash-recovery races that
+the contract's workload cannot produce; the failure mode without the
+lease was silent corruption on EVERY overlap.
 """
 
 from __future__ import annotations
 
 import os
+import threading
+import time
 
 _LOCKFILE = "_WRITER_LOCK"
 
 
 class ConcurrentWriterError(RuntimeError):
-    """A second writer hit a store another live process is mutating."""
+    """A second writer hit a store another live writer is mutating."""
 
 
 def _start_token(pid: int) -> str | None:
@@ -78,16 +103,31 @@ def _alive(pid: int, token: str | None) -> bool:
     return True
 
 
-class WriterLease:
-    """Reentrant single-writer lockfile for one store root.
+def _parse(content: str) -> tuple[int, str | None] | None:
+    try:
+        parts = content.split()
+        pid = int(parts[0])
+        token = parts[1] if len(parts) > 1 and parts[1] != "-" else None
+    except (ValueError, IndexError):
+        return None
+    if pid <= 0:
+        # parseable-but-impossible owner (``os.kill(0, 0)`` would
+        # signal our own process group and read as forever-live,
+        # bricking the store): treat like unparseable content — stale
+        return None
+    return pid, token
 
-    Use as a context manager; mutating store methods wrap their
+
+class WriterLease:
+    """Reentrant (same-thread) single-writer lockfile for one store
+    root. Use as a context manager; mutating store methods wrap their
     critical sections in it and a job may hold it across a whole run
     (inner acquisitions just nest)."""
 
     def __init__(self, root: str):
         self.root = root
         self._depth = 0
+        self._thread: int | None = None
 
     @property
     def path(self) -> str:
@@ -95,58 +135,162 @@ class WriterLease:
 
     def _owner(self) -> tuple[int, str | None] | None:
         """(owner pid, start-time token) — or None when the file is
-        gone or unparseable (external interference; our own writes are
-        link-atomic and always complete)."""
+        gone or unparseable (external interference, or the degraded
+        no-hard-link create window)."""
         try:
             with open(self.path) as f:
-                parts = f.read().split()
-            return int(parts[0]), (parts[1] if len(parts) > 1 else None)
-        except (OSError, ValueError, IndexError):
+                return _parse(f.read())
+        except OSError:
             return None
+
+    def _content(self) -> str:
+        pid = os.getpid()
+        return f"{pid} {_start_token(pid) or '-'}\n"
 
     def _try_create(self) -> bool:
         """Atomically create the lock WITH its content via a hard link
-        from a pid-unique temp file; the link either fully appears
-        (content included) or fails — no empty-lock window."""
-        tmp = f"{self.path}.{os.getpid()}.tmp"
-        pid = os.getpid()
+        from a unique temp file; the link either fully appears
+        (content included) or fails — no empty-lock window. Degrades
+        to O_EXCL + immediate write where hard links are unsupported
+        (see module docstring)."""
+        tmp = f"{self.path}.{os.getpid()}.{threading.get_ident()}.tmp"
         with open(tmp, "w") as f:
-            f.write(f"{pid} {_start_token(pid) or '-'}\n")
+            f.write(self._content())
         try:
             os.link(tmp, self.path)
             return True
         except FileExistsError:
             return False
+        except OSError:
+            pass  # no hard-link support: degraded path below
         finally:
             os.unlink(tmp)
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(self._content())
+        return True
+
+    def _sweep_orphan_tmps(self) -> None:
+        """Remove ``_WRITER_LOCK.<pid>.<tid>.tmp`` and
+        ``_WRITER_LOCK.stale.<pid>.<tid>`` litter left by writers
+        killed mid-acquire / mid-takeover — same liveness probe as the
+        lock itself, so a racing LIVE acquirer's in-flight files are
+        left alone."""
+        try:
+            names = os.listdir(self.root)
+        except OSError:
+            return
+        for n in names:
+            if not n.startswith(_LOCKFILE + "."):
+                continue
+            parts = n.split(".")
+            is_stale_file = parts[1:2] == ["stale"]
+            if not is_stale_file and not n.endswith(".tmp"):
+                continue
+            try:
+                pid = int(parts[2 if is_stale_file else 1])
+            except (ValueError, IndexError):
+                continue
+            if _alive(pid, None):
+                continue  # live acquirer/taker mid-flight: hands off
+            p = os.path.join(self.root, n)
+            if is_stale_file:
+                # a dead taker's quarantine may hold a ROBBED LIVE
+                # owner's lock (ABA crash before its verify step).
+                # Judge by the CONTENT pid: dead → plain litter,
+                # deleted; live → leave the file alone. Deliberately
+                # NO restore here: the content owner may have RELEASED
+                # since (its release was a no-op on the missing lock
+                # name), and restoring a released owner's lock would
+                # brick the store until that pid exits. The inert file
+                # is swept once its content pid dies.
+                try:
+                    with open(p) as f:
+                        owner = _parse(f.read())
+                except OSError:
+                    owner = None
+                if owner is not None and _alive(*owner):
+                    continue
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+
+    def _take_over_stale(self) -> None:
+        """Quarantine-rename the stale lock: exactly one racing taker
+        wins the rename; the quarantined content is re-verified so a
+        lock REPLACED by a live writer inside the probe→rename window
+        is restored (link back) and surfaced as a live conflict rather
+        than silently destroyed."""
+        quarantine = f"{self.path}.stale.{os.getpid()}.{threading.get_ident()}"
+        try:
+            os.rename(self.path, quarantine)
+        except FileNotFoundError:
+            return  # another taker won (or the owner released): retry create
+        try:
+            with open(quarantine) as f:
+                owner = _parse(f.read())
+        except OSError:
+            owner = None
+        if owner is not None and _alive(*owner):
+            # ABA: we quarantined a LIVE lock (it replaced the stale
+            # one we probed, or the aliveness verdict flipped) —
+            # restore it link-atomically if the name is still free;
+            # otherwise (name retaken, or no hard links) leave the
+            # quarantine on disk, never unlinked while its owner
+            # lives — the sweep clears it once that pid dies
+            try:
+                os.link(quarantine, self.path)
+                os.unlink(quarantine)
+            except OSError:
+                pass
+            raise ConcurrentWriterError(
+                f"store {self.root!r} lock was re-acquired by live "
+                f"writer pid {owner[0]} during stale-lock takeover"
+            )
+        os.unlink(quarantine)
 
     def __enter__(self) -> "WriterLease":
         if self._depth:
+            if self._thread != threading.get_ident():
+                raise ConcurrentWriterError(
+                    f"store {self.root!r} lease is held by another "
+                    "thread of this process; the single-writer "
+                    "contract applies within a process too"
+                )
             self._depth += 1
             return self
         os.makedirs(self.root, exist_ok=True)
+        self._sweep_orphan_tmps()
         for attempt in (0, 1):
             if self._try_create():
                 self._depth = 1
+                self._thread = threading.get_ident()
                 return self
             owner = self._owner()
-            if owner is not None:
-                pid, token = owner
-                if _alive(pid, None if token == "-" else token):
-                    raise ConcurrentWriterError(
-                        f"store {self.root!r} is locked by live writer "
-                        f"pid {pid} ({self.path}); the single-writer "
-                        "contract forbids concurrent mutation — wait for "
-                        "it or, if it is not a real writer, remove the "
-                        "lock file"
-                    )
-            # stale (owner dead/recycled, or externally corrupted):
-            # take over once; a racing taker that wins the retry link
-            # is then seen as a LIVE owner and this writer raises above
-            try:
-                os.unlink(self.path)
-            except FileNotFoundError:
-                pass
+            if owner is None and os.path.exists(self.path):
+                # unparseable-but-present: on the degraded no-hardlink
+                # path another writer may sit INSIDE its one-syscall
+                # create-then-write window — grant a grace re-read so a
+                # mid-create live writer is not insta-classified stale
+                time.sleep(0.05)
+                owner = self._owner()
+            if owner is not None and _alive(*owner):
+                raise ConcurrentWriterError(
+                    f"store {self.root!r} is locked by live writer "
+                    f"pid {owner[0]} ({self.path}); the single-writer "
+                    "contract forbids concurrent mutation — wait for "
+                    "it or, if it is not a real writer, remove the "
+                    "lock file"
+                )
+            # stale (owner dead/recycled, or unparseable external
+            # interference): quarantine-rename takeover, then retry —
+            # a racing taker that wins is then seen as a LIVE owner
+            # and this writer raises above on the retry
+            self._take_over_stale()
             if attempt:
                 raise ConcurrentWriterError(
                     f"could not acquire {self.path} after stale-lock "
@@ -157,6 +301,7 @@ class WriterLease:
     def __exit__(self, *exc) -> None:
         self._depth -= 1
         if self._depth == 0:
+            self._thread = None
             # release only what we still own: if a (mis)classification
             # let another writer take over, deleting THEIR lock would
             # cascade the failure to a third writer

@@ -433,13 +433,24 @@ class Warehouse:
         concurrent writer's lease; the lease is taken only when there
         is actually something to create or heal (absent table, torn
         husk, dangling dirs), and the state is re-checked under it."""
-        if self.exists(table):
-            if self.current_version(table) is not None:
-                return  # committed state present: nothing to create/heal
-            if not self._versions(table) and any(
-                n.endswith(".parquet") for n in os.listdir(self.path(table))
-            ):
-                return  # pure legacy layout: reads serve the root as-is
+        try:
+            if self.exists(table):
+                if self.current_version(table) is not None:
+                    return  # committed state: nothing to create/heal
+                if not self._versions(table) and any(
+                    n.endswith(".parquet")
+                    for n in os.listdir(self.path(table))
+                ):
+                    # pure legacy layout: reads serve the root as-is.
+                    # (A read planned here can still fail transiently
+                    # if a concurrent writer's one-shot migrate_legacy
+                    # sweeps the root between plan and action — rerun;
+                    # contending on the lease instead would make EVERY
+                    # legacy read error while any writer runs.)
+                    return
+        except FileNotFoundError:
+            pass  # dir vanished under us (writer healing a husk):
+            # fall through and re-check under the lease
         with self._lease:
             if self.exists(table) and self.current_version(table) is None:
                 self._clear_dangling(table)  # torn first commit(s), if any
@@ -484,9 +495,13 @@ class Warehouse:
         # no pointer: serve the legacy root files by EXPLICIT list so a
         # dangling v_* leftover next to them cannot trip Spark's
         # mixed-depth directory refusal (a writer's ensure heals that)
-        files = [
-            n for n in os.listdir(self.path(table)) if n.endswith(".parquet")
-        ]
+        try:
+            files = [
+                n for n in os.listdir(self.path(table))
+                if n.endswith(".parquet")
+            ]
+        except FileNotFoundError:
+            return None  # dir vanished under us (writer healing a husk)
         if not files:
             return None  # torn husk or empty dir: no committed state
         return self.spark.read.schema(ALL_TABLES[table]).parquet(

@@ -280,4 +280,4 @@ def test_cli_render_torn_husk_is_not_healed(spark, tmp_path, capsys):
     # the husk is untouched: no pointer written, no dir cleared
     assert sorted(os.listdir(husk)) == before
     assert not (wh_dir / "transfers" / "_CURRENT").exists()
-    assert not (wh_dir / "transfers" / "_WRITER_LOCK").exists()
+    assert not (wh_dir / "_WRITER_LOCK").exists()  # lease lives at root

@@ -524,3 +524,147 @@ def test_lock_creation_is_atomic_with_content(tmp_path):
         assert len(parts) == 2  # pid + start-time token
         # no stray temp file left behind after acquisition
         assert [n for n in os.listdir(str(tmp_path)) if n.endswith(".tmp")] == []
+
+
+def test_second_thread_is_a_concurrent_writer(tmp_path):
+    """Reentrancy is same-thread only: a second thread of the same
+    process entering a held lease must raise, not nest — otherwise
+    two in-process writers interleave undetected and the first exit
+    unlinks the lock mid-critical-section."""
+    import threading
+
+    from lavasmart_bank_sync_etl_spark.sources.lease import (
+        ConcurrentWriterError, WriterLease,
+    )
+
+    lease = WriterLease(str(tmp_path))
+    result = {}
+
+    def other():
+        try:
+            with lease:
+                result["entered"] = True
+        except ConcurrentWriterError:
+            result["raised"] = True
+
+    with lease:
+        t = threading.Thread(target=other)
+        t.start()
+        t.join()
+    assert result == {"raised": True}
+
+
+def test_orphan_tmp_and_quarantine_litter_is_swept(tmp_path):
+    """Files left by writers killed mid-acquire (.tmp) or mid-takeover
+    (.stale.*) are swept at the next acquisition when their pid is
+    dead — and a live holder's files are left alone."""
+    import os
+
+    from lavasmart_bank_sync_etl_spark.sources.lease import WriterLease
+
+    lease = WriterLease(str(tmp_path))
+    os.makedirs(str(tmp_path), exist_ok=True)
+    dead = _dead_pid()
+    for n in (f"_WRITER_LOCK.{dead}.123.tmp", f"_WRITER_LOCK.stale.{dead}.123"):
+        with open(os.path.join(str(tmp_path), n), "w") as f:
+            f.write(f"{dead} -\n")
+    live_tmp = f"_WRITER_LOCK.{os.getpid()}.999.tmp"
+    with open(os.path.join(str(tmp_path), live_tmp), "w") as f:
+        f.write(f"{os.getpid()} -\n")
+    with lease:
+        pass
+    left = sorted(
+        n for n in os.listdir(str(tmp_path)) if n.startswith("_WRITER_LOCK")
+    )
+    assert left == [live_tmp]  # dead litter gone, live tmp untouched
+    os.unlink(os.path.join(str(tmp_path), live_tmp))
+
+
+def test_takeover_does_not_destroy_a_replacing_live_lock(tmp_path, monkeypatch):
+    """The two-taker race: after this writer classifies the lock stale
+    but BEFORE its takeover rename, another writer completes takeover
+    and acquires. The rename then quarantines a LIVE lock — it must be
+    restored and surfaced as ConcurrentWriterError, never unlinked
+    (the blind-unlink bug let two writers hold the lease)."""
+    import os
+
+    from lavasmart_bank_sync_etl_spark.sources import lease as L
+
+    lease = L.WriterLease(str(tmp_path))
+    os.makedirs(str(tmp_path), exist_ok=True)
+    dead = _dead_pid()
+    with open(lease.path, "w") as f:
+        f.write(f"{dead} -\n")
+
+    real_rename = os.rename
+    live_content = f"{os.getpid()} {L._start_token(os.getpid())}\n"
+
+    def racing_rename(src, dst):
+        # simulate the racing taker winning between probe and rename:
+        # the stale lock is already replaced by a live writer's lock
+        if src == lease.path:
+            with open(lease.path, "w") as f:
+                f.write(live_content)
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(L.os, "rename", racing_rename)
+    with pytest.raises(L.ConcurrentWriterError, match="re-acquired|live writer"):
+        lease.__enter__()
+    monkeypatch.undo()
+    # the live lock survived the failed takeover, byte-identical
+    with open(lease.path) as f:
+        assert f.read() == live_content
+    assert not [
+        n for n in os.listdir(str(tmp_path))
+        if n.startswith("_WRITER_LOCK.stale")
+    ]
+    os.unlink(lease.path)
+
+
+def test_sweep_never_destroys_robbed_live_locks_quarantine(tmp_path):
+    """A taker that quarantined a LIVE owner's lock (ABA) and crashed
+    leaves the only copy under .stale.<dead-taker-pid>. The sweep
+    judges by the CONTENT pid: a live-content quarantine is LEFT
+    ALONE (never unlinked while its owner runs, and deliberately not
+    re-installed either — the owner may have released since, and a
+    restored released lock would wedge the store until its pid
+    exits); a dead-content one is plain litter and is removed."""
+    import os
+
+    from lavasmart_bank_sync_etl_spark.sources import lease as L
+
+    dead = _dead_pid()
+    live_content = f"{os.getpid()} {L._start_token(os.getpid())}\n"
+    root = str(tmp_path)
+    os.makedirs(root, exist_ok=True)
+    live_q = os.path.join(root, f"_WRITER_LOCK.stale.{dead}.1")
+    dead_q = os.path.join(root, f"_WRITER_LOCK.stale.{dead}.2")
+    with open(live_q, "w") as f:
+        f.write(live_content)
+    with open(dead_q, "w") as f:
+        f.write(f"{dead} -\n")
+
+    lease = L.WriterLease(root)
+    with lease:  # acquisition sweeps, then proceeds on the free name
+        assert os.path.exists(live_q)      # preserved while owner lives
+        assert not os.path.exists(dead_q)  # dead-content litter removed
+        with open(live_q) as f:
+            assert f.read() == live_content
+    os.unlink(live_q)
+
+
+def test_pid_zero_lock_is_stale_not_forever_live(tmp_path):
+    """Externally-written '0' owner must not brick the store:
+    os.kill(0, 0) signals our own process group and always succeeds,
+    so pid<=0 is classified unparseable-stale instead."""
+    import os
+
+    from lavasmart_bank_sync_etl_spark.sources.lease import WriterLease
+
+    lease = WriterLease(str(tmp_path))
+    os.makedirs(str(tmp_path), exist_ok=True)
+    with open(lease.path, "w") as f:
+        f.write("0 -\n")
+    with lease:  # takes over instead of raising forever
+        pass
+    assert not os.path.exists(lease.path)
