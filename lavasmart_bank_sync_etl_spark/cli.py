@@ -88,7 +88,11 @@ def cmd_sync(args: argparse.Namespace) -> int:
     # run-scoped writer lease (SyncJob.run nests reentrantly), so an
     # overlapping second sync fails BEFORE mutating anything: the old
     # order wrote rejects first and a ConcurrentWriterError loser left
-    # them behind, double-counting on retry
+    # them behind. (The rejects table itself stays at-least-once
+    # telemetry: a rerun after a mid-run crash re-appends the same
+    # rows. Each carries rejected_at, so downstream consumers dedup by
+    # recency; the converged warehouse tables are the exactly-once
+    # surface.)
     with wh.lock():
         n_rejects = 0
         if rejects is not None:
@@ -196,6 +200,15 @@ def cmd_sql(args: argparse.Namespace) -> int:
         # never dies with TABLE_OR_VIEW_NOT_FOUND on a fresh or
         # crash-torn warehouse, and nothing is created or healed
         read_only(t).createOrReplaceTempView(t)
+    if len(read_only.missing) == len(ALL_TABLES):
+        # a mistyped --warehouse must read as an anomaly, not as "the
+        # warehouse is empty": every view being the empty fallback is
+        # called out once, loudly, before the (empty) results print
+        print(
+            f"warning: NO table has readable state under {wh.root!r} — "
+            "wrong --warehouse path? All views are empty placeholders",
+            file=sys.stderr,
+        )
     df = spark.sql(args.query).limit(args.limit)
     for row in df.toJSON().collect():
         print(row)
@@ -283,6 +296,7 @@ class _ReadOnlyTables:
     def __init__(self, spark, wh):
         self.spark, self.wh = spark, wh
         self._cache: dict = {}
+        self.missing: set[str] = set()  # tables served as empty fallback
 
     def __call__(self, table: str):
         from .sources.warehouse import ALL_TABLES
@@ -290,6 +304,7 @@ class _ReadOnlyTables:
         if table not in self._cache:
             df = self.wh.peek(table)
             if df is None:
+                self.missing.add(table)
                 print(
                     f"warning: table {table!r} has no readable state under "
                     f"{self.wh.root!r}; rendering it empty",

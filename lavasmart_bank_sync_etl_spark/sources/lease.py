@@ -15,9 +15,11 @@ first and ``os.link``ed to the lock name (hard-link creation fails if
 the name exists), so no reader can ever observe an empty/torn lock
 that a racing writer would misclassify as stale — the TOCTOU a plain
 O_EXCL-create-then-write would have. On filesystems without hard
-links the create degrades to O_EXCL + immediate same-call write (the
-empty-lock window returns, bounded by one syscall, and is documented
-here). Mutating store verbs acquire the lease around their critical
+links the create degrades to O_EXCL + immediate write: the empty-lock
+window returns for the open→write interval (which scheduling can
+stretch), mitigated best-effort by the acquirer's grace re-read
+before classifying an unparseable lock stale, and accepted as part of
+the degraded mode. Mutating store verbs acquire the lease around their critical
 section; ``SyncJob.run`` holds it for the whole run so two
 overlapping syncs fail fast rather than interleave at call
 granularity. Reentrant per lease instance FOR THE ACQUIRING THREAD —
@@ -39,13 +41,13 @@ atomically renamed to a taker-unique name — so exactly one racing
 taker wins the stale file, and a loser whose rename finds nothing
 simply retries the create and then sees the winner as a live owner.
 The quarantined content is re-verified: if it turns out live (the
-probed-stale lock was replaced in the probe→rename window), it is
-restored link-atomically when the name is still free and the taker
-raises; when restore is impossible the quarantine is LEFT ON DISK
-(never destroyed while its content pid lives — the sweep clears it
-after that pid dies; no automatic re-install, because the robbed
-owner may have released in the meantime and a restored released lock
-would wedge the store until its pid exits).
+probed-stale lock was replaced in the probe→rename window), the taker
+raises and the quarantine is LEFT ON DISK — one uniform rule: a
+live-content quarantine is never destroyed while its content pid
+lives (the sweep clears it after that pid dies) and never
+re-installed (the robbed owner may have released in the meantime, and
+a re-installed released lock would wedge the store until its pid
+exits).
 
 Scope and residual windows, explicitly: the /proc probe makes the
 contract SINGLE HOST — exactly the scope of these filesystem
@@ -118,6 +120,16 @@ def _parse(content: str) -> tuple[int, str | None] | None:
     return pid, token
 
 
+def _read_owner(path: str) -> tuple[int, str | None] | None:
+    """Lock-content read + parse: (pid, token), or None when the file
+    is gone or unparseable."""
+    try:
+        with open(path) as f:
+            return _parse(f.read())
+    except OSError:
+        return None
+
+
 class WriterLease:
     """Reentrant (same-thread) single-writer lockfile for one store
     root. Use as a context manager; mutating store methods wrap their
@@ -134,14 +146,10 @@ class WriterLease:
         return os.path.join(self.root, _LOCKFILE)
 
     def _owner(self) -> tuple[int, str | None] | None:
-        """(owner pid, start-time token) — or None when the file is
-        gone or unparseable (external interference, or the degraded
+        """(owner pid, start-time token) — or None when the lock file
+        is gone or unparseable (external interference, or the degraded
         no-hard-link create window)."""
-        try:
-            with open(self.path) as f:
-                return _parse(f.read())
-        except OSError:
-            return None
+        return _read_owner(self.path)
 
     def _content(self) -> str:
         pid = os.getpid()
@@ -207,11 +215,7 @@ class WriterLease:
                 # name), and restoring a released owner's lock would
                 # brick the store until that pid exits. The inert file
                 # is swept once its content pid dies.
-                try:
-                    with open(p) as f:
-                        owner = _parse(f.read())
-                except OSError:
-                    owner = None
+                owner = _read_owner(p)
                 if owner is not None and _alive(*owner):
                     continue
             try:
@@ -230,23 +234,18 @@ class WriterLease:
             os.rename(self.path, quarantine)
         except FileNotFoundError:
             return  # another taker won (or the owner released): retry create
-        try:
-            with open(quarantine) as f:
-                owner = _parse(f.read())
-        except OSError:
-            owner = None
+        owner = _read_owner(quarantine)
         if owner is not None and _alive(*owner):
             # ABA: we quarantined a LIVE lock (it replaced the stale
-            # one we probed, or the aliveness verdict flipped) —
-            # restore it link-atomically if the name is still free;
-            # otherwise (name retaken, or no hard links) leave the
-            # quarantine on disk, never unlinked while its owner
-            # lives — the sweep clears it once that pid dies
-            try:
-                os.link(quarantine, self.path)
-                os.unlink(quarantine)
-            except OSError:
-                pass
+            # one we probed, or the aliveness verdict flipped). ONE
+            # rule for live-content quarantines everywhere (here and
+            # in the sweep): leave the file on disk, never destroyed
+            # while its content pid lives, and never re-installed —
+            # the owner may have RELEASED since its lock was renamed
+            # away (release no-ops on a missing name), and re-
+            # installing a released owner's lock would wedge the
+            # store until that pid exits. This taker still raises; the
+            # robbed-owner residual window is in the module docstring.
             raise ConcurrentWriterError(
                 f"store {self.root!r} lock was re-acquired by live "
                 f"writer pid {owner[0]} during stale-lock takeover"

@@ -583,9 +583,12 @@ def test_orphan_tmp_and_quarantine_litter_is_swept(tmp_path):
 def test_takeover_does_not_destroy_a_replacing_live_lock(tmp_path, monkeypatch):
     """The two-taker race: after this writer classifies the lock stale
     but BEFORE its takeover rename, another writer completes takeover
-    and acquires. The rename then quarantines a LIVE lock — it must be
-    restored and surfaced as ConcurrentWriterError, never unlinked
-    (the blind-unlink bug let two writers hold the lease)."""
+    and acquires. The rename quarantines a LIVE lock — the taker must
+    raise ConcurrentWriterError and the quarantined bytes must survive
+    on disk (one uniform rule: live-content quarantines are never
+    unlinked while their owner runs, and never re-installed either —
+    the owner may have released since, and re-installing a released
+    lock would wedge the store until its pid exits)."""
     import os
 
     from lavasmart_bank_sync_etl_spark.sources import lease as L
@@ -611,14 +614,15 @@ def test_takeover_does_not_destroy_a_replacing_live_lock(tmp_path, monkeypatch):
     with pytest.raises(L.ConcurrentWriterError, match="re-acquired|live writer"):
         lease.__enter__()
     monkeypatch.undo()
-    # the live lock survived the failed takeover, byte-identical
-    with open(lease.path) as f:
-        assert f.read() == live_content
-    assert not [
+    # the robbed live content survives — in quarantine, unrestored
+    stale = [
         n for n in os.listdir(str(tmp_path))
         if n.startswith("_WRITER_LOCK.stale")
     ]
-    os.unlink(lease.path)
+    assert len(stale) == 1
+    with open(os.path.join(str(tmp_path), stale[0])) as f:
+        assert f.read() == live_content
+    os.unlink(os.path.join(str(tmp_path), stale[0]))
 
 
 def test_sweep_never_destroys_robbed_live_locks_quarantine(tmp_path):
