@@ -76,30 +76,56 @@ class ConcurrentWriterError(RuntimeError):
     """A second writer hit a store another live writer is mutating."""
 
 
-def _start_token(pid: int) -> str | None:
-    """The pid's kernel start time (clock ticks since boot, field 22
-    of /proc/<pid>/stat — read AFTER the comm field, which may itself
-    contain spaces/parens). None when unreadable: pid dead, or no
-    procfs (non-Linux) — callers then fall back to pid-aliveness
-    only."""
+def _stat_fields(pid: int) -> tuple[str, str] | None:
+    """(state, start-time token) from /proc/<pid>/stat — split AFTER
+    the comm field, which may itself contain spaces/parens, so the
+    state letter is field 0 and starttime (clock ticks since boot,
+    stat field 22) is field 19 of the tail. None when unreadable: pid
+    dead, or no procfs (non-Linux) — callers then fall back to
+    pid-aliveness only."""
     try:
         with open(f"/proc/{pid}/stat", "rb") as f:
             data = f.read()
-        return data.rsplit(b")", 1)[1].split()[19].decode()
+        tail = data.rsplit(b")", 1)[1].split()
+        return tail[0].decode(), tail[19].decode()
     except (OSError, IndexError):
         return None
 
 
+def _start_token(pid: int) -> str | None:
+    fields = _stat_fields(pid)
+    return fields[1] if fields else None
+
+
 def _alive(pid: int, token: str | None) -> bool:
-    """Is the LOCK OWNER still running? False when the pid is gone or
-    when it was recycled (start-time token mismatch)."""
+    """Is the LOCK OWNER still running? False when the pid is gone,
+    when it was recycled (start-time token mismatch), or when it is a
+    ZOMBIE — dead but unreaped (an orchestrator Popen()ed the writer,
+    it crashed, the parent never wait()ed). A zombie passes
+    ``os.kill(pid, 0)`` and keeps its original start token forever, so
+    without the state check a crashed subprocess writer would read as
+    live until its PARENT exits, bricking the store — the exact mode
+    the stale takeover exists to prevent."""
+    foreign = False
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
         return False
     except PermissionError:
-        pass  # exists, owned by someone else — fall through to token
-    current = _start_token(pid)
+        foreign = True  # exists, owned by someone else — /proc may be
+        # hidden from us too (hidepid mounts), so an unreadable stat
+        # below must NOT read as dead
+    fields = _stat_fields(pid)
+    if fields is None:
+        # pid passed kill(0) but /proc/<pid> is unreadable: for a
+        # same-user pid on Linux that means it died in between — dead;
+        # for a foreign-user pid or without procfs the kill verdict is
+        # all we have — live (conservative: brick loudly over robbing
+        # a live writer)
+        return foreign or not os.path.isdir("/proc")
+    state, current = fields
+    if state == "Z":
+        return False  # zombie: dead writer awaiting reap, never releases
     if token and current and current != token:
         return False  # same pid number, different process: recycled
     return True
@@ -227,8 +253,9 @@ class WriterLease:
         """Quarantine-rename the stale lock: exactly one racing taker
         wins the rename; the quarantined content is re-verified so a
         lock REPLACED by a live writer inside the probe→rename window
-        is restored (link back) and surfaced as a live conflict rather
-        than silently destroyed."""
+        is surfaced as a live conflict (raise, quarantine left on
+        disk — never re-installed, never destroyed while its content
+        pid lives) rather than silently destroyed."""
         quarantine = f"{self.path}.stale.{os.getpid()}.{threading.get_ident()}"
         try:
             os.rename(self.path, quarantine)

@@ -490,6 +490,54 @@ def test_recycled_pid_lock_is_stale(tmp_path):
     assert not os.path.exists(lease.path)
 
 
+def test_zombie_pid_lock_is_stale(tmp_path):
+    """Round-9 review follow-up: a crashed writer left as a ZOMBIE
+    (dead but unreaped — an orchestrator Popen()ed `cli sync`, the
+    child was killed, the parent never wait()ed) must not brick the
+    store. A zombie passes os.kill(pid, 0) AND keeps its original
+    /proc start token, so only the stat state field ('Z') reveals it
+    will never release; _alive must read it as dead and the next
+    writer must take the lock over."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from lavasmart_bank_sync_etl_spark.sources.lease import (
+        WriterLease, _alive, _stat_fields, _start_token,
+    )
+
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    try:
+        token = _start_token(child.pid)
+        assert token is not None
+        deadline = time.time() + 10
+        while True:  # wait for exit WITHOUT reaping (no poll/wait)
+            fields = _stat_fields(child.pid)
+            assert fields is not None, "child was reaped early"
+            if fields[0] == "Z":
+                break
+            assert time.time() < deadline, "child never became a zombie"
+            time.sleep(0.02)
+        assert not _alive(child.pid, token)
+        lease = WriterLease(str(tmp_path))
+        os.makedirs(str(tmp_path), exist_ok=True)
+        with open(lease.path, "w") as f:
+            f.write(f"{child.pid} {token}\n")
+        with lease:  # takes over instead of raising
+            pass
+        assert not os.path.exists(lease.path)
+        # zombie-taker litter is swept too, same liveness rule
+        stale = os.path.join(str(tmp_path), f"_WRITER_LOCK.stale.{child.pid}.1")
+        with open(stale, "w") as f:
+            f.write("1 1\n")
+        with lease:
+            pass
+        assert not os.path.exists(stale)
+    finally:
+        child.wait()
+
+
 def test_release_never_unlinks_a_foreign_lock(tmp_path):
     """If another writer somehow holds the lock at release time (e.g.
     it took over after misclassifying us), exiting must NOT delete
