@@ -490,6 +490,96 @@ def test_recycled_pid_lock_is_stale(tmp_path):
     assert not os.path.exists(lease.path)
 
 
+def test_lease_mutual_exclusion_across_processes(tmp_path):
+    """End-to-end mutual exclusion with REAL contending processes —
+    the one property the single-process simulations can't prove. Each
+    worker loops acquire→read-sleep-increment-write→release on a
+    shared counter file; any two writers ever inside the critical
+    section together lose an update, so counter == workers×iters is
+    the exclusion proof. Contenders back off on ConcurrentWriterError
+    (the lease is a fail-fast fence, not a queue)."""
+    import os
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "store")
+    counter = str(tmp_path / "counter.txt")
+    with open(counter, "w") as f:
+        f.write("0")
+    workers, iters = 6, 8
+    script = (
+        "import random, sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "from lavasmart_bank_sync_etl_spark.sources.lease import (\n"
+        "    WriterLease, ConcurrentWriterError)\n"
+        "root, counter, iters = sys.argv[1], sys.argv[2], int(sys.argv[3])\n"
+        "rng = random.Random(int(sys.argv[4]))\n"
+        "done = 0\n"
+        "while done < iters:\n"
+        "    try:\n"
+        "        with WriterLease(root):\n"
+        "            v = int(open(counter).read())\n"
+        "            time.sleep(0.002)\n"
+        "            with open(counter, 'w') as f:\n"
+        "                f.write(str(v + 1))\n"
+        "        done += 1\n"
+        "    except ConcurrentWriterError:\n"
+        "        time.sleep(rng.uniform(0.001, 0.01))\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, root, counter, str(iters), str(i)]
+        )
+        for i in range(workers)
+    ]
+    for p in procs:
+        assert p.wait(timeout=120) == 0
+    assert int(open(counter).read()) == workers * iters
+    # no lock or takeover litter survives a clean finish
+    leftovers = [n for n in os.listdir(root) if n.startswith("_WRITER_LOCK")]
+    assert leftovers == []
+
+
+def test_killed_real_holder_is_taken_over(tmp_path):
+    """A writer holding the lease killed with SIGKILL (true crashed
+    process, not a simulated pid) must leave a takeable lock: its pid
+    is reaped → ProcessLookupError path — or, if the OS recycled the
+    pid, the start-token mismatch path — either way the next writer
+    proceeds."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from lavasmart_bank_sync_etl_spark.sources.lease import WriterLease
+
+    root = str(tmp_path)
+    script = (
+        "import sys, time\n"
+        "sys.path.insert(0, %r)\n"
+        "from lavasmart_bank_sync_etl_spark.sources.lease import WriterLease\n"
+        "with WriterLease(sys.argv[1]):\n"
+        "    print('held', flush=True)\n"
+        "    time.sleep(300)\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = subprocess.Popen(
+        [sys.executable, "-c", script, root], stdout=subprocess.PIPE, text=True
+    )
+    assert child.stdout.readline().strip() == "held"
+    child.kill()
+    child.wait()  # reap: the lock now names a genuinely dead pid
+    lease = WriterLease(root)
+    deadline = time.time() + 10
+    while True:  # the kill is async w.r.t. /proc teardown: brief retry
+        try:
+            with lease:
+                break
+        except Exception:
+            assert time.time() < deadline
+            time.sleep(0.05)
+    assert not os.path.exists(lease.path)
+
+
 def test_zombie_pid_lock_is_stale(tmp_path):
     """Round-9 review follow-up: a crashed writer left as a ZOMBIE
     (dead but unreaped — an orchestrator Popen()ed `cli sync`, the
