@@ -490,6 +490,55 @@ def test_recycled_pid_lock_is_stale(tmp_path):
     assert not os.path.exists(lease.path)
 
 
+def test_degraded_no_hardlink_create_path(tmp_path, monkeypatch):
+    """Filesystems without hard links (the documented degraded mode)
+    fall back to O_EXCL create + immediate write: acquisition still
+    writes pid+token content, a second writer still raises, release
+    still unlinks, and the unparseable-lock grace re-read gives a
+    mid-create writer time to finish before being classified stale."""
+    import os
+    import time
+
+    from lavasmart_bank_sync_etl_spark.sources import lease as L
+
+    def no_link(src, dst, *a, **k):
+        raise OSError(95, "Operation not supported")
+
+    monkeypatch.setattr(L.os, "link", no_link)
+    lease = L.WriterLease(str(tmp_path))
+    with lease:
+        with open(lease.path) as f:
+            parts = f.read().split()
+        assert int(parts[0]) == os.getpid() and len(parts) == 2
+        # no temp litter even though the link path was abandoned
+        assert [n for n in os.listdir(str(tmp_path)) if n.endswith(".tmp")] == []
+        second = L.WriterLease(str(tmp_path))
+        with pytest.raises(L.ConcurrentWriterError):
+            with second:
+                pass
+    assert not os.path.exists(lease.path)
+
+    # grace re-read: an EMPTY lock (mid-create window) that gains its
+    # content during the 50 ms grace must be honored as a live owner,
+    # not insta-classified stale and robbed
+    with open(lease.path, "w") as f:
+        pass  # empty: exactly what the degraded open→write window shows
+    real_sleep = time.sleep
+
+    def fill_during_grace(secs):
+        with open(lease.path, "w") as f:
+            f.write(f"{os.getpid()} {L._start_token(os.getpid()) or '-'}\n")
+        real_sleep(0)
+
+    monkeypatch.setattr(L.time, "sleep", fill_during_grace)
+    third = L.WriterLease(str(tmp_path))
+    with pytest.raises(L.ConcurrentWriterError):
+        with third:
+            pass
+    assert os.path.exists(lease.path)  # the live owner's lock survived
+    os.unlink(lease.path)
+
+
 def test_lease_mutual_exclusion_across_processes(tmp_path):
     """End-to-end mutual exclusion with REAL contending processes —
     the one property the single-process simulations can't prove. Each
