@@ -21,6 +21,21 @@ import sys
 import time
 
 
+def should_persist(sf_dir: str, reps: int, env: dict) -> bool:
+    """Persist the in-repo BENCH_FULL*.json records only for
+    canonical-profile runs (default sf0.1 dir, reps>=2, 32 cpus) —
+    an off-profile probe must never clobber the committed canonical
+    numbers. SPARK_GRAFT_BENCH_PERSIST=1 forces persistence for a
+    deliberate off-profile record."""
+    if env.get("SPARK_GRAFT_BENCH_PERSIST") == "1":
+        return True
+    return (
+        sf_dir.rstrip("/") == "/root/testdata/sf0.1"
+        and reps >= 2
+        and env.get("SPARK_GRAFT_CPUS", "32") == "32"
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -73,18 +88,10 @@ def main() -> None:
     # driver writes CORRECTNESS_r{N} after bench, so at bench time the
     # newest correctness file belongs to the previous round).
     #
-    # Persist ONLY canonical-profile runs (default sf dir + default
-    # reps, no cpu override below the canonical 32): an off-profile
-    # probe (sf0.01, 8 cpus, 1 rep) used to silently clobber the
-    # committed records, which then needed a manual `git restore` —
-    # the judge flagged the clobber twice. SPARK_GRAFT_BENCH_PERSIST=1
-    # forces persistence for a deliberate off-profile record.
-    canonical = (
-        sf_dir.rstrip("/") == "/root/testdata/sf0.1"
-        and reps >= 2
-        and os.environ.get("SPARK_GRAFT_CPUS", "32") == "32"
-    )
-    if not (canonical or os.environ.get("SPARK_GRAFT_BENCH_PERSIST") == "1"):
+    # An off-profile probe (sf0.01, 8 cpus, 1 rep) used to silently
+    # clobber the committed records, which then needed a manual
+    # `git restore` — the clobber bit twice across rounds.
+    if not should_persist(sf_dir, reps, os.environ):
         print(
             "# bench NOTE off-profile run: BENCH_FULL*.json left untouched "
             "(set SPARK_GRAFT_BENCH_PERSIST=1 to persist)",
