@@ -402,6 +402,21 @@ def cmd_list_queries(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_fsck(args: argparse.Namespace) -> int:
+    """Read-only consistency check of a Warehouse root — no
+    SparkSession, no JVM, never mutates. Classifies every finding as
+    info (expected: live lock, legacy layout), healable (crash
+    leftovers the next writer converges), or damage
+    (protocol-impossible external interference — human required); the
+    exit code follows fsck convention: 0 clean, 1 healable, 2 damage.
+    See sources/fsck.py for the state catalog."""
+    from .sources.fsck import inspect_store
+
+    report = inspect_store(args.warehouse, deep=args.deep)
+    print(json.dumps(report, sort_keys=True, indent=None))
+    return report["exit_code"]
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lavasmart-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -457,6 +472,17 @@ def main(argv: list[str] | None = None) -> int:
     rd.add_argument("--warehouse", required=True)
     rd.add_argument("--out", required=True, help="output .xlsx path")
     rd.set_defaults(fn=cmd_render)
+
+    fs = sub.add_parser(
+        "fsck",
+        help="read-only warehouse consistency check (exit 0 clean / "
+        "1 healable crash leftovers / 2 external damage)",
+    )
+    fs.add_argument("--warehouse", required=True)
+    fs.add_argument("--deep", action="store_true",
+                    help="also verify every parquet footer inside every "
+                    "committed snapshot (O(files) driver-side)")
+    fs.set_defaults(fn=cmd_fsck)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,314 @@
+"""fsck classification pins: every crash state the snapshot protocol
+heals must read as ``healable``, every protocol-impossible state as
+``damage``, and a healthy store as clean — so the diagnostic verb
+stays in lockstep with the healing machinery it describes.
+
+Structural tests are Spark-free (states are built with pyarrow files
+and bare directories, exactly what the protocol leaves on disk); one
+integration test runs fsck against a REAL Warehouse before/after a
+genuine crash-shaped mutation to prove the two views agree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from lavasmart_bank_sync_etl_spark.sources.fsck import inspect_store
+from lavasmart_bank_sync_etl_spark.sources.lease import _LOCKFILE
+
+
+def _mk_snapshot(root: str, table: str, version: str, commit: bool = True) -> str:
+    path = os.path.join(root, table, version)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(pa.table({"folio": ["F1"]}), os.path.join(path, "part-0.parquet"))
+    if commit:
+        with open(os.path.join(root, table, "_CURRENT"), "w") as f:
+            f.write(version)
+    return path
+
+
+def _kinds(report: dict, severity: str | None = None) -> set[str]:
+    return {
+        f["kind"]
+        for f in report["findings"]
+        if severity is None or f["severity"] == severity
+    }
+
+
+def test_clean_store_is_clean(tmp_path):
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    report = inspect_store(root, deep=True)
+    assert report["clean"] is True
+    assert report["exit_code"] == 0
+    assert report["tables"]["transfers"]["pointer"] == "v_00000001"
+    assert report["tables"]["transfers"]["committed"] == ["v_00000001"]
+
+
+def test_dangling_and_tombstone_are_healable(tmp_path):
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    _mk_snapshot(root, "transfers", "v_00000002", commit=False)  # crashed write
+    os.makedirs(os.path.join(root, "transfers", "_rm_v_00000000"))  # torn vacuum
+    report = inspect_store(root)
+    assert report["exit_code"] == 1
+    assert {"dangling_snapshot", "tombstone"} <= _kinds(report, "healable")
+    assert report["tables"]["transfers"]["dangling"] == ["v_00000002"]
+    assert not _kinds(report, "damage")
+
+
+def test_torn_first_commit_and_pointer_tmp(tmp_path):
+    root = str(tmp_path)
+    _mk_snapshot(root, "cards", "v_00000001", commit=False)  # no pointer ever
+    _mk_snapshot(root, "transfers", "v_00000001")
+    open(os.path.join(root, "transfers", "_CURRENT.tmp"), "w").close()
+    report = inspect_store(root)
+    assert {"torn_first_commit", "pointer_tmp"} <= _kinds(report, "healable")
+    assert report["exit_code"] == 1
+
+
+def test_pointer_target_missing_is_damage(tmp_path):
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    with open(os.path.join(root, "transfers", "_CURRENT"), "w") as f:
+        f.write("v_00000009")  # names a snapshot that does not exist
+    report = inspect_store(root)
+    assert "pointer_target_missing" in _kinds(report, "damage")
+    assert report["exit_code"] == 2
+
+
+def test_malformed_pointer_is_damage(tmp_path):
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    with open(os.path.join(root, "transfers", "_CURRENT"), "w") as f:
+        f.write("../outside")
+    report = inspect_store(root)
+    assert "pointer_malformed" in _kinds(report, "damage")
+    assert report["exit_code"] == 2
+
+
+def test_torn_committed_snapshot_needs_deep(tmp_path):
+    root = str(tmp_path)
+    path = _mk_snapshot(root, "transfers", "v_00000001")
+    # overwrite a committed file with torn bytes (protocol-impossible:
+    # committed snapshots are immutable — only external interference)
+    with open(os.path.join(path, "part-0.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    shallow = inspect_store(root, deep=False)
+    assert shallow["exit_code"] == 0  # structural checks can't see bytes
+    deep = inspect_store(root, deep=True)
+    assert "torn_committed_snapshot" in _kinds(deep, "damage")
+    assert deep["exit_code"] == 2
+
+
+def test_legacy_layout_states(tmp_path):
+    root = str(tmp_path)
+    # pure pre-versioning layout: info, not a problem
+    os.makedirs(os.path.join(root, "transfers"))
+    pq.write_table(
+        pa.table({"folio": ["F1"]}),
+        os.path.join(root, "transfers", "legacy.parquet"),
+    )
+    # pending one-shot rename
+    os.makedirs(os.path.join(root, "conciliacion_bancaria"))
+    report = inspect_store(root)
+    assert "legacy_layout" in _kinds(report, "info")
+    assert "legacy_rename_pending" in _kinds(report, "healable")
+    assert report["tables"]["transfers"]["layout"] == "legacy"
+
+
+def test_unmigrated_v1_audit_root_is_healable(tmp_path):
+    root = str(tmp_path)
+    _mk_snapshot(root, "audit_log", "v_00000001")
+    v1 = pa.table(
+        {
+            "ts": pa.array([None], pa.timestamp("us")),
+            "folio": ["F1"],
+            "campo_modificado": ["monto"],
+            "valor_anterior": ["1"],
+            "valor_nuevo": ["2"],
+        }
+    )
+    pq.write_table(v1, os.path.join(root, "audit_log", "legacy.parquet"))
+    report = inspect_store(root)
+    assert "unmigrated_v1_root" in _kinds(report, "healable")
+
+
+def test_stale_and_unreadable_root_copies(tmp_path):
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    pq.write_table(
+        pa.table({"folio": ["F1"]}),
+        os.path.join(root, "transfers", "stale.parquet"),
+    )
+    report = inspect_store(root)
+    assert "stale_legacy_root" in _kinds(report, "healable")
+    with open(os.path.join(root, "transfers", "stale.parquet"), "wb") as f:
+        f.write(b"torn")
+    report = inspect_store(root)
+    assert "unreadable_root_parquet" in _kinds(report, "healable")
+    assert "stale_legacy_root" not in _kinds(report)
+
+
+def test_lock_states(tmp_path):
+    root = str(tmp_path)
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, _LOCKFILE)
+    # live owner: this very process
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()} -\n")
+    assert "lock_held" in _kinds(inspect_store(root), "info")
+    # dead owner: a pid that cannot exist
+    with open(lock, "w") as f:
+        f.write("999999999 -\n")
+    assert "lock_stale" in _kinds(inspect_store(root), "healable")
+    # unparseable content
+    with open(lock, "w") as f:
+        f.write("???")
+    assert "lock_unparseable" in _kinds(inspect_store(root), "healable")
+    os.unlink(lock)
+    # litter: orphan tmp + dead-content quarantine
+    open(os.path.join(root, f"{_LOCKFILE}.999999999.1.tmp"), "w").close()
+    with open(os.path.join(root, f"{_LOCKFILE}.stale.999999998.1"), "w") as f:
+        f.write("999999997 -\n")
+    kinds = _kinds(inspect_store(root), "healable")
+    assert {"lock_tmp", "lock_quarantine"} <= kinds
+    # live-content quarantine is deliberate (never destroyed): info
+    with open(os.path.join(root, f"{_LOCKFILE}.stale.999999998.1"), "w") as f:
+        f.write(f"{os.getpid()} -\n")
+    assert "lock_quarantine_live" in _kinds(inspect_store(root), "info")
+
+
+def test_missing_root_is_damage(tmp_path):
+    report = inspect_store(str(tmp_path / "nope"))
+    assert report["exit_code"] == 2
+    assert "missing_root" in _kinds(report, "damage")
+
+
+def test_unknown_entries_are_info_only(tmp_path):
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    os.makedirs(os.path.join(root, "somebody_elses_dir"))
+    report = inspect_store(root)
+    assert report["exit_code"] == 0
+    assert "unknown_entries" in _kinds(report, "info")
+    assert report["unknown_entries"] == ["somebody_elses_dir"]
+
+
+def test_mixed_states_and_exit_code_precedence(tmp_path):
+    """Findings across tables accumulate independently and damage
+    dominates the exit code over any number of healable findings."""
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    _mk_snapshot(root, "transfers", "v_00000002", commit=False)  # healable
+    _mk_snapshot(root, "cards", "v_00000001", commit=False)      # healable
+    _mk_snapshot(root, "cash", "v_00000001")
+    with open(os.path.join(root, "cash", "_CURRENT"), "w") as f:
+        f.write("v_00000042")                                    # damage
+    report = inspect_store(root)
+    assert report["exit_code"] == 2
+    assert report["counts"]["damage"] == 1
+    assert report["counts"]["healable"] >= 2
+    per_table = {
+        (f["table"], f["kind"]) for f in report["findings"]
+    }
+    assert ("transfers", "dangling_snapshot") in per_table
+    assert ("cards", "torn_first_commit") in per_table
+    assert ("cash", "pointer_target_missing") in per_table
+
+
+def test_cli_fsck_exit_codes_and_readonly(tmp_path):
+    """The CLI verb relays inspect_store's exit code and mutates
+    nothing (byte-identical directory tree before and after)."""
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    _mk_snapshot(root, "transfers", "v_00000002", commit=False)
+
+    def tree(r):
+        out = {}
+        for d, _, files in os.walk(r):
+            for n in files:
+                p = os.path.join(d, n)
+                out[os.path.relpath(p, r)] = os.path.getsize(p)
+        return out
+
+    before = tree(root)
+    proc = subprocess.run(
+        [sys.executable, "-m", "lavasmart_bank_sync_etl_spark.cli",
+         "fsck", "--warehouse", root],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert proc.returncode == 1, proc.stderr
+    report = json.loads(proc.stdout)
+    assert "dangling_snapshot" in {f["kind"] for f in report["findings"]}
+    assert tree(root) == before
+
+
+def test_catalog_store_swap_leftovers(spark, tmp_path):
+    """The catalog twin classifies each swap-crash window as healable
+    and reads clean after the protocol's own recovery converges it."""
+    from lavasmart_bank_sync_etl_spark.sources.catalog_store import CatalogStore
+    from lavasmart_bank_sync_etl_spark.sources.fsck import inspect_catalog_store
+
+    store = CatalogStore(spark, str(tmp_path / "cat"))
+    store.ensure("transfers")
+    store.rewrite("transfers", store.read("transfers"))
+    assert inspect_catalog_store(store)["clean"] is True
+
+    target = store._qualified("transfers")
+    # staged leftover: crash before the swap
+    store.read("transfers").write.format("parquet").saveAsTable(f"{target}__staged")
+    report = inspect_catalog_store(store)
+    assert {f["kind"] for f in report["findings"]} == {"staged_leftover"}
+    assert report["exit_code"] == 1
+    store.rewrite("transfers", store.read("transfers"))  # next rewrite converges
+    assert inspect_catalog_store(store)["clean"] is True
+
+    # parked state: crash inside the swap window (target renamed away)
+    spark.sql(f"ALTER TABLE {target} RENAME TO {target}__old")
+    report = inspect_catalog_store(store)
+    assert {f["kind"] for f in report["findings"]} == {"parked_state"}
+    store.ensure("transfers")  # single recovery rename
+    assert inspect_catalog_store(store)["clean"] is True
+
+    # old leftover: crash between rename-in and the final drop
+    store.read("transfers").write.format("parquet").saveAsTable(f"{target}__old")
+    report = inspect_catalog_store(store)
+    assert {f["kind"] for f in report["findings"]} == {"old_leftover"}
+    store.rewrite("transfers", store.read("transfers"))
+    assert inspect_catalog_store(store)["clean"] is True
+
+
+@pytest.mark.usefixtures("spark")
+def test_fsck_agrees_with_real_warehouse(spark, tmp_path):
+    """End-to-end agreement: a real Warehouse lifecycle reads clean;
+    injecting the exact crash states the protocol's writers heal
+    flips fsck to healable; running a writer verb converges them and
+    fsck is clean again."""
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    df = wh.read("transfers")
+    wh.rewrite("transfers", df)
+    assert inspect_store(root, deep=True)["clean"] is True
+
+    # crash-shaped leftovers: dangling snapshot + vacuum tombstone
+    os.makedirs(os.path.join(root, "transfers", "v_00000099"))
+    os.makedirs(os.path.join(root, "transfers", "_rm_v_00000000"))
+    report = inspect_store(root)
+    assert report["exit_code"] == 1
+    assert {"dangling_snapshot", "tombstone"} <= {
+        f["kind"] for f in report["findings"]
+    }
+
+    wh.rewrite("transfers", df)  # any writer converges both states
+    assert inspect_store(root, deep=True)["clean"] is True

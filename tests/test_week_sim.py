@@ -86,7 +86,13 @@ def check_invariants(wh):
         folio appearing twice in review (ADVICE r7);
     (4) the audit log holds at most one state-mutation row per
         (run_id, folio) — a run applies at most one final-state
-        mutation per folio."""
+        mutation per folio;
+    (5) Warehouse-backed stores: fsck classifies the on-disk layout
+        with ZERO `damage` findings — every state the engine (or a
+        killed engine) can reach is clean or healable; damage states
+        are reserved for external interference, by construction.
+        Running inside every crash sweep / fuzz crash point makes
+        that claim exhaustive rather than asserted."""
     tf = table_folios(wh)
     seen: dict[str, str] = {}
     for t, fs in tf.items():
@@ -114,6 +120,15 @@ def check_invariants(wh):
     assert all(n == 1 for n in mutations.values()), {
         k: n for k, n in mutations.items() if n > 1
     }
+    inner = getattr(wh, "_inner", wh)
+    if isinstance(inner, Warehouse):
+        from lavasmart_bank_sync_etl_spark.sources.fsck import inspect_store
+
+        damage = [
+            f for f in inspect_store(inner.root)["findings"]
+            if f["severity"] == "damage"
+        ]
+        assert not damage, damage
 
 
 def test_week_in_production(spark, wh):
