@@ -75,8 +75,12 @@ def _snapshot_footers_ok(path: str) -> list[str]:
     not read back — torn bytes inside what claims to be committed
     state. Unknown (pyarrow absent) is reported as unreadable: fsck
     must not certify bytes it could not check."""
+    try:
+        names = sorted(os.listdir(path))
+    except OSError:
+        return ["<unlistable snapshot dir>"]
     bad = []
-    for n in sorted(os.listdir(path)):
+    for n in names:
         if n.endswith(".parquet") and _parquet_columns(os.path.join(path, n)) is None:
             bad.append(n)
     return bad
@@ -107,7 +111,11 @@ def _inspect_lock(root: str, out: dict) -> None:
                 f"{_LOCKFILE} owner pid {owner[0]} is dead/recycled; the "
                 "next acquirer takes the lease over",
             )
-    for n in sorted(os.listdir(root)):
+    try:
+        names = sorted(os.listdir(root))
+    except OSError:
+        return
+    for n in names:
         if not n.startswith(_LOCKFILE + "."):
             continue
         parts = n.split(".")
@@ -137,7 +145,15 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
     path = os.path.join(root, table)
     if not os.path.isdir(path):
         return None
-    entries = sorted(os.listdir(path))
+    try:
+        entries = sorted(os.listdir(path))
+    except OSError as exc:
+        _finding(
+            out, "damage", table, "table_unlistable",
+            f"table directory cannot be listed ({type(exc).__name__}); "
+            "fsck cannot certify what it cannot see",
+        )
+        return {}
     versions = [n for n in entries if n.startswith("v_") and os.path.isdir(os.path.join(path, n))]
     tombstones = [n for n in entries if n.startswith(_TOMBSTONE)]
     root_parquet = [
@@ -150,6 +166,21 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
             pointer = f.read().strip()
     except FileNotFoundError:
         pass
+    except (OSError, UnicodeDecodeError) as exc:
+        # _CURRENT exists but cannot be read as the one-line text file
+        # the protocol writes (a directory, binary junk, permissions):
+        # external interference a diagnostic must REPORT, never crash
+        # on — and since the pointer is what readers resolve first,
+        # this is damage, not litter
+        _finding(
+            out, "damage", table, "pointer_unreadable",
+            f"_CURRENT is not a readable one-line pointer "
+            f"({type(exc).__name__}); no writer produces or heals this",
+        )
+        return {
+            "pointer": None, "committed": [], "dangling": [],
+            "tombstones": tombstones, "root_parquet": len(root_parquet),
+        }
 
     state = {
         "pointer": pointer,
@@ -283,8 +314,15 @@ def inspect_store(root: str, deep: bool = False) -> dict:
     healable findings (the next write converges them), 2 damage (human
     required)."""
     out: dict = {"root": root, "findings": [], "tables": {}}
-    if not os.path.isdir(root):
-        _finding(out, "damage", None, "missing_root", f"{root!r} is not a directory")
+    try:
+        root_entries = sorted(os.listdir(root)) if os.path.isdir(root) else None
+    except OSError:
+        root_entries = None
+    if root_entries is None:
+        _finding(
+            out, "damage", None, "missing_root",
+            f"{root!r} is not a listable directory",
+        )
     else:
         _inspect_lock(root, out)
         for old in LEGACY_RENAMES:
@@ -300,7 +338,7 @@ def inspect_store(root: str, deep: bool = False) -> dict:
                 out["tables"][table] = state
         known = set(ALL_TABLES) | set(LEGACY_RENAMES) | {"rejects"}
         out["unknown_entries"] = [
-            n for n in sorted(os.listdir(root))
+            n for n in root_entries
             if n not in known and not n.startswith(_LOCKFILE)
         ]
         if out["unknown_entries"]:

@@ -148,11 +148,19 @@ def _parse(content: str) -> tuple[int, str | None] | None:
 
 def _read_owner(path: str) -> tuple[int, str | None] | None:
     """Lock-content read + parse: (pid, token), or None when the file
-    is gone or unparseable."""
+    is gone or unparseable. Read as BYTES and decode explicitly:
+    undecodable junk written by external interference is exactly the
+    "unparseable → stale" case, and a text-mode read would raise
+    UnicodeDecodeError out of the acquirer instead — bricking every
+    writer on content the takeover machinery exists to clear."""
     try:
-        with open(path) as f:
-            return _parse(f.read())
+        with open(path, "rb") as f:
+            raw = f.read()
     except OSError:
+        return None
+    try:
+        return _parse(raw.decode())
+    except UnicodeDecodeError:
         return None
 
 

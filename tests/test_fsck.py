@@ -186,6 +186,75 @@ def test_lock_states(tmp_path):
     assert "lock_quarantine_live" in _kinds(inspect_store(root), "info")
 
 
+def test_unreadable_pointer_is_damage_not_crash(tmp_path):
+    """External interference can make _CURRENT unreadable as text (a
+    directory, binary junk); the diagnostic must report damage, never
+    raise — an operator points fsck at EXACTLY such stores."""
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    cur = os.path.join(root, "transfers", "_CURRENT")
+    os.unlink(cur)
+    os.makedirs(cur)  # _CURRENT as a directory
+    report = inspect_store(root)
+    assert "pointer_unreadable" in _kinds(report, "damage")
+    os.rmdir(cur)
+    with open(cur, "wb") as f:
+        f.write(b"\xff\xfe\x00junk")  # undecodable bytes
+    report = inspect_store(root)
+    assert "pointer_unreadable" in _kinds(report, "damage")
+    assert report["exit_code"] == 2
+
+
+def test_fsck_never_raises_on_adversarial_trees(tmp_path):
+    """Property: inspect_store returns a well-formed report on
+    arbitrary junk layouts (hypothesis-built file/dir trees using the
+    protocol's magic names in wrong positions) — a diagnostic that
+    crashes on damage is useless exactly when needed. Deterministic
+    examples; hypothesis drives the name/shape mix."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    magic = st.sampled_from(
+        ["_CURRENT", "_CURRENT.tmp", "v_00000001", "v_junk", "_rm_v_1",
+         "_WRITER_LOCK", "_WRITER_LOCK.stale.x.y", "_WRITER_LOCK.1.2.tmp",
+         "part-0.parquet", "data", "v_00000001x"]
+    )
+    payload = st.sampled_from([b"", b"v_00000001", b"\xff\xfe", b"9" * 64])
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.tuples(st.sampled_from(["transfers", "audit_log", ""]),
+                              magic, st.booleans(), payload),
+                    max_size=8))
+    def prop(entries):
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(dir=str(tmp_path))
+        try:
+            for table, name, as_dir, content in entries:
+                d = os.path.join(root, table) if table else root
+                os.makedirs(d, exist_ok=True)
+                p = os.path.join(d, name)
+                if os.path.exists(p):
+                    continue
+                if as_dir:
+                    os.makedirs(p)
+                else:
+                    with open(p, "wb") as f:
+                        f.write(content)
+            report = inspect_store(root, deep=True)
+            assert set(report["counts"]) == {"info", "healable", "damage"}
+            assert isinstance(report["clean"], bool)
+            assert report["exit_code"] in (0, 1, 2)
+            for f in report["findings"]:
+                assert f["severity"] in ("info", "healable", "damage")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    prop()
+
+
 def test_missing_root_is_damage(tmp_path):
     report = inspect_store(str(tmp_path / "nope"))
     assert report["exit_code"] == 2

@@ -447,6 +447,22 @@ def test_unparseable_lock_is_stale(spark, store):
     assert store.read("audit_log").count() == 1
 
 
+def test_undecodable_lock_bytes_are_stale_not_a_crash(spark, store):
+    """UNDECODABLE lock bytes (external interference) are the same
+    unparseable-stale case — the acquirer must take the lock over,
+    not die with UnicodeDecodeError before it can classify anything
+    (found by the fsck adversarial-tree property test)."""
+    import os
+
+    store.ensure("audit_log")
+    lease = store.lock()
+    os.makedirs(store.root, exist_ok=True)
+    with open(lease.path, "wb") as f:
+        f.write(b"\xff\xfe\x00 binary junk")
+    store.append("audit_log", _audit_row(spark, store, "r1", 1))
+    assert store.read("audit_log").count() == 1
+
+
 def test_crashed_verb_releases_lease(spark, store, monkeypatch):
     """An exception inside a leased critical section must release the
     lease (else one failed run bricks the store for its process
