@@ -409,12 +409,41 @@ def cmd_fsck(args: argparse.Namespace) -> int:
     leftovers the next writer converges), or damage
     (protocol-impossible external interference — human required); the
     exit code follows fsck convention: 0 clean, 1 healable, 2 damage.
-    See sources/fsck.py for the state catalog."""
+    See sources/fsck.py for the state catalog. (The CatalogStore twin,
+    ``inspect_catalog_store``, is a library API only: that backend is
+    reached through the TableStore seam, not through this CLI, and its
+    catalog lives in the owning session's metastore.)"""
     from .sources.fsck import inspect_store
 
     report = inspect_store(args.warehouse, deep=args.deep)
     print(json.dumps(report, sort_keys=True, indent=None))
     return report["exit_code"]
+
+
+def cmd_rollback(args: argparse.Namespace) -> int:
+    """Disaster recovery: repoint a table's committed state at an
+    older retained snapshot (the verb fsck's `damage` findings
+    prescribe). Validates the target is an intact on-disk snapshot
+    before the atomic pointer commit; newer version dirs are left on
+    disk (hand-recoverable until the next write reclaims them) —
+    rolling FORWARD is refused, since a newer dir is indistinguishable
+    from a crashed write's never-published state."""
+    from .session import get_spark
+    from .sources.warehouse import Warehouse
+
+    spark = get_spark("lavasmart-rollback")
+    wh = Warehouse(spark, args.warehouse)
+    before = wh.current_version(args.table)
+    try:
+        wh.rollback(args.table, args.version)
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 2
+    print(json.dumps(
+        {"table": args.table, "from": before, "to": args.version},
+        sort_keys=True,
+    ))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -483,6 +512,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="also verify every parquet footer inside every "
                     "committed snapshot (O(files) driver-side)")
     fs.set_defaults(fn=cmd_fsck)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="repoint a table at an older retained snapshot "
+        "(recovery for fsck damage findings)",
+    )
+    rb.add_argument("--warehouse", required=True)
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--version", required=True,
+                    help="target snapshot name (v_NNNNNNNN; see fsck "
+                    "output or history)")
+    rb.set_defaults(fn=cmd_rollback)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -44,7 +44,6 @@ operability the filesystem-backed engine owes its operators instead.
 from __future__ import annotations
 
 import os
-import re
 
 from .lease import _LOCKFILE, _alive, _read_owner
 from .warehouse import (
@@ -53,13 +52,9 @@ from .warehouse import (
     LEGACY_RENAMES,
     _CURRENT,
     _TOMBSTONE,
+    _VERSION_RE,
     _parquet_columns,
 )
-
-#: a committed pointer must name a snapshot in the writer's own
-#: format; anything else in ``_CURRENT`` is external tampering (the
-#: string compare in ``history()`` would mis-sort it)
-_VERSION_RE = re.compile(r"^v_\d{8}$")
 
 SEVERITIES = ("info", "healable", "damage")
 
@@ -245,8 +240,8 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
         _finding(
             out, "damage", table, "pointer_target_missing",
             f"_CURRENT names {pointer} but no such snapshot dir exists; "
-            "reads fail and no writer heals this — restore the pointer "
-            "to a surviving committed snapshot",
+            "reads fail and no writer heals this — `rollback` to a "
+            "surviving intact snapshot",
         )
     if state["dangling"]:
         _finding(
@@ -293,7 +288,7 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
                     out, "damage", table, "torn_committed_snapshot",
                     f"{v} holds {len(bad)} parquet file(s) with unreadable "
                     "footers inside COMMITTED state — protocol-impossible; "
-                    "roll back to an older snapshot",
+                    "`rollback` to an older intact snapshot",
                 )
     return state
 

@@ -109,7 +109,9 @@ def _alive(pid: int, token: str | None) -> bool:
     foreign = False
     try:
         os.kill(pid, 0)
-    except ProcessLookupError:
+    except (ProcessLookupError, OverflowError):
+        # gone — or an impossible pid beyond the kernel's space (a
+        # litter filename can carry one into here): dead either way
         return False
     except PermissionError:
         foreign = True  # exists, owned by someone else — /proc may be
@@ -138,10 +140,13 @@ def _parse(content: str) -> tuple[int, str | None] | None:
         token = parts[1] if len(parts) > 1 and parts[1] != "-" else None
     except (ValueError, IndexError):
         return None
-    if pid <= 0:
-        # parseable-but-impossible owner (``os.kill(0, 0)`` would
-        # signal our own process group and read as forever-live,
-        # bricking the store): treat like unparseable content — stale
+    if pid <= 0 or pid > 0x7FFFFFFF:
+        # parseable-but-impossible owner: ``os.kill(0, 0)`` would
+        # signal our own process group and read as forever-live, and a
+        # pid beyond the kernel's 31-bit space makes ``os.kill`` raise
+        # OverflowError out of every acquirer (found by the fsck
+        # adversarial-tree property test). Both are external junk —
+        # treat like unparseable content: stale
         return None
     return pid, token
 

@@ -51,6 +51,7 @@ match.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,6 +120,10 @@ _CURRENT = "_CURRENT"
 #: that still sorts below ``_CURRENT`` and masquerades as time-travel
 #: history. Leftover tombstones are swept by the next writer/vacuum.
 _TOMBSTONE = "_rm_"
+
+#: the only pointer content a writer ever produces; anything else in
+#: ``_CURRENT`` is external interference (fsck reports it as damage)
+_VERSION_RE = re.compile(r"^v_\d{8}$")
 
 
 def _parquet_columns(path: str) -> set[str] | None:
@@ -614,6 +619,61 @@ class Warehouse:
             self.spark.catalog.refreshByPath(dest)
 
     # -- maintenance ---------------------------------------------------
+    def rollback(self, table: str, version: str) -> None:
+        """Disaster recovery: atomically repoint ``_CURRENT`` at an
+        older retained snapshot — the operator verb fsck's ``damage``
+        findings prescribe when the current snapshot is lost or torn
+        by external interference (no WRITER can produce those states,
+        so no writer auto-heals them; restoring published state is an
+        explicit human decision).
+
+        Safety rails: the target must be an intact on-disk snapshot —
+        name in the writer's own format, directory present, every
+        parquet footer readable — and, when the current pointer still
+        parses as a writer-written version name, the target must not
+        be NEWER than it (a newer dir is a crashed write's dangling
+        leftover; publishing it would expose never-committed state).
+        A pointer that does NOT parse is itself the damage being
+        recovered from, so any intact target is accepted then.
+
+        Deliberately NO sweep of now-newer dirs: rolling FORWARD is
+        refused by the same rail (once the pointer moved back, a newer
+        dir is indistinguishable from a crashed write's never-published
+        state), so the leftover dirs are kept on disk — a mistaken
+        rollback stays recoverable BY HAND (restore ``_CURRENT``)
+        until the next write, when ``_clear_dangling`` reclaims
+        them."""
+        with self._lease:
+            cur = self.current_version(table)
+            if cur is None:
+                raise ValueError(
+                    f"{table} has no committed pointer to roll back; "
+                    "nothing was ever published"
+                )
+            path = os.path.join(self.path(table), version)
+            if not _VERSION_RE.fullmatch(version) or not os.path.isdir(path):
+                raise ValueError(
+                    f"{table}/{version} is not an on-disk snapshot"
+                )
+            if _VERSION_RE.fullmatch(cur) and version > cur:
+                raise ValueError(
+                    f"{table}/{version} is newer than the committed "
+                    f"pointer {cur} — an uncommitted leftover, not a "
+                    "rollback target"
+                )
+            torn = [
+                n for n in sorted(os.listdir(path))
+                if n.endswith(".parquet")
+                and _parquet_columns(os.path.join(path, n)) is None
+            ]
+            if torn:
+                raise ValueError(
+                    f"{table}/{version} holds unreadable parquet "
+                    f"({torn[:3]}…): not an intact rollback target"
+                )
+            self._commit(table, version)
+            self.spark.catalog.refreshByPath(path)
+
     def compact(self, table: str, num_files: int = 1) -> None:
         """Small-file management: rewrite the current state into
         ``num_files`` files as a new snapshot (the OPTIMIZE analog).

@@ -355,6 +355,118 @@ def test_catalog_store_swap_leftovers(spark, tmp_path):
     assert inspect_catalog_store(store)["clean"] is True
 
 
+def test_disaster_recovery_loop(spark, tmp_path):
+    """The full damage workflow fsck prescribes: a real synced
+    warehouse suffers external loss of its CURRENT snapshot → fsck
+    reports damage (exit 2) and reads fail → `rollback` restores the
+    surviving snapshot → fsck is clean, reads work, and a sync can
+    resume and commit on top."""
+    import shutil
+
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    df = wh.read("transfers")
+    wh.rewrite("transfers", df)  # v2
+    wh.rewrite("transfers", df)  # v3
+    assert wh.current_version("transfers") == "v_00000003"
+
+    # external interference: the live snapshot vanishes
+    shutil.rmtree(os.path.join(root, "transfers", "v_00000003"))
+    report = inspect_store(root)
+    assert report["exit_code"] == 2
+    assert "pointer_target_missing" in _kinds(report, "damage")
+    with pytest.raises(Exception):
+        wh.read("transfers").count()
+
+    # recovery: roll back to the newest intact survivor
+    wh.rollback("transfers", "v_00000002")
+    after = inspect_store(root, deep=True)
+    assert after["clean"] is True, after["findings"]
+    assert wh.read("transfers").count() == 0
+    assert wh.history("transfers") == ["v_00000001", "v_00000002"]
+
+    # the engine resumes writing on top of the restored state
+    wh.rewrite("transfers", wh.read("transfers"))
+    assert wh.current_version("transfers") == "v_00000003"
+    assert inspect_store(root, deep=True)["clean"] is True
+
+
+def test_rollback_safety_rails(spark, tmp_path):
+    """rollback refuses everything that is not an intact, committed
+    rollback target — and leaves newer dirs as the documented undo
+    window rather than sweeping them."""
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    wh.rewrite("transfers", wh.read("transfers"))  # v2
+
+    # dangling (newer-than-pointer) dir is not a target
+    os.makedirs(os.path.join(root, "transfers", "v_00000009"))
+    with pytest.raises(ValueError, match="newer than the committed"):
+        wh.rollback("transfers", "v_00000009")
+    # garbage names / absent dirs are not targets
+    with pytest.raises(ValueError, match="not an on-disk snapshot"):
+        wh.rollback("transfers", "v_00000007")
+    with pytest.raises(ValueError, match="not an on-disk snapshot"):
+        wh.rollback("transfers", "../outside")
+    # torn bytes inside the target are refused
+    bad = os.path.join(root, "transfers", "v_00000001")
+    victim = next(n for n in os.listdir(bad) if n.endswith(".parquet"))
+    with open(os.path.join(bad, victim), "wb") as f:
+        f.write(b"torn")
+    with pytest.raises(ValueError, match="unreadable parquet"):
+        wh.rollback("transfers", "v_00000001")
+    # no-pointer table has nothing to roll back
+    os.makedirs(os.path.join(root, "cards"))
+    with pytest.raises(ValueError, match="no committed pointer"):
+        wh.rollback("cards", "v_00000001")
+
+    # repair v1 so it is an intact target again, then pin the
+    # post-rollback semantics: the newer dir is LEFT on disk
+    # (hand-recoverable until the next write) and rolling FORWARD to
+    # it is refused — indistinguishable from a crashed write
+    os.remove(os.path.join(bad, victim))
+    pq.write_table(pa.table({"folio": ["F1"]}), os.path.join(bad, victim))
+    wh.rollback("transfers", "v_00000001")
+    assert wh.current_version("transfers") == "v_00000001"
+    assert os.path.isdir(os.path.join(root, "transfers", "v_00000002"))
+    wh.rollback("transfers", "v_00000001")  # idempotent on same target
+    with pytest.raises(ValueError, match="newer than the committed"):
+        wh.rollback("transfers", "v_00000002")
+
+
+def test_cli_rollback_roundtrip(spark, tmp_path):
+    """CLI surface: fsck finds the damage, rollback (in-process main)
+    repairs it, fsck exits 0."""
+    import shutil
+
+    from lavasmart_bank_sync_etl_spark import cli
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    wh.rewrite("transfers", wh.read("transfers"))  # v2
+    shutil.rmtree(os.path.join(root, "transfers", "v_00000002"))
+    assert cli.main(["fsck", "--warehouse", root]) == 2
+    assert cli.main([
+        "rollback", "--warehouse", root,
+        "--table", "transfers", "--version", "v_00000001",
+    ]) == 0
+    assert cli.main(["fsck", "--warehouse", root, "--deep"]) == 0
+    # refusal path: exit 2, pointer unchanged
+    assert cli.main([
+        "rollback", "--warehouse", root,
+        "--table", "transfers", "--version", "v_00000042",
+    ]) == 2
+    assert wh.current_version("transfers") == "v_00000001"
+
+
 @pytest.mark.usefixtures("spark")
 def test_fsck_agrees_with_real_warehouse(spark, tmp_path):
     """End-to-end agreement: a real Warehouse lifecycle reads clean;

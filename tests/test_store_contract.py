@@ -463,6 +463,22 @@ def test_undecodable_lock_bytes_are_stale_not_a_crash(spark, store):
     assert store.read("audit_log").count() == 1
 
 
+def test_overflow_pid_lock_is_stale_not_a_crash(spark, store):
+    """A pid beyond the kernel's 31-bit space in the lock file must
+    classify as stale junk, not raise OverflowError out of os.kill in
+    every acquirer (found by the fsck adversarial-tree property
+    test)."""
+    import os
+
+    store.ensure("audit_log")
+    lease = store.lock()
+    os.makedirs(store.root, exist_ok=True)
+    with open(lease.path, "w") as f:
+        f.write("9" * 64 + " -\n")
+    store.append("audit_log", _audit_row(spark, store, "r1", 1))
+    assert store.read("audit_log").count() == 1
+
+
 def test_crashed_verb_releases_lease(spark, store, monkeypatch):
     """An exception inside a leased critical section must release the
     lease (else one failed run bricks the store for its process
