@@ -440,6 +440,26 @@ def test_rollback_safety_rails(spark, tmp_path):
         wh.rollback("transfers", "v_00000002")
 
 
+def test_rollback_recovers_malformed_pointer(spark, tmp_path):
+    """When the pointer itself is the damage (tampered content that
+    does not parse as a version name), the newer-than-pointer rail
+    cannot apply — any INTACT snapshot is accepted, restoring a
+    readable pointer."""
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    wh.rewrite("transfers", wh.read("transfers"))  # v2
+    with open(os.path.join(root, "transfers", "_CURRENT"), "w") as f:
+        f.write("../tampered")
+    assert inspect_store(root)["exit_code"] == 2
+    wh.rollback("transfers", "v_00000002")
+    assert wh.current_version("transfers") == "v_00000002"
+    assert inspect_store(root, deep=True)["clean"] is True
+    assert wh.read("transfers").count() == 0
+
+
 def test_cli_rollback_roundtrip(spark, tmp_path):
     """CLI surface: fsck finds the damage, rollback (in-process main)
     repairs it, fsck exits 0."""
