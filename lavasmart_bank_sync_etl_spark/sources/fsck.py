@@ -150,7 +150,24 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
         )
         return {}
     versions = [n for n in entries if n.startswith("v_") and os.path.isdir(os.path.join(path, n))]
-    tombstones = [n for n in entries if n.startswith(_TOMBSTONE)]
+    tombstones = [
+        n for n in entries
+        if n.startswith(_TOMBSTONE) and os.path.isdir(os.path.join(path, n))
+    ]
+    # FILES wearing the protocol's reserved names are external junk:
+    # writers only ever create v_*/_rm_* DIRECTORIES and skip files in
+    # version math (sources/warehouse.py::_versions), so the junk can
+    # never surface as history or brick a write — and the committed
+    # table ROOT is engine-owned, so the stale-legacy-root sweep
+    # (every sync's migrate_legacy, every vacuum) removes it
+    for n in entries:
+        p = os.path.join(path, n)
+        if (n.startswith("v_") or n.startswith(_TOMBSTONE)) and os.path.isfile(p):
+            _finding(
+                out, "healable", table, "reserved_name_file",
+                f"{n} is a FILE wearing a snapshot/tombstone name; "
+                "writers ignore it and the next sync/vacuum sweeps it",
+            )
     root_parquet = [
         n for n in entries
         if n.endswith(".parquet") and os.path.isfile(os.path.join(path, n))

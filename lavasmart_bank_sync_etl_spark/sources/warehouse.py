@@ -194,10 +194,20 @@ class Warehouse:
             return None
 
     def _versions(self, table: str) -> list[str]:
-        """Every ``v_*`` dir on disk, committed or not, oldest first."""
+        """Every ``v_*`` DIRECTORY on disk, committed or not, oldest
+        first. The isdir filter matters: a writer only ever creates
+        snapshot directories, so a ``v_``-named FILE is external junk —
+        without the filter it would brick every writer
+        (``_clear_dangling`` rmtree-ing a file raises) and could
+        surface in ``history`` as an unreadable snapshot. Writers
+        ignore it; fsck reports it as damage."""
         if not self.exists(table):
             return []
-        return sorted(v for v in os.listdir(self.path(table)) if v.startswith("v_"))
+        path = self.path(table)
+        return sorted(
+            v for v in os.listdir(path)
+            if v.startswith("v_") and os.path.isdir(os.path.join(path, v))
+        )
 
     def history(self, table: str) -> list[str]:
         """COMMITTED snapshot names, oldest first. Dirs newer than the

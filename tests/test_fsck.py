@@ -255,6 +255,49 @@ def test_fsck_never_raises_on_adversarial_trees(tmp_path):
     prop()
 
 
+def test_reserved_name_file_is_healable(tmp_path):
+    """A FILE wearing a snapshot/tombstone name is external junk:
+    fsck reports it healable (writers skip it in version math; the
+    engine-owned root sweep removes it) — and it must NOT read as a
+    dangling snapshot or tombstone."""
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    open(os.path.join(root, "transfers", "v_00000099"), "w").close()
+    open(os.path.join(root, "transfers", "_rm_v_x"), "w").close()
+    report = inspect_store(root)
+    findings = [f for f in report["findings"] if f["kind"] == "reserved_name_file"]
+    assert len(findings) == 2
+    assert all(f["severity"] == "healable" for f in findings)
+    assert report["exit_code"] == 1
+    assert "dangling_snapshot" not in _kinds(report)
+    assert "tombstone" not in _kinds(report)
+
+
+def test_writers_tolerate_reserved_name_files(spark, tmp_path):
+    """The same junk must not brick writers: _clear_dangling used to
+    rmtree a v_-named FILE (NotADirectoryError on every write) and
+    history() could list it as an unreadable snapshot. Writers now
+    skip non-dirs; maintenance's root sweep then reclaims the junk,
+    converging fsck back to clean."""
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    junk = os.path.join(root, "transfers", "v_99999999")
+    open(junk, "w").close()
+    assert "reserved_name_file" in _kinds(inspect_store(root), "healable")
+    wh.rewrite("transfers", wh.read("transfers"))       # v2, no crash
+    wh.append("transfers", wh.read("transfers"))        # v3, no crash
+    assert wh.history("transfers") == [
+        "v_00000001", "v_00000002", "v_00000003"
+    ]  # junk never surfaces as history
+    wh.vacuum("transfers", keep=1)                      # sweeps the junk
+    assert wh.current_version("transfers") == "v_00000003"
+    assert not os.path.exists(junk)
+    assert inspect_store(root, deep=True)["clean"] is True
+
+
 def test_missing_root_is_damage(tmp_path):
     report = inspect_store(str(tmp_path / "nope"))
     assert report["exit_code"] == 2
