@@ -23,8 +23,8 @@ into three severities, and never mutates anything:
     protocol-impossible states only external interference produces
     (a ``_CURRENT`` pointer naming a missing or malformed snapshot,
     torn parquet bytes inside a COMMITTED snapshot): no writer heals
-    these; they need a human (restore the pointer to a surviving
-    snapshot, or roll back to an older version).
+    these; they need a human — the ``rollback`` verb restores the
+    pointer to an older intact snapshot after validating it.
 
 The CatalogStore backend gets its own entry point,
 ``inspect_catalog_store``: its FILE layout is metastore-managed (Spark
@@ -187,7 +187,8 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
         _finding(
             out, "damage", table, "pointer_unreadable",
             f"_CURRENT is not a readable one-line pointer "
-            f"({type(exc).__name__}); no writer produces or heals this",
+            f"({type(exc).__name__}); no writer produces or heals this "
+            "— remove the junk _CURRENT by hand, then `rollback`",
         )
         return {
             "pointer": None, "committed": [], "dangling": [],
@@ -221,7 +222,8 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
         _finding(
             out, "damage", table, "pointer_malformed",
             f"_CURRENT holds {pointer!r}, not a v_NNNNNNNN snapshot "
-            "name; no writer produces or heals this",
+            "name; no writer produces or heals this — `rollback` to "
+            "an intact snapshot restores a readable pointer",
         )
         return state
 
