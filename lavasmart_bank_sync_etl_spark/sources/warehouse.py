@@ -504,9 +504,15 @@ class Warehouse:
             return None
         cur = self.current_version(table)
         if cur is not None:
-            return self.spark.read.schema(ALL_TABLES[table]).parquet(
-                os.path.join(self.path(table), cur)
-            )
+            snap = os.path.join(self.path(table), cur)
+            if not os.path.isdir(snap):
+                # the pointer names a missing snapshot (external damage
+                # fsck reports as pointer_target_missing): a diagnostic
+                # verb must degrade like any other unreadable state,
+                # not die on Spark's raw PATH_NOT_FOUND — recovery is
+                # the rollback verb, not a read
+                return None
+            return self.spark.read.schema(ALL_TABLES[table]).parquet(snap)
         # no pointer: serve the legacy root files by EXPLICIT list so a
         # dangling v_* leftover next to them cannot trip Spark's
         # mixed-depth directory refusal (a writer's ensure heals that)

@@ -503,6 +503,31 @@ def test_rollback_recovers_malformed_pointer(spark, tmp_path):
     assert wh.read("transfers").count() == 0
 
 
+def test_read_verbs_degrade_on_damaged_pointer(spark, tmp_path, capsys):
+    """A read verb pointed at a DAMAGED store (pointer names a missing
+    snapshot) must degrade to the empty canonical shape with a
+    warning — peek returns None — not die on Spark's raw
+    PATH_NOT_FOUND; recovery is rollback's job."""
+    import shutil
+
+    from lavasmart_bank_sync_etl_spark import cli
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    wh.rewrite("transfers", wh.read("transfers"))  # v2
+    shutil.rmtree(os.path.join(root, "transfers", "v_00000002"))
+    assert wh.peek("transfers") is None
+    rc = cli.main([
+        "sql", "--warehouse", root, "SELECT COUNT(*) AS n FROM transfers",
+    ])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert '"n":0' in captured.out.replace(" ", "")
+    assert "no readable state" in captured.err
+
+
 def test_cli_rollback_roundtrip(spark, tmp_path):
     """CLI surface: fsck finds the damage, rollback (in-process main)
     repairs it, fsck exits 0."""
