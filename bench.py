@@ -21,19 +21,59 @@ import sys
 import time
 
 
-def should_persist(sf_dir: str, reps: int, env: dict) -> bool:
+# A canonical record must be taken on an idle machine: concurrent
+# sandbox load inflates individual queries up to 5x and the whole
+# suite up to ~1.4x (rounds 8 AND 9 both burned adjudication time on
+# a loaded refresh). 16 = half the 32 local cores busy with EXTERNAL
+# work in the minute before the run — far above post-pytest loadavg
+# decay on an actually-idle box, far below the ~30+ of a concurrent
+# test suite.
+MAX_CANONICAL_LOADAVG = 16.0
+
+
+def should_persist(
+    sf_dir: str, reps: int, env: dict, loadavg1: float | None = None
+) -> bool:
     """Persist the in-repo BENCH_FULL*.json records only for
-    canonical-profile runs (default sf0.1 dir, reps>=2, 32 cpus) —
-    an off-profile probe must never clobber the committed canonical
-    numbers. SPARK_GRAFT_BENCH_PERSIST=1 forces persistence for a
-    deliberate off-profile record."""
+    canonical-profile runs (default sf0.1 dir, reps>=2, 32 cpus) on a
+    machine that was idle going in (1-min loadavg at start <=
+    MAX_CANONICAL_LOADAVG; None = unknown platform, allowed) — an
+    off-profile or load-contaminated run must never clobber the
+    committed canonical numbers. SPARK_GRAFT_BENCH_PERSIST=1 forces
+    persistence for a deliberate off-profile record."""
     if env.get("SPARK_GRAFT_BENCH_PERSIST") == "1":
         return True
+    if loadavg1 is not None and loadavg1 > MAX_CANONICAL_LOADAVG:
+        return False
     return (
         sf_dir.rstrip("/") == "/root/testdata/sf0.1"
         and reps >= 2
         and env.get("SPARK_GRAFT_CPUS", "32") == "32"
     )
+
+
+def _proc_stat_sample() -> tuple[int, int] | None:
+    """(busy, total) jiffies from /proc/stat line 1, or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            fields = [int(x) for x in fh.readline().split()[1:]]
+    except (OSError, ValueError, IndexError):
+        return None
+    if len(fields) < 5:
+        return None
+    total = sum(fields)
+    idle = fields[3] + (fields[4] if len(fields) > 4 else 0)  # idle + iowait
+    return total - idle, total
+
+
+def _cpu_busy_pct(start, end) -> float | None:
+    """Whole-machine busy%% between two _proc_stat_sample() readings."""
+    if start is None or end is None:
+        return None
+    dbusy, dtotal = end[0] - start[0], end[1] - start[1]
+    if dtotal <= 0:
+        return None
+    return round(100.0 * dbusy / dtotal, 1)
 
 
 def main() -> None:
@@ -43,6 +83,15 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
     from lavasmart_bank_sync_etl_spark.session import get_spark
+
+    # Sample load BEFORE the session spins up: the 1-min loadavg here
+    # reflects external work only, which is what decides whether this
+    # run may become the canonical record.
+    try:
+        load_start = os.getloadavg()
+    except OSError:
+        load_start = None
+    stat_start = _proc_stat_sample()
 
     spark = get_spark("lavasmart-bench")
     # warmup: trigger JVM + parquet footer reads
@@ -70,6 +119,11 @@ def main() -> None:
         timings[name] = round(best, 3) if best is not None else -1.0
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    try:
+        load_end = os.getloadavg()
+    except OSError:
+        load_end = None
+    stat_end = _proc_stat_sample()
     payload = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -81,6 +135,14 @@ def main() -> None:
         "reps": reps,
         "timing": "min_of_reps",
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        # Load context: drift adjudication ("is 1.3x real?") should be a
+        # field in the artifact, not a post-hoc inference. cpu_busy_pct
+        # covers the run itself (bench alone saturates bursts, but a
+        # suite-long >90%% mean on 32 cores means a co-tenant);
+        # loadavg_start is the persistence gate.
+        "loadavg_start": [round(x, 2) for x in load_start] if load_start else None,
+        "loadavg_end": [round(x, 2) for x in load_end] if load_end else None,
+        "cpu_busy_pct": _cpu_busy_pct(stat_start, stat_end),
     }
     # The driver tail-truncates stdout to ~62 per-query times; persist the
     # COMPLETE artifact in-repo so the 2x-of-baseline bound is checkable
@@ -91,9 +153,11 @@ def main() -> None:
     # An off-profile probe (sf0.01, 8 cpus, 1 rep) used to silently
     # clobber the committed records, which then needed a manual
     # `git restore` — the clobber bit twice across rounds.
-    if not should_persist(sf_dir, reps, os.environ):
+    loadavg1 = load_start[0] if load_start else None
+    if not should_persist(sf_dir, reps, os.environ, loadavg1):
         print(
-            "# bench NOTE off-profile run: BENCH_FULL*.json left untouched "
+            "# bench NOTE off-profile or loaded run "
+            f"(loadavg1={loadavg1}): BENCH_FULL*.json left untouched "
             "(set SPARK_GRAFT_BENCH_PERSIST=1 to persist)",
             file=sys.stderr,
         )

@@ -35,3 +35,28 @@ def test_force_flag_overrides_everything():
     assert not bench.should_persist(
         "/root/testdata/sf0.001", 1, {"SPARK_GRAFT_BENCH_PERSIST": "0"}
     )
+
+
+def test_loaded_machine_does_not_persist():
+    # at-or-below the threshold persists; above refuses even on the
+    # canonical profile (a load-contaminated record would poison the
+    # 2x-of-baseline comparison)
+    assert bench.should_persist(CANON_DIR, 2, {}, bench.MAX_CANONICAL_LOADAVG)
+    assert not bench.should_persist(
+        CANON_DIR, 2, {}, bench.MAX_CANONICAL_LOADAVG + 0.1
+    )
+    # unknown load (non-Linux getloadavg failure) stays permissive
+    assert bench.should_persist(CANON_DIR, 2, {}, None)
+    # the force flag overrides the load gate too (deliberate records)
+    assert bench.should_persist(
+        CANON_DIR, 2, {"SPARK_GRAFT_BENCH_PERSIST": "1"}, 999.0
+    )
+
+
+def test_load_context_sampling():
+    s = bench._proc_stat_sample()
+    assert s is not None and s[1] >= s[0] >= 0  # Linux sandbox
+    # busy% math: 40 busy of 100 total jiffies elapsed -> 40.0
+    assert bench._cpu_busy_pct((100, 1000), (140, 1100)) == 40.0
+    assert bench._cpu_busy_pct(None, (1, 2)) is None
+    assert bench._cpu_busy_pct((100, 1000), (100, 1000)) is None  # no elapsed
