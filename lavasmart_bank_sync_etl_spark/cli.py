@@ -433,14 +433,21 @@ def cmd_rollback(args: argparse.Namespace) -> int:
 
     spark = get_spark("lavasmart-rollback")
     wh = Warehouse(spark, args.warehouse)
-    before = wh.current_version(args.table)
+    # tolerant read: rollback is the verb fsck prescribes for an
+    # UNREADABLE pointer (a directory, binary junk), so the before-
+    # state probe must not crash on exactly that damage
+    before, damaged = wh.pointer_state(args.table)
     try:
         wh.rollback(args.table, args.version)
-    except ValueError as exc:
+    except (ValueError, OSError, UnicodeDecodeError) as exc:
         print(f"error: {exc}", file=sys.stderr)
         return 2
     print(json.dumps(
-        {"table": args.table, "from": before, "to": args.version},
+        {
+            "table": args.table,
+            "from": "<unreadable>" if damaged else before,
+            "to": args.version,
+        },
         sort_keys=True,
     ))
     return 0

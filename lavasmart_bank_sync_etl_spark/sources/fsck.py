@@ -54,6 +54,7 @@ from .warehouse import (
     _TOMBSTONE,
     _VERSION_RE,
     _parquet_columns,
+    _pyarrow_available,
 )
 
 SEVERITIES = ("info", "healable", "damage")
@@ -68,8 +69,9 @@ def _finding(out: dict, severity: str, table: str | None, kind: str, detail: str
 def _snapshot_footers_ok(path: str) -> list[str]:
     """Names of parquet files under one snapshot dir whose footer does
     not read back — torn bytes inside what claims to be committed
-    state. Unknown (pyarrow absent) is reported as unreadable: fsck
-    must not certify bytes it could not check."""
+    state. Callers gate on ``_pyarrow_available()`` first: with no
+    checker, "could not check" must surface as ``deep_unavailable``,
+    not as per-file torn-bytes damage."""
     try:
         names = sorted(os.listdir(path))
     except OSError:
@@ -149,7 +151,14 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
             "fsck cannot certify what it cannot see",
         )
         return {}
-    versions = [n for n in entries if n.startswith("v_") and os.path.isdir(os.path.join(path, n))]
+    v_dirs = [n for n in entries if n.startswith("v_") and os.path.isdir(os.path.join(path, n))]
+    # writers only ever produce v_NNNNNNNN directories; a v_* dir whose
+    # name fails that format is external junk that must not be
+    # classified as committed/dangling below — history()'s string
+    # compare WOULD expose one sorting below the pointer as a
+    # time-travel target, which is exactly why it gets a finding
+    versions = [n for n in v_dirs if _VERSION_RE.fullmatch(n)]
+    malformed_dirs = [n for n in v_dirs if not _VERSION_RE.fullmatch(n)]
     tombstones = [
         n for n in entries
         if n.startswith(_TOMBSTONE) and os.path.isdir(os.path.join(path, n))
@@ -188,8 +197,19 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
             out, "damage", table, "pointer_unreadable",
             f"_CURRENT is not a readable one-line pointer "
             f"({type(exc).__name__}); no writer produces or heals this "
-            "— remove the junk _CURRENT by hand, then `rollback`",
+            "— `rollback` to an intact snapshot (it clears the junk "
+            "pointer itself; do NOT delete _CURRENT by hand — a store "
+            "with no pointer reads as never-committed and the next "
+            "writer's sweep would reclaim every surviving snapshot)",
         )
+        for m in malformed_dirs:
+            _finding(
+                out, "damage", table, "malformed_version_dir",
+                f"{m} is a directory wearing a name no writer produces; "
+                "with the pointer unreadable nothing sweeps it — remove "
+                "the junk dir by hand after `rollback` restores the "
+                "pointer",
+            )
         return {
             "pointer": None, "committed": [], "dangling": [],
             "tombstones": tombstones, "root_parquet": len(root_parquet),
@@ -202,6 +222,32 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
         "tombstones": tombstones,
         "root_parquet": len(root_parquet),
     }
+
+    for m in malformed_dirs:
+        # healable only when a writer's sweep actually reclaims it:
+        # no pointer → _clear_dangling clears EVERY v_* dir; valid
+        # pointer and the junk sorts above it → the dangling sweep
+        # clears it. Otherwise (sorts at/below a valid pointer, or the
+        # pointer itself is malformed so writers crash before any
+        # sweep) it masquerades as committed history — external junk
+        # no writer heals.
+        swept = pointer is None or (
+            _VERSION_RE.fullmatch(pointer) and m > pointer
+        )
+        if swept:
+            _finding(
+                out, "healable", table, "malformed_version_dir",
+                f"{m} is a directory wearing a name no writer produces; "
+                "the next writer's sweep clears it",
+            )
+        else:
+            _finding(
+                out, "damage", table, "malformed_version_dir",
+                f"{m} is a directory wearing a name no writer produces "
+                "and sorts into committed history (history()/time "
+                "travel would expose it); no writer heals this — "
+                "remove the junk dir by hand",
+            )
 
     for t in tombstones:
         _finding(
@@ -299,15 +345,27 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
                 "the root under a committed pointer; swept by the next "
                 "migrate/maintain",
             )
-    if deep:
-        for v in state["committed"]:
+    if _pyarrow_available():
+        # The CURRENT snapshot — the one every read resolves first —
+        # is footer-checked even in the default run (one snapshot's
+        # worth of footer reads, O(files-in-current), so torn-committed
+        # damage on the hot table surfaces immediately); ``--deep``
+        # extends the same check to ALL committed history. With
+        # pyarrow absent neither can run and inspect_store reports
+        # that ONCE as ``deep_unavailable`` instead of letting every
+        # per-file probe fail identically and read as torn bytes.
+        targets = state["committed"] if deep else (
+            [pointer] if pointer in state["committed"] else []
+        )
+        for v in targets:
             bad = _snapshot_footers_ok(os.path.join(path, v))
             if bad:
+                which = "CURRENT " if v == pointer else ""
                 _finding(
                     out, "damage", table, "torn_committed_snapshot",
                     f"{v} holds {len(bad)} parquet file(s) with unreadable "
-                    "footers inside COMMITTED state — protocol-impossible; "
-                    "`rollback` to an older intact snapshot",
+                    f"footers inside {which}COMMITTED state — protocol-"
+                    "impossible; `rollback` to an older intact snapshot",
                 )
     return state
 
@@ -321,13 +379,26 @@ def inspect_store(root: str, deep: bool = False) -> dict:
          "tables": {name: {pointer, committed, dangling, ...}},
          "unknown_entries": [...]}
 
-    ``deep=True`` additionally reads every parquet footer inside every
-    committed snapshot (torn-bytes detection) — O(files) driver-side,
-    so it is opt-in; the structural checks are metadata-only either
-    way. Exit code convention: 0 clean (info findings allowed), 1
-    healable findings (the next write converges them), 2 damage (human
+    The default run reads the parquet footers of each table's CURRENT
+    snapshot only (the state users actually read; cost is one
+    snapshot's footer reads per table). ``deep=True`` additionally
+    reads every footer inside every committed snapshot (full
+    torn-bytes detection) — O(all files) driver-side, so it is opt-in;
+    the structural checks are metadata-only either way. When pyarrow
+    is unavailable no footer can be read at all: that is reported ONCE
+    as an info-level ``deep_unavailable`` finding (could-not-check,
+    not damage — an intact store must not read as externally torn).
+    Exit code convention: 0 clean (info findings allowed), 1 healable
+    findings (the next write converges them), 2 damage (human
     required)."""
     out: dict = {"root": root, "findings": [], "tables": {}}
+    if not _pyarrow_available():
+        _finding(
+            out, "info", None, "deep_unavailable",
+            "pyarrow is unavailable: parquet footers were NOT checked "
+            "(current-snapshot and --deep certification skipped; "
+            "could-not-check is not damage)",
+        )
     try:
         root_entries = sorted(os.listdir(root)) if os.path.isdir(root) else None
     except OSError:

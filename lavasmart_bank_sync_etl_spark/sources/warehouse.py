@@ -140,6 +140,19 @@ def _parquet_columns(path: str) -> set[str] | None:
         return None
 
 
+def _pyarrow_available() -> bool:
+    """Whether footer validation CAN run. Callers that would otherwise
+    conflate "could not check" with "torn bytes" (rollback's intact-
+    target rail, fsck --deep) branch on this once instead of letting
+    every per-file probe fail identically."""
+    try:
+        import pyarrow.parquet  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
 def _v1_files(root: str) -> tuple[list[str], bool]:
     """(v1-shaped parquet file names under ``root``, any-unreadable
     flag). Probes EVERY root parquet footer — a mixed-schema root
@@ -193,6 +206,24 @@ class Warehouse:
         except FileNotFoundError:
             return None
 
+    def pointer_state(self, table: str) -> tuple[str | None, bool]:
+        """``(value, damaged)`` tolerant twin of ``current_version``
+        for DIAGNOSTIC/RECOVERY paths: ``value`` is the stripped
+        pointer text (None when no pointer file exists), ``damaged``
+        is True when ``_CURRENT`` exists but cannot be read as the
+        one-line text file the protocol writes (a directory, binary
+        junk, permissions — external interference). Writers keep the
+        strict reader on purpose: crashing loudly on a damaged pointer
+        beats writing past it; only ``rollback``/``peek``/fsck-style
+        verbs may degrade."""
+        try:
+            with open(self._pointer(table)) as f:
+                return f.read().strip(), False
+        except FileNotFoundError:
+            return None, False
+        except (OSError, UnicodeDecodeError):
+            return None, True
+
     def _versions(self, table: str) -> list[str]:
         """Every ``v_*`` DIRECTORY on disk, committed or not, oldest
         first. The isdir filter matters: a writer only ever creates
@@ -200,7 +231,8 @@ class Warehouse:
         without the filter it would brick every writer
         (``_clear_dangling`` rmtree-ing a file raises) and could
         surface in ``history`` as an unreadable snapshot. Writers
-        ignore it; fsck reports it as damage."""
+        ignore it; fsck reports it as healable (``reserved_name_file``
+        — the root sweep reclaims it)."""
         if not self.exists(table):
             return []
         path = self.path(table)
@@ -502,7 +534,13 @@ class Warehouse:
         crashed or in-use warehouse must not mutate it."""
         if not self.exists(table):
             return None
-        cur = self.current_version(table)
+        cur, damaged = self.pointer_state(table)
+        if damaged:
+            # _CURRENT exists but is unreadable (a directory, binary
+            # junk — fsck's pointer_unreadable): committed state is
+            # unknowable, so degrade rather than crash or fall through
+            # to the legacy root; recovery is the rollback verb
+            return None
         if cur is not None:
             snap = os.path.join(self.path(table), cur)
             if not os.path.isdir(snap):
@@ -645,12 +683,22 @@ class Warehouse:
 
         Safety rails: the target must be an intact on-disk snapshot —
         name in the writer's own format, directory present, every
-        parquet footer readable — and, when the current pointer still
-        parses as a writer-written version name, the target must not
-        be NEWER than it (a newer dir is a crashed write's dangling
-        leftover; publishing it would expose never-committed state).
-        A pointer that does NOT parse is itself the damage being
-        recovered from, so any intact target is accepted then.
+        parquet footer readable (footer validation is skipped, with a
+        warning in the error path only, when pyarrow is unavailable:
+        refusing EVERY target because the checker is missing would
+        make recovery impossible, the opposite of a safety rail) —
+        and, when the current pointer still parses as a writer-written
+        version name, the target must not be NEWER than it (a newer
+        dir is a crashed write's dangling leftover; publishing it
+        would expose never-committed state). A pointer that does NOT
+        parse — malformed text, binary junk, even a directory wearing
+        the ``_CURRENT`` name — is itself the damage being recovered
+        from, so any intact target is accepted then; an unreadable
+        junk ``_CURRENT`` is cleared by rollback itself immediately
+        before the pointer commit (operators must NEVER pre-delete it
+        by hand: a store with no pointer at all reads as
+        never-committed, and the next writer's dangling sweep would
+        reclaim every surviving snapshot).
 
         Deliberately NO sweep of now-newer dirs: rolling FORWARD is
         refused by the same rail (once the pointer moved back, a newer
@@ -660,8 +708,8 @@ class Warehouse:
         until the next write, when ``_clear_dangling`` reclaims
         them."""
         with self._lease:
-            cur = self.current_version(table)
-            if cur is None:
+            cur, cur_damaged = self.pointer_state(table)
+            if cur is None and not cur_damaged:
                 raise ValueError(
                     f"{table} has no committed pointer to roll back; "
                     "nothing was ever published"
@@ -671,22 +719,38 @@ class Warehouse:
                 raise ValueError(
                     f"{table}/{version} is not an on-disk snapshot"
                 )
-            if _VERSION_RE.fullmatch(cur) and version > cur:
+            if cur is not None and _VERSION_RE.fullmatch(cur) and version > cur:
                 raise ValueError(
                     f"{table}/{version} is newer than the committed "
                     f"pointer {cur} — an uncommitted leftover, not a "
                     "rollback target"
                 )
-            torn = [
-                n for n in sorted(os.listdir(path))
-                if n.endswith(".parquet")
-                and _parquet_columns(os.path.join(path, n)) is None
-            ]
-            if torn:
-                raise ValueError(
-                    f"{table}/{version} holds unreadable parquet "
-                    f"({torn[:3]}…): not an intact rollback target"
-                )
+            if _pyarrow_available():
+                torn = [
+                    n for n in sorted(os.listdir(path))
+                    if n.endswith(".parquet")
+                    and _parquet_columns(os.path.join(path, n)) is None
+                ]
+                if torn:
+                    raise ValueError(
+                        f"{table}/{version} holds unreadable parquet "
+                        f"({torn[:3]}…): not an intact rollback target"
+                    )
+            if cur_damaged:
+                # junk _CURRENT (a directory — a plain file is simply
+                # overwritten by the atomic replace below). POSIX can't
+                # atomically swap a dir for a file, so rename it aside
+                # to a tombstone name first (the next writer/vacuum
+                # sweeps it); the no-pointer window is the two syscalls
+                # between this rename and _commit's os.replace — the
+                # unavoidable minimum, vs. the unbounded window of an
+                # operator deleting _CURRENT by hand and never running
+                # rollback
+                ptr = self._pointer(table)
+                if os.path.isdir(ptr):
+                    os.rename(
+                        ptr, os.path.join(self.path(table), _TOMBSTONE + _CURRENT)
+                    )
             self._commit(table, version)
             self.spark.catalog.refreshByPath(path)
 

@@ -94,18 +94,92 @@ def test_malformed_pointer_is_damage(tmp_path):
     assert report["exit_code"] == 2
 
 
-def test_torn_committed_snapshot_needs_deep(tmp_path):
+def test_torn_older_snapshot_needs_deep(tmp_path):
     root = str(tmp_path)
-    path = _mk_snapshot(root, "transfers", "v_00000001")
-    # overwrite a committed file with torn bytes (protocol-impossible:
-    # committed snapshots are immutable — only external interference)
-    with open(os.path.join(path, "part-0.parquet"), "wb") as f:
+    old = _mk_snapshot(root, "transfers", "v_00000001")
+    _mk_snapshot(root, "transfers", "v_00000002")  # pointer moves here
+    # overwrite an OLDER committed file with torn bytes (protocol-
+    # impossible: committed snapshots are immutable — only external
+    # interference). The default run certifies only the CURRENT
+    # snapshot's footers, so history damage needs --deep.
+    with open(os.path.join(old, "part-0.parquet"), "wb") as f:
         f.write(b"not parquet")
     shallow = inspect_store(root, deep=False)
-    assert shallow["exit_code"] == 0  # structural checks can't see bytes
+    assert shallow["exit_code"] == 0  # current snapshot is intact
     deep = inspect_store(root, deep=True)
     assert "torn_committed_snapshot" in _kinds(deep, "damage")
     assert deep["exit_code"] == 2
+
+
+def test_torn_current_snapshot_caught_by_default(tmp_path):
+    """The snapshot users actually read is footer-checked WITHOUT
+    --deep: torn bytes on the hot table must surface immediately, at
+    the cost of one snapshot's footer reads per table."""
+    root = str(tmp_path)
+    path = _mk_snapshot(root, "transfers", "v_00000001")
+    with open(os.path.join(path, "part-0.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    shallow = inspect_store(root, deep=False)
+    assert "torn_committed_snapshot" in _kinds(shallow, "damage")
+    assert shallow["exit_code"] == 2
+    assert any(
+        "CURRENT" in f["detail"]
+        for f in shallow["findings"]
+        if f["kind"] == "torn_committed_snapshot"
+    )
+
+
+def test_deep_unavailable_when_pyarrow_missing(tmp_path, monkeypatch):
+    """With no footer checker, 'could not check' must read as ONE info
+    finding (deep_unavailable), never as per-snapshot torn-bytes
+    damage prescribing a rollback that would itself refuse every
+    target for the same reason."""
+    import lavasmart_bank_sync_etl_spark.sources.fsck as fsck_mod
+
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000001")
+    _mk_snapshot(root, "cards", "v_00000001")
+    monkeypatch.setattr(fsck_mod, "_pyarrow_available", lambda: False)
+    report = inspect_store(root, deep=True)
+    assert "torn_committed_snapshot" not in _kinds(report)
+    assert "deep_unavailable" in _kinds(report, "info")
+    assert sum(
+        1 for f in report["findings"] if f["kind"] == "deep_unavailable"
+    ) == 1  # once per run, not per table/snapshot
+    assert report["exit_code"] == 0
+
+
+def test_malformed_version_dir_findings(tmp_path):
+    """A DIRECTORY wearing a name no writer produces gets a finding
+    whose severity tracks whether any writer sweep reclaims it:
+    sorts at/below a valid pointer (masquerades as committed history)
+    → damage; above the pointer or in a never-committed table (the
+    dangling sweep clears it) → healable — and it never appears in
+    the committed/dangling state lists."""
+    root = str(tmp_path)
+    _mk_snapshot(root, "transfers", "v_00000002")
+    os.makedirs(os.path.join(root, "transfers", "v_00000000x"))  # sorts below
+    os.makedirs(os.path.join(root, "transfers", "v_junk"))       # sorts above
+    report = inspect_store(root)
+    by_sev = {
+        f["detail"].split()[0]: f["severity"]
+        for f in report["findings"]
+        if f["kind"] == "malformed_version_dir"
+    }
+    assert by_sev == {"v_00000000x": "damage", "v_junk": "healable"}
+    assert report["tables"]["transfers"]["committed"] == ["v_00000002"]
+    assert report["tables"]["transfers"]["dangling"] == []
+    assert report["exit_code"] == 2
+
+    # never-committed table: every v_* dir is cleared by the next
+    # writer, junk names included
+    os.makedirs(os.path.join(root, "cards", "v_abc"))
+    report = inspect_store(root)
+    assert ("cards", "healable") in {
+        (f["table"], f["severity"])
+        for f in report["findings"]
+        if f["kind"] == "malformed_version_dir"
+    }
 
 
 def test_legacy_layout_states(tmp_path):
@@ -501,6 +575,90 @@ def test_rollback_recovers_malformed_pointer(spark, tmp_path):
     assert wh.current_version("transfers") == "v_00000002"
     assert inspect_store(root, deep=True)["clean"] is True
     assert wh.read("transfers").count() == 0
+
+
+def test_rollback_recovers_unreadable_pointer(spark, tmp_path):
+    """When _CURRENT cannot even be READ as text (binary junk, or a
+    directory wearing the name), rollback is still the prescribed
+    recovery verb: it reads the pointer tolerantly, accepts any intact
+    snapshot, clears the junk itself, and never asks the operator to
+    pre-delete _CURRENT (a pointer-less store reads as never-committed
+    and the next writer's sweep would reclaim every snapshot)."""
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    wh.rewrite("transfers", wh.read("transfers"))  # v2
+    cur = os.path.join(root, "transfers", "_CURRENT")
+
+    # binary junk pointer
+    with open(cur, "wb") as f:
+        f.write(b"\xff\xfe\x00junk")
+    assert "pointer_unreadable" in _kinds(inspect_store(root), "damage")
+    assert wh.peek("transfers") is None  # read verbs degrade, not crash
+    wh.rollback("transfers", "v_00000002")
+    assert wh.current_version("transfers") == "v_00000002"
+    assert inspect_store(root, deep=True)["clean"] is True
+
+    # _CURRENT as a DIRECTORY (os.replace cannot overwrite it; rollback
+    # renames it aside to a tombstone the next writer sweeps)
+    os.unlink(cur)
+    os.makedirs(os.path.join(cur, "nested"))
+    open(os.path.join(cur, "nested", "junk"), "w").close()
+    assert "pointer_unreadable" in _kinds(inspect_store(root), "damage")
+    wh.rollback("transfers", "v_00000001")
+    assert wh.current_version("transfers") == "v_00000001"
+    assert wh.read("transfers").count() == 0
+    # the junk dir became a tombstone; the next writer reclaims it
+    wh.rewrite("transfers", wh.read("transfers"))
+    assert inspect_store(root, deep=True)["clean"] is True
+
+    # the surviving snapshots were NEVER dangling-swept away
+    assert wh.history("transfers") == ["v_00000001", "v_00000002"]
+
+
+def test_cli_rollback_survives_unreadable_pointer(spark, tmp_path):
+    """The CLI verb's before-state probe and error path must not
+    traceback on the exact damage rollback exists to repair."""
+    from lavasmart_bank_sync_etl_spark import cli
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    cur = os.path.join(root, "transfers", "_CURRENT")
+    os.unlink(cur)
+    os.makedirs(cur)
+    assert cli.main([
+        "rollback", "--warehouse", root,
+        "--table", "transfers", "--version", "v_00000001",
+    ]) == 0
+    assert wh.current_version("transfers") == "v_00000001"
+    # refusal with a damaged pointer and a bogus target: clean exit 2
+    os.unlink(cur) if os.path.isfile(cur) else None
+    with open(cur, "wb") as f:
+        f.write(b"\xff\xfe")
+    assert cli.main([
+        "rollback", "--warehouse", root,
+        "--table", "transfers", "--version", "v_00000042",
+    ]) == 2
+
+
+def test_rollback_skips_footer_check_without_pyarrow(spark, tmp_path, monkeypatch):
+    """With pyarrow absent every footer probe returns None; rollback
+    must not conflate 'could not check' with 'torn' and refuse every
+    target (recovery would be impossible exactly when prescribed)."""
+    import lavasmart_bank_sync_etl_spark.sources.warehouse as wh_mod
+    from lavasmart_bank_sync_etl_spark.sources.warehouse import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    wh.rewrite("transfers", wh.read("transfers"))  # v2
+    monkeypatch.setattr(wh_mod, "_pyarrow_available", lambda: False)
+    wh.rollback("transfers", "v_00000001")
+    assert wh.current_version("transfers") == "v_00000001"
 
 
 def test_read_verbs_degrade_on_damaged_pointer(spark, tmp_path, capsys):
