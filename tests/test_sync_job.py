@@ -535,3 +535,71 @@ def test_crash_after_audit_before_rewrite_converges(spark, wh):
         if r["folio"] == "0-1" and r["accion"] == ACTION_UPDATE
     ]
     assert len(audit) == 1 and audit[0]["run_id"] == "runC"
+
+
+def test_concurrent_sync_jobs_one_fails_fast(spark, wh):
+    """Two WHOLE SyncJob.runs overlapping on one warehouse: the run
+    holds the store's single-writer lease end-to-end, so the second
+    job fails fast with ConcurrentWriterError at its first write
+    attempt — no interleaved reads/rewrites — while the first run
+    completes normally and the warehouse ends invariant-clean.
+    Store-level mutual exclusion is proved with real contending
+    processes in test_store_contract.py; this pins the JOB-level
+    contract on both backends."""
+    import threading
+
+    from test_week_sim import check_invariants
+
+    from lavasmart_bank_sync_etl_spark.sources.lease import (
+        ConcurrentWriterError,
+    )
+
+    # a second, independent store handle over the SAME root — the
+    # realistic shape of a second writer (its own lease object)
+    wh_b = type(wh)(spark, wh.root)
+
+    # gate job A inside its lease-held critical section:
+    # migrate_legacy is _run's first statement, i.e. the lease is
+    # already held when `started` fires and stays held until `release`
+    started, release = threading.Event(), threading.Event()
+    orig_migrate = wh.migrate_legacy
+
+    def gated_migrate():
+        started.set()
+        assert release.wait(timeout=120), "job B never released job A"
+        return orig_migrate()
+
+    wh.migrate_legacy = gated_migrate
+
+    result: dict = {}
+
+    def job_a():
+        try:
+            result["summary"] = run(spark, wh, [row("A-1", 2)])
+        except Exception as exc:  # surfaced after join
+            result["exc"] = exc
+
+    t = threading.Thread(target=job_a, daemon=True)
+    t.start()
+    assert started.wait(timeout=120), "job A never reached its run body"
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            SyncJob(spark, wh_b, *WIN).run(
+                src_df(spark, [row("B-1", 3, monto=77.0)])
+            )
+    finally:
+        release.set()
+    t.join(timeout=300)
+    assert not t.is_alive(), "job A did not finish"
+    assert "summary" in result, result.get("exc")
+    assert result["summary"].get("insert") == 1
+
+    # only job A's work landed; the store is invariant-clean and
+    # writable again (the lease was released, not leaked)
+    assert set(folios(wh_b, "transfers")) == {"A-1"}
+    check_invariants(wh_b)
+    after = SyncJob(spark, wh_b, *WIN).run(
+        src_df(spark, [row("B-1", 3, monto=77.0)])
+    )
+    assert after.get("insert") == 1
+    assert set(folios(wh_b, "transfers")) == {"A-1", "B-1"}
