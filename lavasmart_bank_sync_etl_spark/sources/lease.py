@@ -15,11 +15,17 @@ first and ``os.link``ed to the lock name (hard-link creation fails if
 the name exists), so no reader can ever observe an empty/torn lock
 that a racing writer would misclassify as stale — the TOCTOU a plain
 O_EXCL-create-then-write would have. On filesystems without hard
-links the create degrades to O_EXCL + immediate write: the empty-lock
-window returns for the open→write interval (which scheduling can
-stretch), mitigated best-effort by the acquirer's grace re-read
-before classifying an unparseable lock stale, and accepted as part of
-the degraded mode. Mutating store verbs acquire the lease around their critical
+links the create degrades to O_EXCL + immediate write, and the
+empty-lock window of the open→write interval is closed by a
+PERMANENT SIDE FILE (``_WRITER_LOCK.flock``) flocked for the duration
+of the create: a prober that finds an unparseable lock first tries
+the side flock non-blocking — busy means a live writer is inside its
+create window (raise ConcurrentWriterError, steal nothing), and
+flock's kernel ownership auto-releases if that writer dies, so a
+crashed mid-create writer still classifies stale. Where even flock is
+unsupported the prober falls back to the original best-effort grace
+re-read (kept in all paths as belt-and-braces) before classifying an
+unparseable lock stale. Mutating store verbs acquire the lease around their critical
 section; ``SyncJob.run`` holds it for the whole run so two
 overlapping syncs fail fast rather than interleave at call
 granularity. Reentrant per lease instance FOR THE ACQUIRING THREAD —
@@ -194,12 +200,46 @@ class WriterLease:
         pid = os.getpid()
         return f"{pid} {_start_token(pid) or '-'}\n"
 
+    def _side_flock(self, blocking: bool) -> int | None:
+        """Acquire the permanent side file's flock; returns the fd (the
+        caller closes it to release) or None when the platform/FS does
+        not support flock (callers keep their grace-re-read fallback).
+        Non-blocking mode raises ``ConcurrentWriterError`` when the
+        flock is busy: the only holder is a degraded-path creator
+        inside its create window — a LIVE writer, never to be robbed.
+        flock is kernel-owned, so a creator that dies mid-window
+        releases it automatically (no new stale state to sweep); the
+        side file itself is inert litter fsck ignores."""
+        try:
+            import fcntl
+        except ImportError:
+            return None
+        try:
+            fd = os.open(self.path + ".flock", os.O_CREAT | os.O_RDWR)
+        except OSError:
+            return None
+        flags = fcntl.LOCK_EX if blocking else fcntl.LOCK_EX | fcntl.LOCK_NB
+        try:
+            fcntl.flock(fd, flags)
+        except BlockingIOError:
+            os.close(fd)
+            raise ConcurrentWriterError(
+                f"store {self.root!r} lock is mid-create by another "
+                "live writer (side flock busy); the single-writer "
+                "contract forbids concurrent mutation"
+            )
+        except OSError:
+            os.close(fd)
+            return None
+        return fd
+
     def _try_create(self) -> bool:
         """Atomically create the lock WITH its content via a hard link
         from a unique temp file; the link either fully appears
         (content included) or fails — no empty-lock window. Degrades
-        to O_EXCL + immediate write where hard links are unsupported
-        (see module docstring)."""
+        to O_EXCL + immediate write where hard links are unsupported,
+        holding the side flock across the open→write window so probers
+        never misread it as stale (see module docstring)."""
         tmp = f"{self.path}.{os.getpid()}.{threading.get_ident()}.tmp"
         with open(tmp, "w") as f:
             f.write(self._content())
@@ -212,13 +252,18 @@ class WriterLease:
             pass  # no hard-link support: degraded path below
         finally:
             os.unlink(tmp)
+        side = self._side_flock(blocking=True)
         try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(self._content())
-        return True
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "w") as f:
+                f.write(self._content())
+            return True
+        finally:
+            if side is not None:
+                os.close(side)
 
     def _sweep_orphan_tmps(self) -> None:
         """Remove ``_WRITER_LOCK.<pid>.<tid>.tmp`` and
@@ -312,11 +357,20 @@ class WriterLease:
             owner = self._owner()
             if owner is None and os.path.exists(self.path):
                 # unparseable-but-present: on the degraded no-hardlink
-                # path another writer may sit INSIDE its one-syscall
-                # create-then-write window — grant a grace re-read so a
-                # mid-create live writer is not insta-classified stale
-                time.sleep(0.05)
-                owner = self._owner()
+                # path another writer may sit INSIDE its open→write
+                # window. The side flock settles it where the FS
+                # supports locking — busy raises (live creator, never
+                # robbed); acquired proves no creator is mid-window.
+                # The grace re-read is kept in all paths as
+                # belt-and-braces for writers that predate the flock
+                # or filesystems without it.
+                side = self._side_flock(blocking=False)
+                try:
+                    time.sleep(0.05)
+                    owner = self._owner()
+                finally:
+                    if side is not None:
+                        os.close(side)
             if owner is not None and _alive(*owner):
                 raise ConcurrentWriterError(
                     f"store {self.root!r} is locked by live writer "

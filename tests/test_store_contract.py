@@ -571,6 +571,41 @@ def test_degraded_no_hardlink_create_path(tmp_path, monkeypatch):
     os.unlink(lease.path)
 
 
+def test_degraded_mid_create_window_is_live_not_stale(tmp_path):
+    """The degraded path's empty-lock window is CLOSED where the FS
+    supports flock: a creator holds the side flock across its
+    open→write interval, so a prober that finds an unparseable lock
+    and a busy side flock raises ConcurrentWriterError immediately —
+    it never sleeps-and-robs a live mid-create writer. flock is
+    kernel-owned, so the same state with the holder dead (flock
+    released) classifies stale and takeover proceeds."""
+    import fcntl
+    import os
+
+    from lavasmart_bank_sync_etl_spark.sources import lease as L
+
+    root = str(tmp_path)
+    lock = os.path.join(root, L._LOCKFILE)
+    # a degraded creator frozen INSIDE its window: empty lock file on
+    # disk, side flock held (via an independent fd, as a separate
+    # process would hold it)
+    open(lock, "w").close()
+    side = os.open(lock + ".flock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(side, fcntl.LOCK_EX)
+    prober = L.WriterLease(root)
+    with pytest.raises(L.ConcurrentWriterError, match="mid-create"):
+        with prober:
+            pass
+    assert os.path.exists(lock)  # nothing was quarantined or stolen
+
+    # the creator dies (flock auto-released): the still-empty lock is
+    # now genuinely stale and the next acquirer takes over
+    os.close(side)
+    with L.WriterLease(root):
+        assert os.path.exists(lock)
+    assert not os.path.exists(lock)
+
+
 def test_lease_mutual_exclusion_across_processes(tmp_path):
     """End-to-end mutual exclusion with REAL contending processes —
     the one property the single-process simulations can't prove. Each
