@@ -243,10 +243,10 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
         else:
             _finding(
                 out, "damage", table, "malformed_version_dir",
-                f"{m} is a directory wearing a name no writer produces "
-                "and sorts into committed history (history()/time "
-                "travel would expose it); no writer heals this — "
-                "remove the junk dir by hand",
+                f"{m} is a directory wearing a name no writer produces, "
+                "sorting into the committed range; readers filter it "
+                "(history()/read_version refuse non-writer names) but "
+                "no writer reclaims it — remove the junk dir by hand",
             )
 
     for t in tombstones:

@@ -249,11 +249,22 @@ class Warehouse:
         as time-travel targets. No pointer at all means NO version was
         ever committed (a crash inside the very first ``ensure``, or a
         pre-versioning legacy layout, which has no ``v_*`` dirs) — so
-        history is empty, not "every dir on disk"."""
-        cur = self.current_version(table)
-        if cur is None:
+        history is empty, not "every dir on disk".
+
+        Damage degrades to empty, never to junk: a pointer that is
+        unreadable or fails the writer's name format makes the
+        committed state unknowable (fsck reports it; rollback
+        recovers), and a ``v_*`` DIRECTORY whose name no writer
+        produces is external junk — without the ``_VERSION_RE`` filter
+        one sorting below the pointer would masquerade as a committed
+        time-travel target (fsck's ``malformed_version_dir``)."""
+        cur, damaged = self.pointer_state(table)
+        if damaged or cur is None or not _VERSION_RE.fullmatch(cur):
             return []
-        return [v for v in self._versions(table) if v <= cur]
+        return [
+            v for v in self._versions(table)
+            if v <= cur and _VERSION_RE.fullmatch(v)
+        ]
 
     def _next_version(self, table: str) -> str:
         """The next version name, numbered from the COMMITTED pointer
@@ -576,9 +587,13 @@ class Warehouse:
         string compare), so non-snapshot names — vacuum tombstones,
         arbitrary paths — are refused too."""
         if version not in self.history(table):
+            # tolerant pointer read in the ERROR PATH only: a damaged
+            # pointer must surface as this refusal, not as a raw
+            # IsADirectoryError out of the message construction
+            cur, damaged = self.pointer_state(table)
             raise ValueError(
                 f"{table}/{version} is not a committed snapshot "
-                f"(current is {self.current_version(table)})"
+                f"(current is {'<unreadable>' if damaged else cur})"
             )
         return self.spark.read.schema(ALL_TABLES[table]).parquet(
             os.path.join(self.path(table), version)

@@ -474,3 +474,44 @@ def test_legacy_layout_read_is_lock_free(spark, tmp_path):
         got = wh.read("audit_log").collect()  # must not contend
     assert [r["folio"] for r in got] == ["F-1"]
     assert wh.current_version("audit_log") is None  # still legacy
+
+
+def test_history_filters_malformed_names_and_damaged_pointers(spark, tmp_path):
+    """Read verbs degrade on external junk, never serve it: a v_*
+    DIRECTORY whose name no writer produces is excluded from history
+    even when it sorts below the pointer (it used to masquerade as a
+    committed time-travel target), read_version refuses it, and a
+    tampered or unreadable pointer makes history [] (committed state
+    unknowable; fsck reports, rollback recovers) instead of a junk
+    string-compare listing — while the refusal message itself must
+    not crash on the damaged pointer."""
+    import pytest
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    wh.rewrite("transfers", wh.read("transfers"))  # v2
+    tdir = os.path.join(root, "transfers")
+
+    # junk dir sorting BELOW the pointer
+    os.makedirs(os.path.join(tdir, "v_00000000x"))
+    assert wh.history("transfers") == ["v_00000001", "v_00000002"]
+    with pytest.raises(ValueError, match="not a committed snapshot"):
+        wh.read_version("transfers", "v_00000000x")
+    # writers keep working around it
+    wh.rewrite("transfers", wh.read("transfers"))  # v3
+    assert wh.history("transfers")[-1] == "v_00000003"
+
+    # tampered (regex-failing) pointer: history degrades to empty
+    cur = os.path.join(tdir, "_CURRENT")
+    with open(cur, "w") as f:
+        f.write("../outside")
+    assert wh.history("transfers") == []
+
+    # unreadable pointer (directory): history degrades, and
+    # read_version's refusal message reads the pointer tolerantly
+    os.unlink(cur)
+    os.makedirs(cur)
+    assert wh.history("transfers") == []
+    with pytest.raises(ValueError, match="<unreadable>"):
+        wh.read_version("transfers", "v_00000002")
