@@ -516,8 +516,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     fs.add_argument("--warehouse", required=True)
     fs.add_argument("--deep", action="store_true",
-                    help="also verify every parquet footer inside every "
-                    "committed snapshot (O(files) driver-side)")
+                    help="verify every parquet footer inside EVERY "
+                    "committed snapshot, not just each table's CURRENT "
+                    "one (O(all files) driver-side)")
     fs.set_defaults(fn=cmd_fsck)
 
     rb = sub.add_parser(
