@@ -1032,7 +1032,17 @@ def _t8_fixture_root(spark: SparkSession, sf_dir: str) -> str:
     root = _T8_ROOTS.get(key)
     if root is not None:
         return root
-    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
+    # the tag fingerprints the SOURCE as well as the path: if the
+    # testdata is regenerated between rounds, a stale fixture must
+    # miss (the oracle recomputes from the live parquet) and rebuild
+    # rather than serve yesterday's rows
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir.rstrip('/')}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = sf_dir.rstrip("/")
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     root = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_t8_{tag}_v{_T8_FIXTURE_VERSION}",
