@@ -61,8 +61,12 @@ def _proc_stat_sample() -> tuple[int, int] | None:
         return None
     if len(fields) < 5:
         return None
-    total = sum(fields)
-    idle = fields[3] + (fields[4] if len(fields) > 4 else 0)  # idle + iowait
+    # fields: user nice system idle iowait irq softirq steal [guest
+    # guest_nice]; guest time is ALREADY included in user/nice, so
+    # summing all ten would double-count it on VM hosts — cap at the
+    # first eight
+    total = sum(fields[:8])
+    idle = fields[3] + fields[4]  # idle + iowait
     return total - idle, total
 
 

@@ -1048,7 +1048,40 @@ def _t8_fixture_root(spark: SparkSession, sf_dir: str) -> str:
         f"spark_graft_t8_{tag}_v{_T8_FIXTURE_VERSION}",
     )
     marker = os.path.join(root, "_FIXTURE_COMPLETE")
-    if not os.path.exists(marker):
+
+    def trusted() -> bool:
+        """Complete AND ours: a shared-/tmp path is only reused when
+        the marker exists and the dir is owned by this uid — a
+        foreign pre-planted dir must never be served as fixture data
+        (fall through and the build's rename-publish will fail onto
+        it loudly rather than silently adopting it)."""
+        try:
+            return os.path.exists(marker) and os.stat(root).st_uid == os.getuid()
+        except OSError:
+            return False
+
+    if not trusted():
+        # sweep OUR crashed build husks from prior runs (never another
+        # live builder's: only husks older than an hour, matched by
+        # prefix and uid) — the build dirs are full table copies and
+        # nothing else reclaims them
+        import time
+
+        tmp = tempfile.gettempdir()
+        try:
+            for n in os.listdir(tmp):
+                p = os.path.join(tmp, n)
+                try:
+                    if (
+                        n.startswith("spark_graft_t8_build_")
+                        and os.stat(p).st_uid == os.getuid()
+                        and time.time() - os.stat(p).st_mtime > 3600
+                    ):
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    continue
+        except OSError:
+            pass
         build = tempfile.mkdtemp(prefix="spark_graft_t8_build_")
         wh = Warehouse(spark, build)
         s = sales_view(spark, sf_dir).select(
@@ -1063,17 +1096,27 @@ def _t8_fixture_root(spark: SparkSession, sf_dir: str) -> str:
         wh.rewrite("transfers", s.where(F.col("folio").cast("long") % 10 != 0))
         wh.rewrite("transfers", s)
         open(os.path.join(build, "_FIXTURE_COMPLETE"), "w").close()
-        if os.path.isdir(root) and not os.path.exists(marker):
-            # crashed earlier build (no marker): clear it so the
-            # atomic publish below can land
-            shutil.rmtree(root, ignore_errors=True)
+        if os.path.isdir(root) and not trusted():
+            # a markerless husk (crashed earlier build) blocks the
+            # publish: rename it ASIDE rather than rmtree — if a
+            # racing winner published between our check and this
+            # rename, we move their COMPLETE root, not delete it, and
+            # our identical build lands in its place (deterministic
+            # content, so any reader mid-scan sees the same rows);
+            # the aside copy is then ours to discard
+            aside = f"{root}.aside.{os.getpid()}"
+            try:
+                os.rename(root, aside)
+                shutil.rmtree(aside, ignore_errors=True)
+            except OSError:
+                pass  # someone else moved/cleared it first
         try:
             os.rename(build, root)
         except OSError:
             # lost a publish race — the winner's fixture is complete
             # and identical (deterministic build); discard ours
             shutil.rmtree(build, ignore_errors=True)
-            if not os.path.exists(marker):
+            if not trusted():
                 raise
     _T8_ROOTS[key] = root
     return root

@@ -44,6 +44,7 @@ operability the filesystem-backed engine owes its operators instead.
 from __future__ import annotations
 
 import os
+import stat
 
 from .lease import _LOCKFILE, _alive, _read_owner
 from .warehouse import (
@@ -181,22 +182,34 @@ def _inspect_table(root: str, table: str, out: dict, deep: bool) -> dict | None:
         n for n in entries
         if n.endswith(".parquet") and os.path.isfile(os.path.join(path, n))
     ]
+    ptr_path = os.path.join(path, _CURRENT)
     pointer = None
+    ptr_damage: str | None = None
     try:
-        with open(os.path.join(path, _CURRENT)) as f:
-            pointer = f.read().strip()
+        # stat BEFORE open: a FIFO wearing the _CURRENT name would
+        # make open() block forever — hanging the diagnostic on the
+        # exact junk it exists to report
+        st = os.stat(ptr_path)
+        if not stat.S_ISREG(st.st_mode):
+            ptr_damage = "not a regular file"
+        else:
+            with open(ptr_path) as f:
+                pointer = f.read().strip()
     except FileNotFoundError:
-        pass
+        if os.path.lexists(ptr_path):
+            ptr_damage = "dangling symlink"
     except (OSError, UnicodeDecodeError) as exc:
+        ptr_damage = type(exc).__name__
+    if ptr_damage is not None:
         # _CURRENT exists but cannot be read as the one-line text file
-        # the protocol writes (a directory, binary junk, permissions):
-        # external interference a diagnostic must REPORT, never crash
-        # on — and since the pointer is what readers resolve first,
-        # this is damage, not litter
+        # the protocol writes (a directory, FIFO, binary junk,
+        # permissions): external interference a diagnostic must
+        # REPORT, never crash or hang on — and since the pointer is
+        # what readers resolve first, this is damage, not litter
         _finding(
             out, "damage", table, "pointer_unreadable",
             f"_CURRENT is not a readable one-line pointer "
-            f"({type(exc).__name__}); no writer produces or heals this "
+            f"({ptr_damage}); no writer produces or heals this "
             "— `rollback` to an intact snapshot (it clears the junk "
             "pointer itself; do NOT delete _CURRENT by hand — a store "
             "with no pointer reads as never-committed and the next "

@@ -53,6 +53,8 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import stat
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -215,12 +217,28 @@ class Warehouse:
         junk, permissions — external interference). Writers keep the
         strict reader on purpose: crashing loudly on a damaged pointer
         beats writing past it; only ``rollback``/``peek``/fsck-style
-        verbs may degrade."""
+        verbs may degrade.
+
+        The stat pre-check matters: ``open()`` on a FIFO wearing the
+        ``_CURRENT`` name would BLOCK forever waiting for a writer —
+        hanging the exact diagnostic verbs that exist to report such
+        junk. Any non-regular file (directory, FIFO, socket, device,
+        dangling symlink) is damage without being opened."""
+        ptr = self._pointer(table)
         try:
-            with open(self._pointer(table)) as f:
+            st = os.stat(ptr)
+        except FileNotFoundError:
+            # a dangling symlink wearing the name is junk, not absence
+            return None, os.path.lexists(ptr)
+        except OSError:
+            return None, True
+        if not stat.S_ISREG(st.st_mode):
+            return None, True
+        try:
+            with open(ptr) as f:
                 return f.read().strip(), False
         except FileNotFoundError:
-            return None, False
+            return None, False  # vanished between stat and open
         except (OSError, UnicodeDecodeError):
             return None, True
 
@@ -307,7 +325,13 @@ class Warehouse:
             return
         for n in os.listdir(self.path(table)):
             p = os.path.join(self.path(table), n)
-            if n.startswith(_TOMBSTONE) and os.path.isdir(p):
+            if not n.startswith(_TOMBSTONE):
+                continue
+            if os.path.islink(p):
+                # external junk: a symlink wearing a tombstone name
+                # would make rmtree raise and brick every writer
+                os.unlink(p)
+            elif os.path.isdir(p):
                 shutil.rmtree(p)
 
     def _clear_legacy_root(self, table: str, migrated: bool = False) -> None:
@@ -344,6 +368,17 @@ class Warehouse:
         cur = self.current_version(table)
         if cur is None:
             return self.path(table)  # pre-versioning layout fallback
+        if not _VERSION_RE.fullmatch(cur):
+            # a tampered pointer must never be FOLLOWED: joining junk
+            # like "../outside" would read data from outside the store
+            # root as committed table state. Writers/readers through
+            # this path fail loudly; fsck reports pointer_malformed,
+            # rollback recovers.
+            raise ValueError(
+                f"{table}'s _CURRENT holds {cur!r}, not a writer-"
+                "written snapshot name — external interference; "
+                "`rollback` to an intact snapshot"
+            )
         return os.path.join(self.path(table), cur)
 
     def _commit(self, table: str, version: str) -> None:
@@ -552,6 +587,11 @@ class Warehouse:
             # unknowable, so degrade rather than crash or fall through
             # to the legacy root; recovery is the rollback verb
             return None
+        if cur is not None and not _VERSION_RE.fullmatch(cur):
+            # tampered pointer (fsck: pointer_malformed): never FOLLOW
+            # it — "../outside" would serve data from beyond the store
+            # root as committed state; degrade like any other damage
+            return None
         if cur is not None:
             snap = os.path.join(self.path(table), cur)
             if not os.path.isdir(snap):
@@ -699,9 +739,9 @@ class Warehouse:
         Safety rails: the target must be an intact on-disk snapshot —
         name in the writer's own format, directory present, every
         parquet footer readable (footer validation is skipped, with a
-        warning in the error path only, when pyarrow is unavailable:
-        refusing EVERY target because the checker is missing would
-        make recovery impossible, the opposite of a safety rail) —
+        stderr warning, when pyarrow is unavailable: refusing EVERY
+        target because the checker is missing would make recovery
+        impossible, the opposite of a safety rail) —
         and, when the current pointer still parses as a writer-written
         version name, the target must not be NEWER than it (a newer
         dir is a crashed write's dangling leftover; publishing it
@@ -751,21 +791,41 @@ class Warehouse:
                         f"{table}/{version} holds unreadable parquet "
                         f"({torn[:3]}…): not an intact rollback target"
                     )
+            else:
+                print(
+                    f"warning: pyarrow unavailable — footer validation "
+                    f"of rollback target {table}/{version} was SKIPPED "
+                    "(could-not-check, not certified-intact)",
+                    file=sys.stderr,
+                )
             if cur_damaged:
-                # junk _CURRENT (a directory — a plain file is simply
-                # overwritten by the atomic replace below). POSIX can't
-                # atomically swap a dir for a file, so rename it aside
-                # to a tombstone name first (the next writer/vacuum
-                # sweeps it); the no-pointer window is the two syscalls
+                # junk _CURRENT. A symlink is unlinked (rename would
+                # move the link into a tombstone the sweep's rmtree
+                # chokes on); a plain file/FIFO is simply overwritten
+                # by the atomic replace below; a real DIRECTORY can't
+                # be atomically swapped for a file on POSIX, so rename
+                # it aside to a UNIQUE tombstone name (repeat damage +
+                # repeat rollback must not collide with an unswept
+                # earlier tombstone) for the next writer/vacuum to
+                # sweep. The no-pointer window is the two syscalls
                 # between this rename and _commit's os.replace — the
                 # unavoidable minimum, vs. the unbounded window of an
                 # operator deleting _CURRENT by hand and never running
                 # rollback
                 ptr = self._pointer(table)
-                if os.path.isdir(ptr):
-                    os.rename(
-                        ptr, os.path.join(self.path(table), _TOMBSTONE + _CURRENT)
+                if os.path.islink(ptr):
+                    os.unlink(ptr)
+                elif os.path.isdir(ptr):
+                    tomb = os.path.join(
+                        self.path(table), _TOMBSTONE + _CURRENT
                     )
+                    n = 0
+                    while os.path.exists(tomb):
+                        n += 1
+                        tomb = os.path.join(
+                            self.path(table), f"{_TOMBSTONE}{_CURRENT}.{n}"
+                        )
+                    os.rename(ptr, tomb)
             self._commit(table, version)
             self.spark.catalog.refreshByPath(path)
 

@@ -515,3 +515,88 @@ def test_history_filters_malformed_names_and_damaged_pointers(spark, tmp_path):
     assert wh.history("transfers") == []
     with pytest.raises(ValueError, match="<unreadable>"):
         wh.read_version("transfers", "v_00000002")
+
+
+def test_tampered_pointer_is_never_followed(spark, tmp_path):
+    """A malformed pointer must FAIL, not be joined into a path: a
+    _CURRENT holding '../outside' used to make read()/peek() serve a
+    directory OUTSIDE the store root as committed table state."""
+    import pytest
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    # plant data OUTSIDE the store where the traversal would land
+    outside = tmp_path / "outside"
+    wh_out = Warehouse(spark, str(tmp_path))
+    os.makedirs(outside, exist_ok=True)
+    del wh_out
+    with open(os.path.join(root, "transfers", "_CURRENT"), "w") as f:
+        f.write("../../outside")
+    assert wh.peek("transfers") is None  # read verbs degrade
+    with pytest.raises(ValueError, match="not a writer-written"):
+        wh.read("transfers").count()  # writer-path reads fail loudly
+
+
+def test_fifo_pointer_reports_damage_without_hanging(spark, tmp_path):
+    """open() on a FIFO blocks forever; the tolerant pointer readers
+    must stat first so fsck/peek/rollback report pointer_unreadable
+    instead of hanging on exactly the junk they exist to diagnose."""
+    from lavasmart_bank_sync_etl_spark.sources.fsck import inspect_store
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    wh.rewrite("transfers", wh.read("transfers"))  # v2
+    cur = os.path.join(root, "transfers", "_CURRENT")
+    os.unlink(cur)
+    os.mkfifo(cur)
+    assert wh.pointer_state("transfers") == (None, True)
+    assert wh.peek("transfers") is None
+    report = inspect_store(root)
+    assert "pointer_unreadable" in {
+        f["kind"] for f in report["findings"] if f["severity"] == "damage"
+    }
+    # rollback recovers straight through the FIFO (os.replace overwrites it)
+    wh.rollback("transfers", "v_00000002")
+    assert wh.current_version("transfers") == "v_00000002"
+
+
+def test_repeat_damage_rollback_tombstones_dont_collide(spark, tmp_path):
+    """Directory-junk _CURRENT is renamed to a tombstone by rollback;
+    REPEAT damage before any writer sweeps must pick a fresh tombstone
+    name instead of failing ENOTEMPTY on the earlier one."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    wh.rewrite("transfers", wh.read("transfers"))  # v2
+    cur = os.path.join(root, "transfers", "_CURRENT")
+    for _ in range(2):
+        os.unlink(cur)
+        os.makedirs(os.path.join(cur, "junk"))
+        wh.rollback("transfers", "v_00000002")
+        assert wh.current_version("transfers") == "v_00000002"
+    tombs = [
+        n for n in os.listdir(os.path.join(root, "transfers"))
+        if n.startswith("_rm__CURRENT")
+    ]
+    assert len(tombs) == 2  # both junk dirs parked, none lost
+    # the next writer sweeps both
+    wh.rewrite("transfers", wh.read("transfers"))
+    assert not [
+        n for n in os.listdir(os.path.join(root, "transfers"))
+        if n.startswith("_rm_")
+    ]
+
+
+def test_symlink_tombstone_junk_does_not_brick_writers(spark, tmp_path):
+    """External junk: a SYMLINK wearing a tombstone name used to make
+    the sweep's rmtree raise out of every writer; it is unlinked."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.ensure("transfers")
+    link = os.path.join(root, "transfers", "_rm_v_00000000")
+    os.symlink(os.path.join(root, "transfers", "v_00000001"), link)
+    wh.rewrite("transfers", wh.read("transfers"))  # must not raise
+    assert not os.path.lexists(link)
+    assert wh.current_version("transfers") == "v_00000002"
