@@ -53,8 +53,9 @@ def should_persist(
     )
 
 
-def _proc_stat_sample() -> tuple[int, int] | None:
-    """(busy, total) jiffies from /proc/stat line 1, or None off-Linux."""
+def _proc_stat_sample() -> tuple[int, int, int] | None:
+    """(busy, total, steal) jiffies from /proc/stat line 1, or None
+    off-Linux."""
     try:
         with open("/proc/stat") as fh:
             fields = [int(x) for x in fh.readline().split()[1:]]
@@ -68,7 +69,8 @@ def _proc_stat_sample() -> tuple[int, int] | None:
     # first eight
     total = sum(fields[:8])
     idle = fields[3] + fields[4]  # idle + iowait
-    return total - idle, total
+    steal = fields[7] if len(fields) >= 8 else 0
+    return total - idle, total, steal
 
 
 def _cpu_busy_pct(start, end) -> float | None:
@@ -79,6 +81,38 @@ def _cpu_busy_pct(start, end) -> float | None:
     if dtotal <= 0:
         return None
     return round(100.0 * dbusy / dtotal, 1)
+
+
+def _steal_pct(start, end) -> float | None:
+    """Hypervisor steal%% between two samples — time the host scheduled
+    AWAY from this VM. Wall-clock drift with near-zero steal and flat
+    machine_cpu_sec is host-level timing noise, not a regression."""
+    if start is None or end is None or len(start) < 3 or len(end) < 3:
+        return None
+    dsteal, dtotal = end[2] - start[2], end[1] - start[1]
+    if dtotal <= 0:
+        return None
+    return round(100.0 * dsteal / dtotal, 2)
+
+
+def _clk_tck() -> float:
+    try:
+        return float(os.sysconf("SC_CLK_TCK")) or 100.0
+    except (OSError, ValueError, AttributeError):
+        return 100.0
+
+
+def _busy_cpu_sec(start, end) -> float | None:
+    """Whole-machine CPU-seconds consumed between two samples (summed
+    across cores, so a 0.5 s query saturating 32 cores reports ~16).
+    This is the in-run regression control: for a fixed plan the CPU
+    work is ~constant across runs, so a record whose wall times
+    inflate vs baseline while these stay flat adjudicates itself as
+    hypervisor/scheduling wall-clock drift; a real regression inflates
+    wall and CPU together."""
+    if start is None or end is None:
+        return None
+    return round((end[0] - start[0]) / _clk_tck(), 2)
 
 
 def main() -> None:
@@ -108,9 +142,17 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+    # Per-query drift control: every rep's wall time AND the machine
+    # CPU-seconds consumed during it (VERDICT r10 task 4 — the loadavg
+    # gate can't see hypervisor wall-clock drift at idle; flat CPU
+    # under inflated wall can).
+    detail: dict[str, dict] = {}
     for name in sorted(queries):
         best = None
+        walls: list[float] = []
+        cpu_secs: list[float | None] = []
         for _ in range(reps):
+            rep_stat0 = _proc_stat_sample()
             start = time.time()
             try:
                 queries[name](spark, sf_dir).count()
@@ -118,10 +160,13 @@ def main() -> None:
                 print(f"# bench FAIL {name}: {exc}", file=sys.stderr)
                 break
             elapsed = time.time() - start
+            walls.append(round(elapsed, 3))
+            cpu_secs.append(_busy_cpu_sec(rep_stat0, _proc_stat_sample()))
             best = elapsed if best is None else min(best, elapsed)
         # a rep that ran is still a valid timing; -1.0 only when NO rep
         # succeeded (so a rep-2 hiccup can't mask a working query)
         timings[name] = round(best, 3) if best is not None else -1.0
+        detail[name] = {"wall_sec": walls, "machine_cpu_sec": cpu_secs}
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     try:
@@ -148,6 +193,15 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in load_start] if load_start else None,
         "loadavg_end": [round(x, 2) for x in load_end] if load_end else None,
         "cpu_busy_pct": _cpu_busy_pct(stat_start, stat_end),
+        # In-run drift controls (the loadavg gate can't see hypervisor
+        # wall-clock noise at idle): whole-run steal%% plus, per query,
+        # every rep's wall time and the machine CPU-seconds it burned.
+        # Adjudication rule: inflated wall + flat machine_cpu_sec (vs
+        # the prior canonical record) = host timing noise; both
+        # inflated = real extra work.
+        "steal_pct": _steal_pct(stat_start, stat_end),
+        "machine_cpu_sec_total": _busy_cpu_sec(stat_start, stat_end),
+        "query_detail": detail,
     }
     # The driver tail-truncates stdout to ~62 per-query times; persist the
     # COMPLETE artifact in-repo so the 2x-of-baseline bound is checkable

@@ -56,7 +56,23 @@ def test_loaded_machine_does_not_persist():
 def test_load_context_sampling():
     s = bench._proc_stat_sample()
     assert s is not None and s[1] >= s[0] >= 0  # Linux sandbox
+    assert len(s) == 3 and s[2] >= 0  # steal jiffies present
     # busy% math: 40 busy of 100 total jiffies elapsed -> 40.0
     assert bench._cpu_busy_pct((100, 1000), (140, 1100)) == 40.0
     assert bench._cpu_busy_pct(None, (1, 2)) is None
     assert bench._cpu_busy_pct((100, 1000), (100, 1000)) is None  # no elapsed
+
+
+def test_drift_control_fields():
+    # steal%: 5 steal jiffies of 100 elapsed -> 5.0
+    assert bench._steal_pct((100, 1000, 10), (140, 1100, 15)) == 5.0
+    assert bench._steal_pct(None, (1, 2, 3)) is None
+    assert bench._steal_pct((100, 1000, 0), (100, 1000, 0)) is None
+    # legacy 2-tuples (old payloads) degrade to None, not a crash
+    assert bench._steal_pct((100, 1000), (140, 1100)) is None
+    # machine CPU-seconds: busy jiffies / CLK_TCK, summed across cores
+    tck = bench._clk_tck()
+    assert tck > 0
+    got = bench._busy_cpu_sec((100, 1000, 0), (100 + int(16 * tck), 99999, 0))
+    assert got == 16.0
+    assert bench._busy_cpu_sec(None, (1, 2, 3)) is None
