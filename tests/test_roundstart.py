@@ -33,6 +33,55 @@ def test_pending_artifacts_matches_only_driver_files():
     assert rs.pending_artifacts("") == []
 
 
+def test_fix_commits_artifacts_and_restores_clobbered_record(tmp_path, monkeypatch):
+    """--fix end-to-end in a REAL scratch git repo: the driver's
+    dropped artifacts get committed, and a load-contaminated
+    BENCH_FULL.json is restored from the newest committed idle
+    r-record — while source files and non-artifact junk stay
+    untouched."""
+    import json
+    import subprocess
+    import sys
+
+    def git(*args):
+        subprocess.run(["git", *args], cwd=tmp_path, check=True, capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+
+    idle = {"value": 88.0, "queries": {"a": 1.0}, "loadavg_start": [0.5, 1, 1]}
+    loaded = {"value": 111.0, "queries": {"a": 1.5}, "loadavg_start": [3.7, 2, 2]}
+    (tmp_path / "BENCH_FULL_r10.json").write_text(json.dumps(idle))
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(idle))
+    git("add", "-A")
+    git("commit", "-q", "-m", "seed")
+
+    # the driver's round-boundary droppings + a clobbered canonical
+    (tmp_path / "CORRECTNESS_r11.json").write_text("{}")
+    (tmp_path / "BENCH_r11.json").write_text("{}")
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(loaded))
+    (tmp_path / "scratch.txt").write_text("not an artifact")
+
+    monkeypatch.setattr(rs, "_REPO", tmp_path)
+    monkeypatch.setattr(sys, "argv", ["roundstart.py", "--fix"])
+    assert rs.main() == 0
+
+    status = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=tmp_path, capture_output=True, text=True
+    ).stdout
+    assert "CORRECTNESS_r11" not in status and "BENCH_r11" not in status
+    assert "BENCH_FULL.json" not in status
+    assert "?? scratch.txt" in status  # junk is never auto-committed
+    # the canonical record is the idle one again
+    assert json.loads((tmp_path / "BENCH_FULL.json").read_text()) == idle
+    log = subprocess.run(
+        ["git", "log", "--oneline"], cwd=tmp_path, capture_output=True, text=True
+    ).stdout
+    assert "Restore idle canonical bench record" in log
+    assert "Commit driver round artifacts" in log
+
+
 def test_clobber_verdict_restores_only_on_load_evidence():
     idle = {"value": 88.0, "loadavg_start": [0.5, 1.0, 1.0]}
     loaded = {"value": 111.0, "loadavg_start": [3.7, 2.0, 1.5]}
