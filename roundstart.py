@@ -61,14 +61,34 @@ def pending_artifacts(porcelain: str) -> list[str]:
     return sorted(out)
 
 
+def _detail_cpu_total(payload: dict) -> float | None:
+    """Sum of per-query best-rep machine CPU-seconds — reps-count
+    independent, unlike machine_cpu_sec_total."""
+    detail = payload.get("query_detail")
+    if not detail:
+        return None
+    total = 0.0
+    for d in detail.values():
+        secs = [s for s in (d.get("machine_cpu_sec") or []) if s and s > 0]
+        if secs:
+            total += min(secs)
+    return total or None
+
+
 def clobber_verdict(
     working: dict, committed: dict, gate: float
 ) -> tuple[bool, str]:
     """(should_restore, reason) for a diverged BENCH_FULL.json.
 
-    Restore ONLY on positive evidence of contamination: the working
-    copy's own loadavg_start exceeds the canonical gate while the
-    committed record's does not. A diverged-but-idle working copy may
+    Restore ONLY on positive evidence of contamination, of which there
+    are two kinds: (a) the working copy's own loadavg_start exceeds
+    the canonical gate while the committed record's does not (loaded
+    refresh); (b) both records carry the r11 per-query CPU detail and
+    the working copy is markedly worse on wall (>1.10x) while its
+    best-rep CPU-seconds stay flat (<1.10x) — the host-noise
+    signature (an idle-loadavg run can still be wall-degraded; seven
+    such runs spanned 104.6-157.2 s on one HEAD in r11). A
+    diverged-but-idle working copy that fails both evidence tests may
     be a deliberate newer record — never auto-overwrite it."""
     if working == committed:
         return False, "canonical record matches the newest committed r-record"
@@ -79,26 +99,60 @@ def clobber_verdict(
             f"working BENCH_FULL.json was taken at loadavg {w_load} "
             f"(> gate {gate}); committed record at {c_load} — loaded-refresh clobber"
         )
+    w_val, c_val = working.get("value"), committed.get("value")
+    w_cpu, c_cpu = _detail_cpu_total(working), _detail_cpu_total(committed)
+    if (
+        w_val and c_val and w_val > c_val * 1.10
+        and w_cpu and c_cpu and w_cpu < c_cpu * 1.10
+    ):
+        return True, (
+            f"working record is {w_val / c_val:.2f}x worse on wall "
+            f"({w_val:.1f}s vs {c_val:.1f}s) with flat best-rep CPU-seconds "
+            f"({w_cpu:.0f} vs {c_cpu:.0f}) — host-noise clobber"
+        )
     return False, (
         f"records diverge but working loadavg_start={w_load} is not above the "
-        f"gate ({gate}) — possibly a deliberate newer record; not restoring"
+        f"gate ({gate}) and there is no flat-CPU host-noise evidence — "
+        "possibly a deliberate newer record; not restoring"
     )
-
-
-def _newest_full_record() -> pathlib.Path | None:
-    recs = sorted(
-        _REPO.glob("BENCH_FULL_r*.json"),
-        key=lambda p: int(p.stem.split("_r")[1]),
-    )
-    return recs[-1] if recs else None
 
 
 def main() -> int:
     fix = "--fix" in sys.argv[1:]
     issues = 0
 
-    # 1. untracked/modified driver artifacts -------------------------------
+    # 1. canonical bench record integrity ----------------------------------
+    # Compared against the HEAD-committed copy BEFORE the artifact
+    # commit, so a contaminated working copy is never auto-committed
+    # as if it were a deliberate record.
+    restore = False
+    full = _REPO / "BENCH_FULL.json"
+    committed_text = None
+    try:
+        committed_text = _git("show", "HEAD:BENCH_FULL.json")
+    except RuntimeError:
+        pass
+    if committed_text and full.exists():
+        import bench  # repo-root module; source of the canonical gate
+
+        working = json.loads(full.read_text())
+        committed = json.loads(committed_text)
+        restore, reason = clobber_verdict(
+            working, committed, bench.MAX_CANONICAL_LOADAVG
+        )
+        print(f"CANONICAL {'CLOBBERED' if restore else 'ok'}: {reason}")
+        if restore:
+            issues += 1
+            if fix:
+                _git("restore", "--", "BENCH_FULL.json")
+                print("  -> restored from HEAD")
+
+    # 2. untracked/modified driver artifacts -------------------------------
     pending = pending_artifacts(_git("status", "--porcelain"))
+    if restore and not fix:
+        # without --fix the clobbered copy is still in the tree; it
+        # must not be listed as a commit candidate
+        pending = [p for p in pending if p != "BENCH_FULL.json"]
     if pending:
         issues += 1
         print(f"ARTIFACTS pending commit: {', '.join(pending)}")
@@ -109,29 +163,6 @@ def main() -> int:
             print("  -> committed")
     else:
         print("ARTIFACTS clean: no untracked/modified driver artifacts")
-
-    # 2. canonical bench record integrity ----------------------------------
-    newest = _newest_full_record()
-    full = _REPO / "BENCH_FULL.json"
-    if newest and full.exists():
-        import bench  # repo-root module; source of the canonical gate
-
-        working = json.loads(full.read_text())
-        committed = json.loads(newest.read_text())
-        restore, reason = clobber_verdict(
-            working, committed, bench.MAX_CANONICAL_LOADAVG
-        )
-        print(f"CANONICAL {'CLOBBERED' if restore else 'ok'}: {reason}")
-        if restore:
-            issues += 1
-            if fix:
-                full.write_text(newest.read_text())
-                _git("add", "--", full.name)
-                _git(
-                    "commit", "-m",
-                    f"Restore idle canonical bench record from {newest.name}",
-                )
-                print(f"  -> restored from {newest.name}")
 
     # 3. rotation window the driver will verify ----------------------------
     sys.path.insert(0, str(_REPO))

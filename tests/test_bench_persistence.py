@@ -53,6 +53,79 @@ def test_loaded_machine_does_not_persist():
     )
 
 
+def _run_main_in_scratch(tmp_path, monkeypatch, *, total_sec=0.0):
+    """Drive bench.main() end-to-end with stubbed Spark/entry modules
+    and the repo rooted at tmp_path — exercises the REAL persist
+    block (round-number scan, guard, file writes) without a JVM."""
+    import importlib.util
+    import json
+    import sys
+    import types
+
+    spec = importlib.util.spec_from_file_location("bench_scratch", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.__file__ = str(tmp_path / "bench.py")
+
+    class _DF:
+        def count(self):
+            import time
+
+            time.sleep(0.02)  # measurable, so totals beat a tiny sentinel
+            return 1
+
+    entry = types.ModuleType("__spark_entry__")
+    entry.entry = lambda spark: _DF()
+    entry.queries = lambda: {"q1": lambda spark, sf: _DF()}
+    sess = types.ModuleType("lavasmart_bank_sync_etl_spark.session")
+    sess.get_spark = lambda name: object()
+    pkg = types.ModuleType("lavasmart_bank_sync_etl_spark")
+    pkg.session = sess
+    monkeypatch.setitem(sys.modules, "__spark_entry__", entry)
+    monkeypatch.setitem(sys.modules, "lavasmart_bank_sync_etl_spark", pkg)
+    monkeypatch.setitem(sys.modules, "lavasmart_bank_sync_etl_spark.session", sess)
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", CANON_DIR)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_PERSIST", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    # loadavg below the gate so the canonical profile persists
+    monkeypatch.setattr(mod.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
+    mod.main()
+    out = tmp_path / "BENCH_FULL.json"
+    return json.loads(out.read_text()) if out.exists() else None
+
+
+def test_main_persist_block_end_to_end(tmp_path, monkeypatch, capsys):
+    import json
+    import subprocess
+
+    # fresh scratch (no git): guard is permissive, record is written
+    # with the r11 drift-control fields present
+    payload = _run_main_in_scratch(tmp_path, monkeypatch)
+    assert payload is not None and payload["n_queries"] == 1
+    assert "query_detail" in payload and "steal_pct" in payload
+    assert (tmp_path / "BENCH_FULL_r00.json").exists()
+    capsys.readouterr()
+
+    # now COMMIT a faster record of unchanged code: main() must refuse
+    # to replace it (strict equal-or-better rule) and say so
+    def git(*args):
+        subprocess.run(["git", *args], cwd=tmp_path, check=True, capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    fast = dict(payload)
+    fast["value"] = 0.001  # effectively unbeatable sentinel record
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(fast))
+    (tmp_path / "BENCH_FULL_r00.json").write_text(json.dumps(fast))
+    git("add", "-A")
+    git("commit", "-q", "-m", "seed")
+    payload2 = _run_main_in_scratch(tmp_path, monkeypatch)
+    assert payload2["value"] == 0.001  # file untouched: guard refused
+    err = capsys.readouterr().err
+    assert "host-noise run" in err and "BENCH_FULL.json kept" in err
+
+
 def test_load_context_sampling():
     s = bench._proc_stat_sample()
     assert s is not None and s[1] >= s[0] >= 0  # Linux sandbox
@@ -61,6 +134,40 @@ def test_load_context_sampling():
     assert bench._cpu_busy_pct((100, 1000), (140, 1100)) == 40.0
     assert bench._cpu_busy_pct(None, (1, 2)) is None
     assert bench._cpu_busy_pct((100, 1000), (100, 1000)) is None  # no elapsed
+
+
+def test_unchanged_code_guard_keeps_better_record():
+    # no existing record / unparseable -> write
+    ok, _ = bench.should_replace_canonical(120.0, None, False)
+    assert ok
+    # code changed (or git can't tell) -> fresh measurement always wins,
+    # even when slower: a real regression must be recorded, not hidden
+    ok, _ = bench.should_replace_canonical(150.0, 88.0, True)
+    assert ok
+    ok, _ = bench.should_replace_canonical(150.0, 88.0, None)
+    assert ok
+    # unchanged code: only an equal-or-better run replaces the record
+    # (min-semantics — unchanged code does not get slower by itself)
+    ok, _ = bench.should_replace_canonical(80.0, 88.0, False)
+    assert ok
+    ok, _ = bench.should_replace_canonical(88.0, 88.0, False)
+    assert ok
+    # unchanged code, worse -> host-noise run, existing kept
+    ok, why = bench.should_replace_canonical(95.0, 88.0, False)
+    assert not ok and "host-noise" in why
+    ok, why = bench.should_replace_canonical(125.0, 88.0, False)
+    assert not ok and "host-noise" in why
+
+
+def test_package_change_detection_on_real_repo():
+    import pathlib
+
+    repo = str(pathlib.Path(__file__).resolve().parents[1])
+    # a committed artifact exists, so git can answer; the result is a
+    # bool either way (None would mean git itself failed here)
+    assert bench._package_changed_since(repo, "BENCH_FULL.json") in (True, False)
+    # a file git has never seen -> None (permissive: treated as changed)
+    assert bench._package_changed_since(repo, "no_such_file_xyz.json") is None
 
 
 def test_drift_control_fields():

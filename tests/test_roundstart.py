@@ -73,13 +73,19 @@ def test_fix_commits_artifacts_and_restores_clobbered_record(tmp_path, monkeypat
     assert "CORRECTNESS_r11" not in status and "BENCH_r11" not in status
     assert "BENCH_FULL.json" not in status
     assert "?? scratch.txt" in status  # junk is never auto-committed
-    # the canonical record is the idle one again
+    # the canonical record is the idle one again (git-restored from
+    # HEAD, NOT committed as an artifact — the contaminated copy must
+    # never enter history as if it were a deliberate record)
     assert json.loads((tmp_path / "BENCH_FULL.json").read_text()) == idle
     log = subprocess.run(
         ["git", "log", "--oneline"], cwd=tmp_path, capture_output=True, text=True
     ).stdout
-    assert "Restore idle canonical bench record" in log
     assert "Commit driver round artifacts" in log
+    head_full = subprocess.run(
+        ["git", "show", "HEAD:BENCH_FULL.json"],
+        cwd=tmp_path, capture_output=True, text=True,
+    ).stdout
+    assert json.loads(head_full) == idle
 
 
 def test_clobber_verdict_restores_only_on_load_evidence():
@@ -103,4 +109,40 @@ def test_clobber_verdict_restores_only_on_load_evidence():
     assert not ok
     # both loaded -> no idle record to prefer; don't churn
     ok, _ = rs.clobber_verdict(loaded, loaded, gate)
+    assert not ok
+
+
+def _detailed(value, cpu_per_query, n=3, loadavg=0.2):
+    return {
+        "value": value,
+        "loadavg_start": [loadavg, 1.0, 1.0],
+        "query_detail": {
+            f"q{i}": {
+                "wall_sec": [value / n],
+                "machine_cpu_sec": [cpu_per_query, cpu_per_query * 1.4],
+            }
+            for i in range(n)
+        },
+    }
+
+
+def test_clobber_verdict_host_noise_cpu_evidence():
+    gate = 2.0
+    committed = _detailed(88.0, cpu_per_query=600.0)
+    # idle-loadavg working copy, 1.5x worse wall, flat best-rep CPU ->
+    # host-noise clobber even though the loadavg gate can't see it
+    noisy = _detailed(132.0, cpu_per_query=610.0)
+    ok, why = rs.clobber_verdict(noisy, committed, gate)
+    assert ok and "host-noise" in why
+    # worse wall WITH proportionally higher CPU -> real work; keep it
+    regressed = _detailed(132.0, cpu_per_query=900.0)
+    ok, _ = rs.clobber_verdict(regressed, committed, gate)
+    assert not ok
+    # worse wall but committed record lacks CPU detail -> no evidence
+    legacy_committed = {"value": 88.0, "loadavg_start": [0.5, 1, 1]}
+    ok, _ = rs.clobber_verdict(noisy, legacy_committed, gate)
+    assert not ok
+    # within the 1.10x worsening bound -> normal jitter, keep
+    jitter = _detailed(95.0, cpu_per_query=605.0)
+    ok, _ = rs.clobber_verdict(jitter, committed, gate)
     assert not ok
