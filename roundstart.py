@@ -91,7 +91,7 @@ def clobber_verdict(
     diverged-but-idle working copy that fails both evidence tests may
     be a deliberate newer record — never auto-overwrite it."""
     if working == committed:
-        return False, "canonical record matches the newest committed r-record"
+        return False, "canonical record matches the HEAD-committed copy"
     w_load = (working.get("loadavg_start") or [None])[0]
     c_load = (committed.get("loadavg_start") or [None])[0]
     if w_load is not None and w_load > gate and (c_load is None or c_load <= gate):
