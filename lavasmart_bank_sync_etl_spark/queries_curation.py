@@ -1192,7 +1192,7 @@ def cu2_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = stats.agg(
         F.sum("cnt").alias("n_total"), F.sum("units").alias("units_total")
     )
-    rates = stats.crossJoin(tot).select(
+    rates = stats.crossJoin(F.broadcast(tot)).select(
         "source",
         F.least(
             F.lit(10000).cast("long"),
