@@ -76,7 +76,7 @@ def _detail_cpu_total(payload: dict) -> float | None:
 
 
 def clobber_verdict(
-    working: dict, committed: dict, gate: float
+    working: dict, committed: dict, gate: float, code_changed: bool | None = None
 ) -> tuple[bool, str]:
     """(should_restore, reason) for a diverged BENCH_FULL.json.
 
@@ -89,7 +89,18 @@ def clobber_verdict(
     signature (an idle-loadavg run can still be wall-degraded; seven
     such runs spanned 104.6-157.2 s on one HEAD in r11). A
     diverged-but-idle working copy that fails both evidence tests may
-    be a deliberate newer record — never auto-overwrite it."""
+    be a deliberate newer record — never auto-overwrite it.
+
+    ``code_changed`` = has the measured code (query package, bench.py,
+    __spark_entry__.py) changed since the commit that produced the
+    HEAD record? When True, the CPU-evidence branch (b) is withheld:
+    an IO-bound/contention regression of CHANGED code — wall up, CPU
+    flat because idle cores wait on disk/locks — matches the
+    host-noise signature, so auto-restoring would hide a real
+    regression behind a stale record. The loadavg branch (a) still
+    applies (a loaded run is contaminated regardless of what code it
+    measured). None = unknown; branch (b) proceeds (the caller passes
+    a real bool whenever git can answer)."""
     if working == committed:
         return False, "canonical record matches the HEAD-committed copy"
     w_load = (working.get("loadavg_start") or [None])[0]
@@ -105,6 +116,13 @@ def clobber_verdict(
         w_val and c_val and w_val > c_val * 1.10
         and w_cpu and c_cpu and w_cpu < c_cpu * 1.10
     ):
+        if code_changed:
+            return False, (
+                f"working record is {w_val / c_val:.2f}x worse on wall with flat "
+                "CPU, but the measured code changed since the HEAD record — "
+                "could be an IO-bound regression of new code, not host noise; "
+                "not auto-restoring (re-measure on an idle host to adjudicate)"
+            )
         return True, (
             f"working record is {w_val / c_val:.2f}x worse on wall "
             f"({w_val:.1f}s vs {c_val:.1f}s) with flat best-rep CPU-seconds "
@@ -135,11 +153,24 @@ def main() -> int:
     if committed_text and full.exists():
         import bench  # repo-root module; source of the canonical gate
 
-        working = json.loads(full.read_text())
-        committed = json.loads(committed_text)
-        restore, reason = clobber_verdict(
-            working, committed, bench.MAX_CANONICAL_LOADAVG
-        )
+        try:
+            working = json.loads(full.read_text())
+        except ValueError:
+            # a torn/interrupted write is itself clobber evidence — the
+            # exact damaged state a round-boundary repair command must
+            # classify, not crash on
+            working = None
+        if working is None:
+            restore = True
+            reason = "working BENCH_FULL.json is unparseable (torn write)"
+        else:
+            committed = json.loads(committed_text)
+            restore, reason = clobber_verdict(
+                working,
+                committed,
+                bench.MAX_CANONICAL_LOADAVG,
+                bench._package_changed_since(str(_REPO), "BENCH_FULL.json"),
+            )
         print(f"CANONICAL {'CLOBBERED' if restore else 'ok'}: {reason}")
         if restore:
             issues += 1
@@ -179,7 +210,8 @@ def main() -> int:
         % (len(ordered), {f"r{k}" if k else "never": v for k, v in sorted(ages.items())})
     )
     oldest_out = min((green.get(n, 0) for n in ordered[50:]), default=None)
-    print(f"  oldest evidence OUTSIDE the window: r{oldest_out}")
+    label = "none (every query fits in the window)" if oldest_out is None else f"r{oldest_out}"
+    print(f"  oldest evidence OUTSIDE the window: {label}")
     print("  front 10:", ", ".join(window[:10]))
 
     if issues and not fix:

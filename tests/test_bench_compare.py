@@ -86,3 +86,106 @@ def test_failed_queries_excluded():
     new = _payload({"a": 1.0, "bad": 2.0})
     rep = bc.compare(old, new)
     assert rep["shared_queries"] == 1  # -1 sentinel never compares
+
+
+def test_run_cpu_ratio_prefers_best_rep_detail():
+    """Records taken with different SPARK_GRAFT_BENCH_REPS: the raw
+    machine_cpu_sec_total scales with reps (and includes warmup), so a
+    3-rep-old vs 2-rep-new comparison deflates the raw ratio and would
+    mislabel a real regression as host-noise. Best-rep per-query sums
+    are reps-independent and catch it."""
+    old = _payload(
+        {"q": 10.0},
+        detail={"q": {"wall_sec": [10.0, 10.2, 10.1], "machine_cpu_sec": [90.0, 95.0, 92.0]}},
+        cpu_total=300.0,  # 3 reps' worth of work + warmup
+        reps=3,
+    )
+    new = _payload(
+        {"q": 15.0},
+        detail={"q": {"wall_sec": [15.0, 15.3], "machine_cpu_sec": [140.0, 150.0]}},
+        cpu_total=310.0,  # raw ratio 1.03 -> would read "host-noise"
+        reps=2,
+    )
+    rep = bc.compare(old, new)
+    assert rep["cpu_ratio_basis"] == "query_detail_best_rep"
+    assert rep["total_cpu_ratio"] == round(140.0 / 90.0, 3)
+    assert rep["run_verdict"] == "real-work"
+    # both records' reps are surfaced so a human can see the skew risk
+    assert rep["context"]["old"]["reps"] == 3 and rep["context"]["new"]["reps"] == 2
+
+
+def test_run_cpu_ratio_falls_back_without_detail():
+    # either record lacking query_detail -> raw machine_cpu_sec_total,
+    # and the report says which basis produced the number
+    old = _payload({"a": 10.0}, cpu_total=200.0)
+    new = _payload(
+        {"a": 15.0},
+        detail={"a": {"wall_sec": [15.0], "machine_cpu_sec": [150.0]}},
+        cpu_total=204.0,
+    )
+    rep = bc.compare(old, new)
+    assert rep["cpu_ratio_basis"] == "machine_cpu_sec_total"
+    assert rep["total_cpu_ratio"] == round(204.0 / 200.0, 3)
+    # no CPU fields at all -> basis is None
+    assert bc.compare({"queries": {}}, {"queries": {}})["cpu_ratio_basis"] is None
+
+
+def test_detail_cpu_total_filters_to_shared_names():
+    p = _payload(
+        {"a": 1.0, "b": 1.0},
+        detail={
+            "a": {"machine_cpu_sec": [4.0, 5.0]},
+            "b": {"machine_cpu_sec": [6.0]},
+        },
+    )
+    assert bc.detail_cpu_total(p) == 10.0
+    assert bc.detail_cpu_total(p, {"a"}) == 4.0
+    assert bc.detail_cpu_total({"queries": {}}) is None
+
+
+def test_merge_min_composite():
+    p1 = _payload(
+        {"a": 2.0, "b": 5.0, "c": -1.0},
+        detail={"a": {"wall_sec": [2.0, 2.2], "machine_cpu_sec": [8.0, 9.0]}},
+        cpu_total=500.0,
+        sf=0.1, reps=2, cpus="32",
+        loadavg_start=[0.5, 1.0, 1.0], steal_pct=2.0, value=7.0,
+    )
+    p2 = _payload(
+        {"a": 3.0, "b": 4.0, "c": 6.0},
+        detail={"a": {"wall_sec": [3.0], "machine_cpu_sec": [8.5]}},
+        cpu_total=480.0,
+        sf=0.1, reps=2, cpus="32",
+        loadavg_start=[1.2, 1.0, 1.0], steal_pct=1.5, value=13.0,
+    )
+    m = bc.merge([p1, p2])
+    # per-query minimum; a query that failed in one probe but ran in
+    # the other keeps the real timing
+    assert m["queries"] == {"a": 2.0, "b": 4.0, "c": 6.0}
+    assert m["value"] == 12.0
+    assert m["timing"] == "min_of_probes" and m["merged_from"] == 2
+    # detail reps concatenate so compare() still finds best-rep CPU
+    assert m["query_detail"]["a"]["machine_cpu_sec"] == [8.0, 9.0, 8.5]
+    # CPU total / steal / loadavg take the least-contaminated probe
+    assert m["machine_cpu_sec_total"] == 480.0
+    assert m["steal_pct"] == 1.5
+    assert m["loadavg_start"] == [0.5, 1.0, 1.0]
+    assert len(m["probes_context"]) == 2
+    # the composite is itself comparable as a canonical-schema record
+    rep = bc.compare(p1, m)
+    assert rep["shared_queries"] == 2  # a, b (c failed in p1)
+
+
+def test_merge_rejects_mixed_sf_and_empty():
+    import pytest
+
+    with pytest.raises(ValueError):
+        bc.merge([_payload({}, sf=0.1), _payload({}, sf=0.01)])
+    with pytest.raises(ValueError):
+        bc.merge([])
+
+
+def test_merge_all_probes_failed_query():
+    m = bc.merge([_payload({"x": -1.0}, sf=0.1), _payload({"x": -1.0}, sf=0.1)])
+    assert m["queries"] == {"x": -1.0}
+    assert m["value"] == 0.0

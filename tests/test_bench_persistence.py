@@ -170,6 +170,51 @@ def test_package_change_detection_on_real_repo():
     assert bench._package_changed_since(repo, "no_such_file_xyz.json") is None
 
 
+def test_package_change_detection_covers_methodology_files(tmp_path):
+    """bench.py and __spark_entry__.py ARE the measurement methodology
+    (warmup, reps, query registration): a change to either must count
+    as 'code changed' so an honestly-different total can refresh the
+    canonical record without the force override."""
+    import json
+    import subprocess
+
+    def git(*args):
+        subprocess.run(["git", *args], cwd=tmp_path, check=True, capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps({"value": 88.0}))
+    (tmp_path / "bench.py").write_text("REPS = 2\n")
+    (tmp_path / "notes.md").write_text("irrelevant\n")
+    git("add", "-A")
+    git("commit", "-q", "-m", "seed")
+    assert bench._package_changed_since(str(tmp_path), "BENCH_FULL.json") is False
+    # a non-measured file changing does not count
+    (tmp_path / "notes.md").write_text("still irrelevant\n")
+    assert bench._package_changed_since(str(tmp_path), "BENCH_FULL.json") is False
+    # a methodology change does — even uncommitted
+    (tmp_path / "bench.py").write_text("REPS = 3\n")
+    assert bench._package_changed_since(str(tmp_path), "BENCH_FULL.json") is True
+
+
+def test_probe_payload_saved_per_canonical_run(tmp_path, monkeypatch, capsys):
+    """Every canonical-profile run lands verbatim under bench_probes/
+    with a fresh index — even when the canonical-record guard keeps the
+    existing BENCH_FULL record — so a drift-day min-composite is
+    reproducible from committed payloads."""
+    import json
+
+    _run_main_in_scratch(tmp_path, monkeypatch)
+    _run_main_in_scratch(tmp_path, monkeypatch)
+    p0 = tmp_path / "bench_probes" / "r00_00.json"
+    p1 = tmp_path / "bench_probes" / "r00_01.json"
+    assert p0.exists() and p1.exists()
+    payload = json.loads(p0.read_text())
+    assert payload["n_queries"] == 1 and "query_detail" in payload
+    assert "probe payload saved" in capsys.readouterr().err
+
+
 def test_drift_control_fields():
     # steal%: 5 steal jiffies of 100 elapsed -> 5.0
     assert bench._steal_pct((100, 1000, 10), (140, 1100, 15)) == 5.0

@@ -88,6 +88,35 @@ def test_fix_commits_artifacts_and_restores_clobbered_record(tmp_path, monkeypat
     assert json.loads(head_full) == idle
 
 
+def test_fix_restores_torn_canonical_record(tmp_path, monkeypatch):
+    """A torn/interrupted write leaves BENCH_FULL.json unparseable —
+    exactly the damaged state a round-boundary repair command must
+    classify as clobber evidence (and --fix restore), not crash on."""
+    import json
+    import subprocess
+    import sys
+
+    def git(*args):
+        subprocess.run(["git", *args], cwd=tmp_path, check=True, capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    idle = {"value": 88.0, "queries": {"a": 1.0}, "loadavg_start": [0.5, 1, 1]}
+    (tmp_path / "BENCH_FULL.json").write_text(json.dumps(idle))
+    git("add", "-A")
+    git("commit", "-q", "-m", "seed")
+    (tmp_path / "BENCH_FULL.json").write_text('{"value": 88.0, "quer')  # torn
+
+    monkeypatch.setattr(rs, "_REPO", tmp_path)
+    monkeypatch.setattr(sys, "argv", ["roundstart.py"])
+    assert rs.main() == 0  # report-only: classifies, does not crash
+
+    monkeypatch.setattr(sys, "argv", ["roundstart.py", "--fix"])
+    assert rs.main() == 0
+    assert json.loads((tmp_path / "BENCH_FULL.json").read_text()) == idle
+
+
 def test_clobber_verdict_restores_only_on_load_evidence():
     idle = {"value": 88.0, "loadavg_start": [0.5, 1.0, 1.0]}
     loaded = {"value": 111.0, "loadavg_start": [3.7, 2.0, 1.5]}
@@ -134,6 +163,23 @@ def test_clobber_verdict_host_noise_cpu_evidence():
     noisy = _detailed(132.0, cpu_per_query=610.0)
     ok, why = rs.clobber_verdict(noisy, committed, gate)
     assert ok and "host-noise" in why
+    # ...but if the measured code CHANGED since the committed record,
+    # the same signature could be an IO-bound regression of new code
+    # (wall up, CPU flat, cores waiting on disk/locks) — report the
+    # divergence, never auto-restore the stale record over it
+    ok, why = rs.clobber_verdict(noisy, committed, gate, code_changed=True)
+    assert not ok and "changed" in why
+    # unchanged code keeps the restore; unknown (None) stays permissive
+    ok, _ = rs.clobber_verdict(noisy, committed, gate, code_changed=False)
+    assert ok
+    ok, _ = rs.clobber_verdict(noisy, committed, gate, code_changed=None)
+    assert ok
+    # the loadavg branch is direct contamination evidence and restores
+    # regardless of code churn
+    loaded = {"value": 111.0, "loadavg_start": [3.7, 2.0, 1.5]}
+    idle = {"value": 88.0, "loadavg_start": [0.5, 1.0, 1.0]}
+    ok, _ = rs.clobber_verdict(loaded, idle, gate, code_changed=True)
+    assert ok
     # worse wall WITH proportionally higher CPU -> real work; keep it
     regressed = _detailed(132.0, cpu_per_query=900.0)
     ok, _ = rs.clobber_verdict(regressed, committed, gate)
