@@ -33,9 +33,13 @@ import sys
 
 _REPO = pathlib.Path(__file__).resolve().parent
 
-#: driver-dropped artifact names (anchored; nothing else auto-commits)
+#: driver-dropped artifact names (anchored; nothing else auto-commits).
+#: bench_probes/ payloads count: the driver's post-round bench refresh
+#: saves one per canonical-profile run (bench.py, r12), which would
+#: otherwise start every next round untracked.
 _ARTIFACT_RE = re.compile(
-    r"^(CORRECTNESS_r\d+|BENCH_r\d+|BENCH_FULL_r\d+|BENCH_FULL)\.json$"
+    r"^(CORRECTNESS_r\d+|BENCH_r\d+|BENCH_FULL_r\d+|BENCH_FULL"
+    r"|bench_probes/r\d+_\d+)\.json$"
 )
 
 
@@ -179,7 +183,9 @@ def main() -> int:
                 print("  -> restored from HEAD")
 
     # 2. untracked/modified driver artifacts -------------------------------
-    pending = pending_artifacts(_git("status", "--porcelain"))
+    # -uall lists files inside untracked dirs (a fresh bench_probes/
+    # would otherwise collapse to one unmatched "?? bench_probes/" row)
+    pending = pending_artifacts(_git("status", "--porcelain", "-uall"))
     if restore and not fix:
         # without --fix the clobbered copy is still in the tree; it
         # must not be listed as a commit candidate

@@ -22,6 +22,8 @@ def test_pending_artifacts_matches_only_driver_files():
             "?? CORRECTNESS_r11.json.bak",  # suffix junk must not match
             " M bench.py",  # source files never auto-commit
             "?? tests/test_new.py",
+            "?? bench_probes/r12_00.json",  # probe payloads ARE artifacts
+            "?? bench_probes/readme.txt",  # ...but only rNN_kk payloads
         ]
     )
     assert rs.pending_artifacts(porcelain) == [
@@ -29,6 +31,7 @@ def test_pending_artifacts_matches_only_driver_files():
         "BENCH_FULL_r12.json",
         "BENCH_r11.json",
         "CORRECTNESS_r11.json",
+        "bench_probes/r12_00.json",
     ]
     assert rs.pending_artifacts("") == []
 
