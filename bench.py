@@ -169,6 +169,29 @@ def _steal_pct(start, end) -> float | None:
     return round(100.0 * dsteal / dtotal, 2)
 
 
+def _canary_sec() -> float:
+    """Wall time of a FIXED single-threaded pure-python loop — an
+    external host-speed control that none of the other drift fields
+    can substitute for. On a frequency-scaled / steal-heavy host the
+    same work burns MORE time-based CPU-jiffies, so wall and
+    machine_cpu_sec inflate TOGETHER and the flat-CPU host-noise test
+    reads "real-work" (observed r12: canary 2.9 s -> 5.2 s between
+    two idle-loadavg hours; the 1.8x bench total that day tracked the
+    canary, on byte-identical code). The canary moves with host speed
+    and with nothing else.
+
+    The workload is part of the record schema: changing the loop
+    breaks cross-record comparability exactly like changing the
+    benchmark queries would."""
+    import time as _time
+
+    t0 = _time.time()
+    s = 0
+    for i in range(40_000_000):
+        s += i * 3 % 7
+    return round(_time.time() - t0, 3)
+
+
 def _clk_tck() -> float:
     try:
         return float(os.sysconf("SC_CLK_TCK")) or 100.0
@@ -205,6 +228,11 @@ def main() -> None:
     except OSError:
         load_start = None
     stat_start = _proc_stat_sample()
+    # Host-speed canary BEFORE the session spins up (min of two runs;
+    # ~6-10 s): on a healthy host this box does ~2.8-3.1 s. A record
+    # whose wall total inflates vs baseline by about the same factor
+    # as its canary is measuring a slow host, not slow code.
+    canary = min(_canary_sec(), _canary_sec())
 
     spark = get_spark("lavasmart-bench")
     # warmup: trigger JVM + parquet footer reads
@@ -243,6 +271,11 @@ def main() -> None:
         detail[name] = {"wall_sec": walls, "machine_cpu_sec": cpu_secs}
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Second canary sample: host speed oscillates WITHIN runs (r12
+    # observed a healthy 2.6 s entry canary on a run whose totals
+    # still came out ~1.3x) — bracketing the suite catches degradation
+    # that arrives after entry.
+    canary_end = _canary_sec()
     try:
         load_end = os.getloadavg()
     except OSError:
@@ -275,6 +308,15 @@ def main() -> None:
         # inflated = real extra work.
         "steal_pct": _steal_pct(stat_start, stat_end),
         "machine_cpu_sec_total": _busy_cpu_sec(stat_start, stat_end),
+        # External host-speed control (fixed pure-python loop): catches
+        # uniform host slowdowns (frequency scaling / steal) that
+        # inflate wall AND time-based CPU-jiffies together and
+        # therefore fool the flat-CPU host-noise test. Sampled at both
+        # ends of the suite (host speed oscillates within runs);
+        # canary_sec is the entry sample (min of two), canary_sec_end
+        # the exit sample.
+        "canary_sec": canary,
+        "canary_sec_end": canary_end,
         "query_detail": detail,
     }
     # The driver tail-truncates stdout to ~62 per-query times; persist the

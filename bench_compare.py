@@ -42,6 +42,10 @@ NOISE_FLOOR_SEC = 0.1
 WALL_NOISY_MIN = 1.2
 CPU_FLAT_MAX = 1.1
 
+#: wall inflation within this factor of the measured canary inflation
+#: is fully explained by the host running uniformly slower
+CANARY_COVER = 1.2
+
 
 def _ratio(old: float | None, new: float | None) -> float | None:
     if not old or not new or old <= 0 or new <= 0:
@@ -78,14 +82,44 @@ def detail_cpu_total(payload: dict, names=None) -> float | None:
     return total or None
 
 
-def adjudicate(wall_ratio: float | None, cpu_ratio: float | None) -> str:
+def _canary_samples(payload: dict) -> list[float]:
+    return [
+        v for v in (payload.get("canary_sec"), payload.get("canary_sec_end")) if v
+    ]
+
+
+def _canary_best(payload: dict) -> float | None:
+    vals = _canary_samples(payload)
+    return min(vals) if vals else None
+
+
+def _canary_worst(payload: dict) -> float | None:
+    vals = _canary_samples(payload)
+    return max(vals) if vals else None
+
+
+def adjudicate(
+    wall_ratio: float | None,
+    cpu_ratio: float | None,
+    canary_ratio: float | None = None,
+) -> str:
     """One word for one query (or the whole run): is the inflation
     host noise or real added work? 'no-cpu-control' when either
-    record predates the r11 fields."""
+    record predates the r11 fields.
+
+    The canary control outranks the CPU control: a frequency-scaled /
+    steal-heavy host burns MORE time-based CPU-jiffies for the same
+    work, so wall and CPU inflate together and the flat-CPU test
+    alone reads "real-work" (r12 measured this live: canary 2.9 s ->
+    5.2 s across two idle hours, bench total tracking it 1:1 on
+    byte-identical code). When the measured canary inflation covers
+    the wall inflation, the verdict is 'host-slowdown'."""
     if wall_ratio is None:
         return "not-comparable"
     if wall_ratio <= WALL_NOISY_MIN:
         return "within-noise"
+    if canary_ratio and wall_ratio <= canary_ratio * CANARY_COVER:
+        return "host-slowdown"
     if cpu_ratio is None:
         return "no-cpu-control"
     return "host-noise" if cpu_ratio < CPU_FLAT_MAX else "real-work"
@@ -98,6 +132,14 @@ def compare(old: dict, new: dict, threshold: float = 2.0) -> dict:
     old_total = round(sum(oq[k] for k in shared), 3)
     new_total = round(sum(nq[k] for k in shared), 3)
     od, nd = old.get("query_detail"), new.get("query_detail")
+
+    # Host-speed control: the canary is machine-global, so one ratio
+    # applies to the run and every query in it. The question is "can
+    # the HOST explain the slowdown?", so compare the old record's
+    # best observed host state against the new record's worst — host
+    # speed oscillates within runs (r12: a healthy entry canary on a
+    # degraded run), and degradation at either end is explanatory.
+    canary_ratio = _ratio(_canary_best(old), _canary_worst(new))
 
     flagged = []
     for name in shared:
@@ -114,7 +156,7 @@ def compare(old: dict, new: dict, threshold: float = 2.0) -> dict:
                 "new_sec": nq[name],
                 "wall_ratio": r,
                 "cpu_ratio": cr,
-                "verdict": adjudicate(r, cr),
+                "verdict": adjudicate(r, cr, canary_ratio),
             }
         )
     flagged.sort(key=lambda f: -f["wall_ratio"])
@@ -144,12 +186,13 @@ def compare(old: dict, new: dict, threshold: float = 2.0) -> dict:
         "total_wall_ratio": total_ratio,
         "total_cpu_ratio": cpu_total_ratio,
         "cpu_ratio_basis": cpu_basis,
-        "run_verdict": adjudicate(total_ratio, cpu_total_ratio),
+        "canary_ratio": canary_ratio,
+        "run_verdict": adjudicate(total_ratio, cpu_total_ratio, canary_ratio),
         "threshold": threshold,
         "flagged": flagged,
         "context": {
-            "old": {k: old.get(k) for k in ("loadavg_start", "cpu_busy_pct", "steal_pct", "reps")},
-            "new": {k: new.get(k) for k in ("loadavg_start", "cpu_busy_pct", "steal_pct", "reps")},
+            "old": {k: old.get(k) for k in ("loadavg_start", "cpu_busy_pct", "steal_pct", "reps", "canary_sec", "canary_sec_end")},
+            "new": {k: new.get(k) for k in ("loadavg_start", "cpu_busy_pct", "steal_pct", "reps", "canary_sec", "canary_sec_end")},
         },
     }
 
@@ -201,6 +244,11 @@ def merge(payloads: list[dict]) -> dict:
         "steal_pct": min(
             (p["steal_pct"] for p in payloads if p.get("steal_pct") is not None),
             default=None,
+        ),
+        # a composite is not a contiguous run: carry the best observed
+        # host speed across all probes' samples, no end sample
+        "canary_sec": min(
+            (b for b in map(_canary_best, payloads) if b), default=None
         ),
         "machine_cpu_sec_total": min(cpu_totals) if cpu_totals else None,
         "query_detail": detail,

@@ -29,6 +29,24 @@ def test_adjudicate_verdicts():
     assert bc.adjudicate(1.5, 1.48) == "real-work"  # both up
 
 
+def test_adjudicate_canary_outranks_cpu():
+    # A frequency-scaled/steal-heavy host burns more time-based
+    # CPU-jiffies for the same work, so wall AND CPU inflate together —
+    # but so does the pure-python canary, which code changes cannot
+    # move. Canary covering the wall inflation -> host-slowdown, even
+    # though the CPU control alone would say real-work.
+    assert bc.adjudicate(1.8, 1.7, 1.75) == "host-slowdown"
+    assert bc.adjudicate(1.8, None, 1.75) == "host-slowdown"
+    # wall inflation well beyond what the canary explains -> the CPU
+    # control decides as before
+    assert bc.adjudicate(3.0, 2.8, 1.1) == "real-work"
+    assert bc.adjudicate(3.0, 1.05, 1.1) == "host-noise"
+    # canary control only engages above the noise band
+    assert bc.adjudicate(1.1, 1.0, 2.0) == "within-noise"
+    # absent canary (pre-r12 records) -> unchanged behavior
+    assert bc.adjudicate(1.5, 1.48, None) == "real-work"
+
+
 def test_compare_flags_only_real_overruns():
     old = _payload({"a": 1.0, "b": 0.04, "c": 2.0, "gone": 1.0}, cpu_total=100.0)
     new = _payload(
@@ -143,20 +161,53 @@ def test_detail_cpu_total_filters_to_shared_names():
     assert bc.detail_cpu_total({"queries": {}}) is None
 
 
+def test_compare_canary_run_and_query_verdicts():
+    """The r12 live case in miniature: byte-identical code, host 1.75x
+    slower by the canary, wall and CPU both inflated ~1.5-1.8x."""
+    old = _payload(
+        {"q": 10.0},
+        detail={"q": {"wall_sec": [10.0], "machine_cpu_sec": [90.0]}},
+        canary_sec=2.9,
+    )
+    new = _payload(
+        {"q": 17.0, "spiky": 0.0},
+        detail={"q": {"wall_sec": [17.0], "machine_cpu_sec": [150.0]}},
+        canary_sec=5.1,
+    )
+    old["queries"]["spiky"] = 1.0
+    new["queries"]["spiky"] = 2.5
+    rep = bc.compare(old, new, threshold=1.5)
+    assert rep["canary_ratio"] == round(5.1 / 2.9, 3)
+    # old-best vs new-worst across both samples: a healthy ENTRY canary
+    # on the new run must not mask degradation that arrived mid-run
+    old2 = dict(old, canary_sec=3.4, canary_sec_end=2.9)
+    new2 = dict(new, canary_sec=2.6, canary_sec_end=5.1)
+    rep2 = bc.compare(old2, new2, threshold=1.5)
+    assert rep2["canary_ratio"] == round(5.1 / 2.9, 3)
+    assert rep2["run_verdict"] == "host-slowdown"
+    assert rep["run_verdict"] == "host-slowdown"
+    # the machine-global canary covers per-query verdicts too
+    by_name = {f["query"]: f["verdict"] for f in rep["flagged"]}
+    assert by_name["q"] == "host-slowdown"
+    # ...but not a query inflated far beyond the host factor
+    assert by_name["spiky"] == "no-cpu-control"
+    assert rep["context"]["new"]["canary_sec"] == 5.1
+
+
 def test_merge_min_composite():
     p1 = _payload(
         {"a": 2.0, "b": 5.0, "c": -1.0},
         detail={"a": {"wall_sec": [2.0, 2.2], "machine_cpu_sec": [8.0, 9.0]}},
         cpu_total=500.0,
         sf=0.1, reps=2, cpus="32",
-        loadavg_start=[0.5, 1.0, 1.0], steal_pct=2.0, value=7.0,
+        loadavg_start=[0.5, 1.0, 1.0], steal_pct=2.0, value=7.0, canary_sec=3.0,
     )
     p2 = _payload(
         {"a": 3.0, "b": 4.0, "c": 6.0},
         detail={"a": {"wall_sec": [3.0], "machine_cpu_sec": [8.5]}},
         cpu_total=480.0,
         sf=0.1, reps=2, cpus="32",
-        loadavg_start=[1.2, 1.0, 1.0], steal_pct=1.5, value=13.0,
+        loadavg_start=[1.2, 1.0, 1.0], steal_pct=1.5, value=13.0, canary_sec=2.8,
     )
     m = bc.merge([p1, p2])
     # per-query minimum; a query that failed in one probe but ran in
@@ -166,10 +217,11 @@ def test_merge_min_composite():
     assert m["timing"] == "min_of_probes" and m["merged_from"] == 2
     # detail reps concatenate so compare() still finds best-rep CPU
     assert m["query_detail"]["a"]["machine_cpu_sec"] == [8.0, 9.0, 8.5]
-    # CPU total / steal / loadavg take the least-contaminated probe
+    # CPU total / steal / loadavg / canary take the least-contaminated probe
     assert m["machine_cpu_sec_total"] == 480.0
     assert m["steal_pct"] == 1.5
     assert m["loadavg_start"] == [0.5, 1.0, 1.0]
+    assert m["canary_sec"] == 2.8
     assert len(m["probes_context"]) == 2
     # the composite is itself comparable as a canonical-schema record
     rep = bc.compare(p1, m)

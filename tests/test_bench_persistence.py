@@ -89,6 +89,9 @@ def _run_main_in_scratch(tmp_path, monkeypatch, *, total_sec=0.0):
     monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
     # loadavg below the gate so the canonical profile persists
     monkeypatch.setattr(mod.os, "getloadavg", lambda: (0.1, 0.1, 0.1))
+    # stub the host-speed canary: the real fixed loop costs ~3-5 s per
+    # call and its value is irrelevant to the persistence logic
+    monkeypatch.setattr(mod, "_canary_sec", lambda: 0.5)
     mod.main()
     out = tmp_path / "BENCH_FULL.json"
     return json.loads(out.read_text()) if out.exists() else None
@@ -212,6 +215,7 @@ def test_probe_payload_saved_per_canonical_run(tmp_path, monkeypatch, capsys):
     assert p0.exists() and p1.exists()
     payload = json.loads(p0.read_text())
     assert payload["n_queries"] == 1 and "query_detail" in payload
+    assert payload["canary_sec"] == 0.5  # min of the stubbed canary runs
     assert "probe payload saved" in capsys.readouterr().err
 
 
