@@ -213,6 +213,20 @@ def _busy_cpu_sec(start, end) -> float | None:
 
 
 def main() -> None:
+    if "--canary" in sys.argv[1:]:
+        # Health probe only: is NOW a good time to take a canonical
+        # record? Healthy on this box is ~2.8-3.1 s; degraded days
+        # have measured 5-6 s at idle loadavg. No Spark, ~10 s total.
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            load1 = None
+        print(json.dumps({
+            "canary_sec": min(_canary_sec(), _canary_sec()),
+            "loadavg1": load1,
+        }))
+        return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 

@@ -129,6 +129,24 @@ def test_main_persist_block_end_to_end(tmp_path, monkeypatch, capsys):
     assert "host-noise run" in err and "BENCH_FULL.json kept" in err
 
 
+def test_canary_flag_prints_health_probe_only(tmp_path, monkeypatch, capsys):
+    import importlib.util
+    import json
+    import sys
+
+    spec = importlib.util.spec_from_file_location("bench_canary", _BENCH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.__file__ = str(tmp_path / "bench.py")
+    monkeypatch.setattr(mod, "_canary_sec", lambda: 0.5)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--canary"])
+    mod.main()
+    out = json.loads(capsys.readouterr().out)
+    assert out["canary_sec"] == 0.5 and "loadavg1" in out
+    # no Spark, no record files touched
+    assert not (tmp_path / "BENCH_FULL.json").exists()
+
+
 def test_load_context_sampling():
     s = bench._proc_stat_sample()
     assert s is not None and s[1] >= s[0] >= 0  # Linux sandbox
