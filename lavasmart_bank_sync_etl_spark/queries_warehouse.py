@@ -888,6 +888,14 @@ def ml3_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B1 — bucketed co-located join (shuffle-free keyed join at rest)
 # ---------------------------------------------------------------------------
 
+#: applicationId -> the sf_dir whose data the b1_* tables currently
+#: hold in THIS session (same per-session idempotence the
+#: _STAGED_DIRS/_STREAM_SINKS staging helpers use — nothing persists
+#: across bench invocations). Keyed on the VALUE, not a seen-set,
+#: because the table names are fixed: a call with a different sf_dir
+#: must rebuild, and switching back must rebuild again.
+_B1_BUILT: dict[str, str] = {}
+
 @query(
     "b1_bucketed_join",
     """
@@ -904,26 +912,35 @@ def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     query makes the layout driver-verified end-to-end). The ``merge``
     hint forces the sort-merge path so the bucketed layout — not a
     broadcast — is what's exercised even at driver scale. Results
-    must equal the plain join, which is the oracle."""
+    must equal the plain join, which is the oracle.
+
+    The bucketed tables are (re)built once per (session, sf_dir) —
+    the at-rest-layout analog of the jl1/csv1 staged dirs: the
+    production shape is a join against tables ALREADY bucketed on
+    disk, so rebuilding them on every call (every bench rep paid two
+    table writes) measured the write, not the co-located join."""
     import pathlib
     import shutil
     from urllib.parse import urlparse
 
-    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-    for name, df, key in [("b1_orders", orders, "o_custkey"), ("b1_customer", cust, "c_custkey")]:
-        # a stale location can outlive the in-memory catalog (previous
-        # session/crash) — clear both so the rebuild is idempotent
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(pathlib.Path(warehouse) / name, ignore_errors=True)
-        (
-            df.write.bucketBy(8, key)
-            .sortBy(key)
-            .mode("overwrite")
-            .format("parquet")
-            .saveAsTable(name)
-        )
+    app_id = spark.sparkContext.applicationId
+    if _B1_BUILT.get(app_id) != sf_dir:
+        orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+        cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        for name, df, key in [("b1_orders", orders, "o_custkey"), ("b1_customer", cust, "c_custkey")]:
+            # a stale location can outlive the in-memory catalog (previous
+            # session/crash) — clear both so the rebuild is idempotent
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(pathlib.Path(warehouse) / name, ignore_errors=True)
+            (
+                df.write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        _B1_BUILT[app_id] = sf_dir
     o, c = spark.table("b1_orders").hint("merge"), spark.table("b1_customer").hint("merge")
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])

@@ -73,3 +73,41 @@ def test_unbucketed_same_join_shuffles(spark, sf_dir):
     dst = src.select("folio", (F.col("monto") + 1).alias("monto_dest"))
     plan = plan_of(src.join(dst, on="folio", how="full_outer"))
     assert "Exchange" in plan  # the shuffle bucketing removes
+
+
+def test_b1_rebuilds_only_when_corpus_changes(spark, sf_dir):
+    """b1's bucketed tables are built once per (session, sf_dir) — but a
+    DIFFERENT sf_dir in the same session must rebuild them (the table
+    names are fixed, so serving the previous corpus would be stale), and
+    switching back must rebuild again rather than trust the memo."""
+    from lavasmart_bank_sync_etl_spark import queries_warehouse as qw
+    from lavasmart_bank_sync_etl_spark.queries import QUERIES
+
+    qw._B1_BUILT.clear()
+    n1 = QUERIES["b1_bucketed_join"](spark, sf_dir).count()
+    app_id = spark.sparkContext.applicationId
+    assert qw._B1_BUILT[app_id] == sf_dir
+
+    # same corpus again: memo hit, tables untouched
+    import pathlib
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    before = sorted(p.name for p in (pathlib.Path(warehouse) / "b1_orders").iterdir())
+    mtimes = {p.name: p.stat().st_mtime_ns for p in (pathlib.Path(warehouse) / "b1_orders").iterdir()}
+    assert QUERIES["b1_bucketed_join"](spark, sf_dir).count() == n1
+    after = {p.name: p.stat().st_mtime_ns for p in (pathlib.Path(warehouse) / "b1_orders").iterdir()}
+    assert after == mtimes and sorted(after) == before
+
+    # different corpus: rebuild, results reflect the NEW data
+    other = "/root/testdata/sf0.01" if "0.001" in sf_dir else "/root/testdata/sf0.001"
+    n2 = QUERIES["b1_bucketed_join"](spark, other).count()
+    assert qw._B1_BUILT[app_id] == other
+    from pyspark.sql import functions as F  # noqa: F401
+    from lavasmart_bank_sync_etl_spark.sources.tables import read_table
+
+    seg_other = read_table(spark, other, "customer").select("c_mktsegment").distinct().count()
+    assert n2 == seg_other
+
+    # and back: the memo must not serve the other corpus's tables
+    assert QUERIES["b1_bucketed_join"](spark, sf_dir).count() == n1
