@@ -2540,17 +2540,39 @@ def ss7_ann_recall_scorecard(
 
     truth = result("ss1_brute_force_topk")
     truth_n = truth.count()  # tiny (queries × k); a literal in both plans
-    rows = []
-    for method, qname in [
+    methods = [
         ("brute", "ss1_brute_force_topk"),
         ("lsh", "ss2_lsh_topk"),
         ("ivf", "ss3_ivf_topk"),
         ("pq", "ss6_pq_adc_topk"),
         ("ivfpq", "ss8_ivfpq_topk"),
         ("rerank", "ss9_ivfpq_rerank"),
-    ]:
-        hits = truth.join(result(qname), ["query_id", "neighbor_id"]).count()
-        rows.append((method, hits, truth_n, hits * 10000 // truth_n))
+    ]
+
+    # Plan construction / persist registration stays sequential (the
+    # _SHARED cache and the shared IVF-PQ index parts are not built
+    # for concurrent first-touch); only the count ACTIONS overlap.
+    result_dfs = {qname: result(qname) for _, qname in methods}
+
+    def hits_of(qname: str) -> int:
+        return truth.join(result_dfs[qname], ["query_id", "neighbor_id"]).count()
+
+    # The six recall counts are independent jobs; running them
+    # sequentially serialized six scheduler round-trips (and, on the
+    # first invocation, the materialization of every persisted result
+    # set this query is first to touch — ss7 sorts BEFORE ss8/ss9, so
+    # it pays their index build). Submit them from a small thread pool
+    # so later jobs back-fill executors freed by earlier ones (guide
+    # §2.6 overlap-independent-jobs); counts are counts, so the rows
+    # are value-identical to the sequential form.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        all_hits = list(pool.map(hits_of, [q for _, q in methods]))
+    rows = [
+        (method, hits, truth_n, hits * 10000 // truth_n)
+        for (method, _), hits in zip(methods, all_hits)
+    ]
     return spark.createDataFrame(
         rows, "method string, hits long, truth_n long, recall_bp long"
     )
