@@ -426,12 +426,10 @@ def _ppm_bytes(gray) -> bytes:
     return header + rgb.tobytes()
 
 
-def _parse_ppm(payload: bytes):
-    """Full P6 decode: header tokens (comments legal) + raw raster.
-    Returns (w, h, maxval, HxWx3 uint8 array); malformed input raises
-    (the jl2 quarantine philosophy — never silently mis-decode)."""
-    import numpy as np
-
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Scan a P6 header: returns (w, h, maxval, raster_offset);
+    malformed input raises (the jl2 quarantine philosophy — never
+    silently mis-decode)."""
     if payload[:2] != b"P6":
         raise NotImplementedError("not a binary PPM (P6) payload")
     tokens: list[int] = []
@@ -457,6 +455,16 @@ def _parse_ppm(payload: bytes):
         raise NotImplementedError("malformed PPM header")
     pos += 1  # single whitespace after maxval, then the raster
     w, h, maxval = tokens
+    return w, h, maxval, pos
+
+
+def _parse_ppm(payload: bytes):
+    """Full P6 decode: header tokens (comments legal) + raw raster.
+    Returns (w, h, maxval, HxWx3 uint8 array); malformed input
+    raises."""
+    import numpy as np
+
+    w, h, maxval, pos = _ppm_header(payload)
     need = w * h * 3
     raster = payload[pos : pos + need]
     if maxval != 255 or len(raster) != need:
@@ -506,25 +514,77 @@ def image_dhash(media: DataFrame) -> DataFrame:
     stay columnar at rest (the dd1 principle for pixels)."""
     import numpy as np
 
+    def _hash_stack(gray: "np.ndarray") -> tuple[list[str], "np.ndarray"]:
+        """dHash a (n, h, w) uint8 stack in one vectorized pass —
+        IDENTICAL arithmetic to the per-row form, batched on axis 0.
+        Returns (bit strings, ones counts)."""
+        g = gray.astype(np.int64)
+        grid = (
+            g[:, 0::2, 0::2] + g[:, 0::2, 1::2]
+            + g[:, 1::2, 0::2] + g[:, 1::2, 1::2]
+        ) // 4  # (n, h/2, w/2)
+        bits = (grid[:, :, :-1] < grid[:, :, 1:])  # (n, h/2, w/2 - 1)
+        flat = bits.reshape(len(g), -1)
+        chars = np.where(flat, np.uint8(ord("1")), np.uint8(ord("0")))
+        strings = [row.tobytes().decode("ascii") for row in chars]
+        return strings, flat.sum(axis=1).astype(np.int64)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # The hot path is vectorized over the whole Arrow batch (guide
+        # §4.2): rasters in a corpus overwhelmingly share one header
+        # ("P6\n<w> <h>\n255\n" from a single synth/transcode profile),
+        # so after one full _parse_ppm the remaining rows only pay a
+        # prefix compare, one frombuffer view each, and a stacked
+        # numpy dHash. Rows whose header differs (mixed sizes,
+        # malformed input) fall back to the per-row decode, preserving
+        # the exact per-row error behavior. The previous per-row loop
+        # (parse + tiny-array numpy + 64-way string join per image)
+        # was allocation-bound, not compute-bound.
         for pdf in batches:
-            out = {"doc_id": [], "dhash_bits": [], "ones": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, _, rgb = _parse_ppm(bytes(payload))
-                gray = rgb[:, :, 0].astype(np.int64)
-                grid = (
-                    gray[0::2, 0::2] + gray[0::2, 1::2]
-                    + gray[1::2, 0::2] + gray[1::2, 1::2]
-                ) // 4  # (h/2, w/2) == 8 x 9
-                bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)  # 8 x 8
-                s = "".join("1" if b else "0" for b in bits.ravel())
-                out["doc_id"].append(doc_id)
-                out["dhash_bits"].append(s)
-                out["ones"].append(int(bits.sum()))
+            payloads = [bytes(p) for p in pdf["payload"]]
+            header: bytes | None = None
+            dims: tuple[int, int] | None = None
+            fast_idx: list[int] = []
+            slow_idx: list[int] = []
+            for i, b in enumerate(payloads):
+                if header is None:
+                    w, h, maxval, raster_off = _ppm_header(b)
+                    if maxval != 255 or len(b) < raster_off + w * h * 3:
+                        raise NotImplementedError(
+                            "unsupported or truncated PPM raster"
+                        )
+                    header = b[:raster_off]
+                    dims = (w, h)
+                    fast_idx.append(i)
+                elif b[: len(header)] == header and len(b) == len(header) + dims[0] * dims[1] * 3:
+                    fast_idx.append(i)
+                else:
+                    slow_idx.append(i)
+            n = len(payloads)
+            bit_strings: list[str | None] = [None] * n
+            ones = np.zeros(n, dtype=np.int64)
+            if fast_idx:
+                w, h = dims
+                off = len(header)
+                # channel 0 of each RGB triple == grayscale (synth
+                # images are gray; matches the per-row rgb[:, :, 0])
+                stack = np.stack([
+                    np.frombuffer(payloads[i], np.uint8, count=w * h * 3, offset=off)[0::3]
+                    for i in fast_idx
+                ]).reshape(len(fast_idx), h, w)
+                strings, counts = _hash_stack(stack)
+                for j, i in enumerate(fast_idx):
+                    bit_strings[i] = strings[j]
+                    ones[i] = counts[j]
+            for i in slow_idx:
+                w, h, _, rgb = _parse_ppm(payloads[i])
+                strings, counts = _hash_stack(rgb[None, :, :, 0])
+                bit_strings[i] = strings[0]
+                ones[i] = counts[0]
             yield pd.DataFrame({
-                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
-                "dhash_bits": out["dhash_bits"],
-                "ones": pd.Series(out["ones"], dtype="int32"),
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "dhash_bits": bit_strings,
+                "ones": pd.Series(ones, dtype="int32"),
             })
 
     return media.mapInPandas(run, schema=DHASH_SCHEMA)
