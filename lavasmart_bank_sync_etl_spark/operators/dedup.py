@@ -114,33 +114,6 @@ def _shingle_rows(
     )
 
 
-def _shingle_rows_sized(
-    df: DataFrame, text_col: str, id_col: str, k: int
-) -> DataFrame:
-    """(id, sz, shingle) rows — ``_shingle_rows`` plus the per-doc
-    distinct-shingle count ``sz``, computed with ``size()`` from the
-    SAME materialized array the explode consumes (one Project, no
-    second evaluation). Carrying |A| on the shingle rows lets the
-    Jaccard/containment scorers thread doc sizes through the posting
-    lists instead of re-deriving them: the previous shape re-computed
-    the whole corpus→normalize→explode→groupBy(id) subtree twice more
-    (once per join side) just to rejoin ``sz`` onto the pair list —
-    two extra corpus passes, two exchanges and two joins that this
-    column makes unnecessary (guide §2.3 "shuffle keys and metadata
-    instead of payloads", §2.4 "remove shuffles outright")."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w"))
-        .repartition(p)
-        .select(F.col(id_col), shingles_from_words(F.col("_w"), k).alias("_sh"))
-        .select(
-            F.col(id_col),
-            F.size("_sh").alias("sz"),
-            F.explode("_sh").alias("shingle"),
-        )
-    )
-
-
 def _hash64(col: Column, seed: int) -> Column:
     """Deterministic 60-bit hash reproducible in DuckDB:
     ``CAST(('0x' || substr(md5(seed || s), 1, 15)) AS BIGINT)``.
@@ -274,9 +247,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_posting: int = 1000,
 ) -> DataFrame:
-    """n-gram Jaccard near-dup: explode shingles, count intersections
-    from grouped posting lists; |A∪B| comes from per-doc sizes carried
-    ON the shingle rows (no size rejoin — see _capped_intersections).
+    """n-gram Jaccard near-dup: explode shingles, self-join on shingle
+    to count intersections, derive |A∪B| from per-doc sizes.
 
     Pair generation is grouped, not self-joined: group by shingle,
     collect the (sorted) posting list, emit each within-list pair via
@@ -298,55 +270,21 @@ def ngram_jaccard_pairs(
     put the band/LSH prefilter (minhash_lsh_candidates) in front of
     this exact scorer.
     """
-    inter = _capped_intersections(df, text_col, id_col, k, max_posting)
-    return (
-        inter
-        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    sh = _shingle_rows(df, text_col, id_col, k)
+    # |A| must count every shingle (union denominator) — before any filter
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # The cap rides one sorted window pass (row_number over the same
+    # shuffle the aggregate needs); singletons drop after the collect
+    # (size > 1) as before. A second count-window for pre-filtering
+    # singletons was measured: Spark plans it as a separate WindowExec
+    # (different frame), costing more than the agg it would save.
+    capped = cap_postings(sh, ["shingle"], [id_col], max_posting).select(
+        "shingle", id_col
     )
-
-
-def _capped_intersections(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    k: int,
-    max_posting: int,
-) -> DataFrame:
-    """(id_a, id_b, inter, sz_a, sz_b) for every doc pair sharing ≥1
-    shingle — the shared engine of ``ngram_jaccard_pairs`` and
-    ``ngram_containment_pairs``.
-
-    |A| (the pre-cap distinct-shingle count, the union/containment
-    denominator) rides the shingle rows as a ``sz`` column and is
-    threaded through the posting-list structs into the pair rows, so
-    the scorers need NO size rejoin: the previous shape computed the
-    corpus→normalize→explode subtree two extra times (once per join
-    side of ``inter ⋈ sizes``) and paid two joins to reattach a number
-    that was already known at shingle time (r12 plan diff: dd17 went
-    from 3 corpus subtrees + 2 SortMergeJoins to 1 subtree + 0 joins).
-
-    The cap rides one sorted window pass (row_number over the same
-    shuffle the collect needs); singleton shingles (the majority)
-    drop after the collect (size > 1). A second count-window for
-    pre-filtering singletons was measured: Spark plans it as a
-    separate WindowExec (different frame), costing more than the agg
-    it would save. ``sz`` is constant per doc, so ``min()`` in the
-    pair aggregate reads it back without widening the group state.
-    """
-    sh = _shingle_rows_sized(df, text_col, id_col, k)
-    capped = cap_postings(sh, ["shingle"], [id_col], max_posting)
     ids = F.col("ids")
     groups = (
         capped.groupBy("shingle")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col(id_col).alias("i"), F.col("sz").alias("s"))
-                )
-            ).alias("ids")
-        )
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .where(F.size(ids) > 1)
     )
     pairs = groups.select(
@@ -356,30 +294,24 @@ def _capped_intersections(
                     ids,
                     lambda x, i: F.transform(
                         F.slice(ids, i + 2, F.size(ids)),
-                        lambda y: F.struct(
-                            x["i"].alias("a"),
-                            x["s"].alias("sa"),
-                            y["i"].alias("b"),
-                            y["s"].alias("sb"),
-                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
                     ),
                 )
             )
         ).alias("p")
     )
-    return (
-        pairs.select(
-            F.col("p.a").alias("id_a"),
-            F.col("p.b").alias("id_b"),
-            F.col("p.sa").alias("sz_a"),
-            F.col("p.sb").alias("sz_b"),
-        )
+    inter = (
+        pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.min("sz_a").alias("sz_a"),
-            F.min("sz_b").alias("sz_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -664,9 +596,39 @@ def ngram_containment_pairs(
 
     Output: id_a < id_b, containment (4dp), jaccard (4dp).
     """
-    inter = _capped_intersections(df, text_col, id_col, k, max_posting)
+    sh = _shingle_rows(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    capped = cap_postings(sh, ["shingle"], [id_col], max_posting).select(
+        "shingle", id_col
+    )
+    ids = F.col("ids")
+    groups = (
+        capped.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size(ids) > 1)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    inter = (
+        pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
         .withColumn(
             "containment",
             F.round(F.col("inter") / F.least("sz_a", "sz_b"), 4),
