@@ -59,23 +59,52 @@ def kmeans_assign(
         .withColumn("cid", F.col("cid") - 1)
     )
     for step in range(iters):
+        # Assignment is a pure projection, not a shuffle: the k
+        # centroids collapse into ONE broadcast row holding a
+        # cid-sorted array, each vector computes its k distances with
+        # `transform`, and `array_min` over (d, cid) structs picks the
+        # argmin with the exact orderBy(d asc, cid asc) tie-break the
+        # previous row_number window applied. The window form expanded
+        # every vector k-fold and then shuffled+sorted those k·N rows
+        # by vid just to keep one — guide §2.4 (remove shuffles
+        # outright): per iteration this drops one Exchange and one
+        # WindowExec over k·N rows while computing bitwise-identical
+        # distances (`_sqdist` unchanged, applied to the same doubles).
+        cent_row = centroids.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
+        )
         assigned = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .withColumn("d", _sqdist(F.col("v"), F.col("c")))
+            vecs.crossJoin(F.broadcast(cent_row))
             .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("vid").orderBy(F.col("d").asc(), F.col("cid").asc())
+                "best",
+                F.array_min(
+                    F.transform(
+                        "cents",
+                        lambda ct: F.struct(
+                            _sqdist(F.col("v"), ct["c"]).alias("d"),
+                            ct["cid"].alias("cid"),
+                        ),
+                    )
                 ),
             )
-            .where(F.col("rn") == 1)
-            .select("vid", "v", F.col("cid").alias("cluster"))
+            # empty input => empty `cents` => null best; dropping the
+            # row preserves the no-centroids behavior of the join form
+            .where(F.col("best").isNotNull())
+            .select("vid", "v", F.col("best.cid").alias("cluster"))
         )
         if step == iters - 1:
-            sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
-            return (
-                assigned.join(sizes, "cluster")
-                .select(F.col("vid").alias(id_col), "cluster", "n_members")
+            # n_members as a count window over the final assignment:
+            # the aggregate-then-self-join form planned the ENTIRE
+            # iteration subtree twice (once per join side — Spark does
+            # no cross-consumer subtree reuse), so one window exchange
+            # here halves the whole plan. Consumers that drop
+            # n_members (dd12) get the window pruned away entirely.
+            return assigned.select(
+                F.col("vid").alias(id_col),
+                "cluster",
+                F.count(F.lit(1))
+                .over(Window.partitionBy("cluster"))
+                .alias("n_members"),
             )
         # Fixed-point mean per (cluster, dim): integer sums are
         # order-independent → identical centroids on any engine.
