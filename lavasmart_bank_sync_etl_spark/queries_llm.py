@@ -283,10 +283,37 @@ def near_dup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exploded (doc_id, shingle) rows of the near-dup corpus
+    (k=3) — the expensive normalize→split→shingle→explode base that
+    dd4/dd14's exact scorer, dd18's cap audit and the MinHash
+    signature build all repeat per consumer (and per join side WITHIN
+    a consumer — Spark plans duplicated subtrees independently).
+    Registering the persist lets CacheManager substitute the one
+    materialized copy into every canonically-matching subplan (guide
+    §2.4: remove repeated shuffles/scans outright). At 100 TB this is
+    the staged shingle-index table written once per corpus snapshot."""
+    return _shared_persist(
+        spark, ("neardup_sh3", sf_dir),
+        lambda: DD._shingle_rows(_near_dup_corpus(spark, sf_dir), "text", "doc_id", 3),
+    )
+
+
+def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd17/dd18's twin of ``_near_dup_shingles`` for the containment
+    corpus: dd17's pair scorer alone plans this subtree three times
+    (pair path + each size-join side)."""
+    return _shared_persist(
+        spark, ("contain_sh3", sf_dir),
+        lambda: DD._shingle_rows(_containment_corpus(spark, sf_dir), "text", "doc_id", 3),
+    )
+
+
 def near_dup_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ≥0.6 Jaccard pairs (dd4's scorer) — shared by dd4 and
     dd14's recall ground truth, so the shingle self-join runs once per
     (session, sf_dir) instead of once per consumer."""
+    _near_dup_shingles(spark, sf_dir)
     return _shared_persist(
         spark, ("neardup_true_06", sf_dir),
         lambda: DD.ngram_jaccard_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.6),
@@ -440,6 +467,10 @@ def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shingle-shuffle machinery and 1000-id posting cap as dd4
     (``operators/dedup.ngram_containment_pairs``); at 100 TB the LSH
     prefilter slots in front identically."""
+    # register the shared shingle-rows persist: the scorer's pair path
+    # and both size-join sides then read one materialized copy instead
+    # of re-running the corpus->normalize->shingle->explode subtree 3x
+    _containment_shingles(spark, sf_dir)
     return DD.ngram_containment_pairs(
         _containment_corpus(spark, sf_dir), threshold=0.9
     )
@@ -502,6 +533,8 @@ def dd18_posting_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts are undercounts — measured, not asserted. Runs the
     exact shingle shuffle the pair queries pay, collapsed to one row
     per corpus before anything leaves the executors."""
+    _near_dup_shingles(spark, sf_dir)
+    _containment_shingles(spark, sf_dir)
     a4 = DD.posting_cap_audit(_near_dup_corpus(spark, sf_dir)).select(
         F.lit("dd4").alias("corpus"), "*"
     )
