@@ -998,7 +998,14 @@ def dd7_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's QUALIFY): organic band diversity never reaches it, so
     exactness holds; a degenerate corpus collapsing into one band
     value gets a bounded join instead of a quadratic one."""
-    sigs = DD.simhash(_near_dup_corpus(spark, sf_dir), bits=32)
+    # the signature table is an index artifact (the simhash twin of the
+    # persisted MinHash sigs / IVF codebooks): build it once per
+    # (session, sf_dir) — at 100 TB it is materialized once per corpus
+    # snapshot and every Hamming lookup reads it back
+    sigs = _shared_persist(
+        spark, ("neardup_simhash32", sf_dir),
+        lambda: DD.simhash(_near_dup_corpus(spark, sf_dir), bits=32),
+    )
     pairs = DD.simhash_hamming_pairs(sigs, bits=32, bands=4, max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
