@@ -426,6 +426,21 @@ def _ppm_bytes(gray) -> bytes:
     return header + rgb.tobytes()
 
 
+def _ppm_bytes_stack(gray_stack) -> list[bytes]:
+    """``_ppm_bytes`` for an (n, h, w) stack: one vectorized RGB
+    expansion for the whole batch, then one memcpy-sized tobytes per
+    frame — byte-identical output to mapping ``_ppm_bytes`` over the
+    stack (same header, same tripled-gray raster), without n reshape/
+    repeat round-trips through tiny arrays (guide §4.2)."""
+    import numpy as np
+
+    n, h, w = gray_stack.shape
+    header = f"P6\n{w} {h}\n255\n".encode()
+    rgb = np.repeat(gray_stack.astype(np.uint8)[..., None], 3, axis=3)
+    flat = rgb.reshape(n, -1)
+    return [header + row.tobytes() for row in flat]
+
+
 def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     """Scan a P6 header: returns (w, h, maxval, raster_offset);
     malformed input raises (the jl2 quarantine philosophy — never
@@ -481,14 +496,17 @@ def synth_images(df: DataFrame, dup_every: int = 10, id_col: str = "doc_id") -> 
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # raster coordinates shared across the batch; the per-row gray
+        # formula is IDENTICAL to the previous per-row mgrid form,
+        # evaluated once for the whole (n, h, w) stack (guide §4.2)
+        y, x = np.mgrid[0:_DHASH_H, 0:_DHASH_W]
+        lin = (y * _DHASH_W + x)[None, :, :]
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = []
-            for d in ids:
-                eff = int(d) - 1 if (int(d) % dup_every == 0 and int(d) > 0) else int(d)
-                y, x = np.mgrid[0:_DHASH_H, 0:_DHASH_W]
-                gray = ((eff * 31 + y * _DHASH_W + x) * 7) % 256
-                payloads.append(_ppm_bytes(gray))
+            iv = ids.to_numpy(dtype="int64")
+            eff = np.where((iv % dup_every == 0) & (iv > 0), iv - 1, iv)
+            gray = ((eff[:, None, None] * 31 + lin) * 7) % 256
+            payloads = _ppm_bytes_stack(gray)
             yield pd.DataFrame({
                 "doc_id": ids,
                 "payload": payloads,
@@ -615,7 +633,7 @@ def _synth_ppm_frames(df: DataFrame, n_frames: int, content_ids, id_col: str) ->
                 + mix * (cids % 97)[:, None, None]
             ) % 256
             out_ids = (ids[:, None] * 16 + fidx).ravel()
-            payloads = [_ppm_bytes(g) for g in gray]
+            payloads = _ppm_bytes_stack(gray)
             yield pd.DataFrame({
                 "doc_id": pd.Series(out_ids, dtype="int64"),
                 "payload": payloads,
