@@ -896,6 +896,30 @@ def ml3_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: must rebuild, and switching back must rebuild again.
 _B1_BUILT: dict[str, str] = {}
 
+
+def _b1_table_names(app_id: str) -> tuple[str, str]:
+    """Per-process catalog names for b1's bucketed tables. The suffix
+    is derived from the applicationId so concurrent processes sharing
+    one spark-warehouse directory build and read DISJOINT tables
+    instead of clobbering each other's live parquet parts."""
+    import hashlib
+
+    suffix = hashlib.md5(app_id.encode()).hexdigest()[:8]
+    return f"b1_orders_{suffix}", f"b1_customer_{suffix}"
+
+
+def _gc_stale_b1_dir(p, live_names: tuple[str, str], cutoff: float) -> None:
+    import shutil
+
+    if p.name in live_names:
+        return
+    try:
+        if p.stat().st_mtime < cutoff:
+            shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
 @query(
     "b1_bucketed_join",
     """
@@ -918,17 +942,26 @@ def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the at-rest-layout analog of the jl1/csv1 staged dirs: the
     production shape is a join against tables ALREADY bucketed on
     disk, so rebuilding them on every call (every bench rep paid two
-    table writes) measured the write, not the co-located join."""
+    table writes) measured the write, not the co-located join. Table
+    names carry a per-process suffix: two processes sharing one
+    spark-warehouse (driver + a probe, two bench runs) must not
+    overwrite each other's live tables — a fixed name let process B's
+    rebuild delete parquet parts process A had already planned a scan
+    over (FileNotFoundException mid-join; observed when the full test
+    suite ran concurrently with a bench probe). Dead sessions' dirs
+    are garbage-collected opportunistically once they are a day old."""
     import pathlib
     import shutil
+    import time as _time
     from urllib.parse import urlparse
 
     app_id = spark.sparkContext.applicationId
+    names = _b1_table_names(app_id)
     if _B1_BUILT.get(app_id) != sf_dir:
         orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
         cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-        for name, df, key in [("b1_orders", orders, "o_custkey"), ("b1_customer", cust, "c_custkey")]:
+        for name, df, key in [(names[0], orders, "o_custkey"), (names[1], cust, "c_custkey")]:
             # a stale location can outlive the in-memory catalog (previous
             # session/crash) — clear both so the rebuild is idempotent
             spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -940,8 +973,16 @@ def b1_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .format("parquet")
                 .saveAsTable(name)
             )
+        # GC sibling b1_* dirs from sessions long gone (>1 day): only
+        # age-gated removal is safe — a fresh dir may belong to a LIVE
+        # concurrent process
+        cutoff = _time.time() - 24 * 3600
+        for p in pathlib.Path(warehouse).glob("b1_orders_*"):
+            _gc_stale_b1_dir(p, names, cutoff)
+        for p in pathlib.Path(warehouse).glob("b1_customer_*"):
+            _gc_stale_b1_dir(p, names, cutoff)
         _B1_BUILT[app_id] = sf_dir
-    o, c = spark.table("b1_orders").hint("merge"), spark.table("b1_customer").hint("merge")
+    o, c = spark.table(names[0]).hint("merge"), spark.table(names[1]).hint("merge")
     return (
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_mktsegment")

@@ -88,15 +88,23 @@ def test_b1_rebuilds_only_when_corpus_changes(spark, sf_dir):
     app_id = spark.sparkContext.applicationId
     assert qw._B1_BUILT[app_id] == sf_dir
 
+    # the catalog names are per-process: another process's rebuild must
+    # target different directories than ours (the cross-process clobber
+    # guard — a fixed name let a concurrent rebuild delete parquet parts
+    # this process had planned a scan over)
+    orders_tbl, cust_tbl = qw._b1_table_names(app_id)
+    assert orders_tbl != qw._b1_table_names("some-other-app")[0]
+    assert cust_tbl != qw._b1_table_names("some-other-app")[1]
+
     # same corpus again: memo hit, tables untouched
     import pathlib
     from urllib.parse import urlparse
 
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-    before = sorted(p.name for p in (pathlib.Path(warehouse) / "b1_orders").iterdir())
-    mtimes = {p.name: p.stat().st_mtime_ns for p in (pathlib.Path(warehouse) / "b1_orders").iterdir()}
+    before = sorted(p.name for p in (pathlib.Path(warehouse) / orders_tbl).iterdir())
+    mtimes = {p.name: p.stat().st_mtime_ns for p in (pathlib.Path(warehouse) / orders_tbl).iterdir()}
     assert QUERIES["b1_bucketed_join"](spark, sf_dir).count() == n1
-    after = {p.name: p.stat().st_mtime_ns for p in (pathlib.Path(warehouse) / "b1_orders").iterdir()}
+    after = {p.name: p.stat().st_mtime_ns for p in (pathlib.Path(warehouse) / orders_tbl).iterdir()}
     assert after == mtimes and sorted(after) == before
 
     # different corpus: rebuild, results reflect the NEW data
