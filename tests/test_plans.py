@@ -382,6 +382,25 @@ def test_lsh_prefiltered_jaccard_scores_candidates_only(q):
     assert "LeftSemi" in plan
     assert "array_intersect" in plan
     assert "hashpartitioning(shingle" not in plan
+    # the shingle-set table is read from the session-persisted index
+    # artifact, not re-shingled per run (r12)
+    assert "InMemoryTableScan" in plan
+
+
+def test_containment_pair_emit_reads_posting_index(q):
+    """dd17: pair emission must consume the session-persisted
+    posting-list index table (the Generate's input is an
+    InMemoryTableScan), and the per-run plan must not re-run the
+    by-shingle cap shuffle — the one WindowGroupLimit cap pass lives
+    inside the index build (its InMemoryRelation), not at top level."""
+    import re
+
+    plan = q("dd17_containment_pairs")
+    assert re.search(r"Generate \(\d+\)\n[\s:]*\+- InMemoryTableScan", plan), plan
+    # one cap window total (partial+final WindowGroupLimit, tree +
+    # details = 4 mentions) — a regression to per-consumer
+    # recomputation would at least double this
+    assert plan.count("WindowGroupLimit") <= 4, plan.count("WindowGroupLimit")
 
 
 def test_salted_join_spreads_hot_keys(q):

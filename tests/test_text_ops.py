@@ -253,3 +253,56 @@ def test_boilerplate_removal_drops_shared_windows(spark, sf_dir):
             assert r["retained_hash"] is None
     # the corpus genuinely contains cross-doc repeated windows
     assert any(r["n_boiler"] > 0 for r in rows.values())
+
+
+def test_injected_shingle_index_matches_internal_path(spark):
+    """dd17's staged shingle-index injection: ngram_containment_pairs
+    fed pre-built posting-list/size tables (shingle_postings /
+    shingle_sizes — what the query layer session-persists) must emit
+    exactly the rows of the self-contained path."""
+    near = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (12, "one two three four five six seven eight nine ten"),
+        (13, "completely different words with no overlap whatsoever here"),
+    ]
+    d = spark.createDataFrame(near, "doc_id long, text string")
+    base = DD.ngram_containment_pairs(d, threshold=0.5)
+    sh = DD._shingle_rows(d, "text", "doc_id", 3)
+    injected = DD.ngram_containment_pairs(
+        d,
+        threshold=0.5,
+        postings=DD.shingle_postings(sh),
+        sizes=DD.shingle_sizes(sh),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, injected.collect())
+    )
+    assert base.collect()  # the fixture genuinely produces pairs
+
+
+def test_injected_shingle_sets_match_internal_path(spark):
+    """dd13's set-side index injection: lsh_prefiltered_jaccard fed a
+    pre-built candidate shingle-set table (candidate_shingle_sets —
+    what the query layer session-persists) must emit exactly the rows
+    of the self-contained path."""
+    near = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (12, "one two three four five six seven eight nine ten"),
+        (13, "one two three four five six seven eight nine eleven"),
+    ]
+    d = spark.createDataFrame(near, "doc_id long, text string")
+    sigs = DD.minhash_signatures(d, num_hashes=8)
+    cands = DD.minhash_lsh_candidates(sigs, num_hashes=8, bands=2)
+    base = DD.lsh_prefiltered_jaccard(d, threshold=0.3, candidates=cands)
+    injected = DD.lsh_prefiltered_jaccard(
+        d,
+        threshold=0.3,
+        candidates=cands,
+        shingle_sets=DD.candidate_shingle_sets(d, cands),
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, injected.collect())
+    )
+    assert base.collect()  # candidates genuinely survive verification
