@@ -29,6 +29,7 @@ from .queries_llm import (
     _emb_dup_corpus,
     _minhash_sql,
     _near_dup_corpus,
+    _neardup_cand_sets,
     _shared_persist,
     near_dup_lsh_pairs,
     near_dup_minhash_sigs,
@@ -840,36 +841,8 @@ def dd11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     target). The exact side runs only on candidate pairs — a few
     hundred rows — never all pairs; candidate generation stays the
     equi-join LSH path."""
-    corpus = _near_dup_corpus(spark, sf_dir)
     sigs = near_dup_minhash_sigs(spark, sf_dir)
     pairs = near_dup_lsh_pairs(spark, sf_dir)
-    # The exact scorer must touch only docs that appear in a candidate
-    # pair: semi-join the corpus down to candidate ids (broadcast — the
-    # candidate set is tiny next to the corpus) BEFORE shingling, so
-    # shingle explosion cost tracks candidates, not corpus size.
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    # Persisted: three consumers below (sizes, both sides of the
-    # intersection join) would otherwise re-explode the shingles.
-    sh = _shared_persist(
-        spark, ("neardup_cand_shingles", sf_dir),
-        lambda: DD._shingle_rows(
-            corpus.join(F.broadcast(cand_ids), "doc_id", "left_semi"),
-            "text", "doc_id", 3,
-        ),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     sa = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(8)])
     sb = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(8)])
     agree = sum(
@@ -878,12 +851,23 @@ def dd11_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = pairs.join(sa, "id_a").join(sb, "id_b").select(
         "id_a", "id_b", (agree / 8.0).alias("est_jaccard")
     )
-    za = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    exact = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    # Exact side: the shared candidate shingle-SET table (dd13's
+    # set-side index artifact — one persist serves both verifiers).
+    # Intersection count and both sizes become a projection over two
+    # id-equi-joins of the tiny set table, instead of re-exploding
+    # shingle rows into a (pairs × shingle) join plus a sizes
+    # aggregate re-joined twice. Shingle sets are distinct per doc, so
+    # |array_intersect| equals the exploded equi-join's match count;
+    # zero-intersection candidates are dropped exactly like the inner
+    # join against the (≥1-row) grouped intersection did.
+    sets = _neardup_cand_sets(spark, sf_dir)
+    a_sets = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b_sets = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    exact = n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
     return (
-        est.join(inter, ["id_a", "id_b"])
-        .join(za, "id_a").join(zb, "id_b")
+        est.join(a_sets, "id_a").join(b_sets, "id_b")
+        .where(n_inter > 0)
         .select(
             "id_a", "id_b",
             F.round("est_jaccard", 4).alias("est_jaccard"),
@@ -1109,7 +1093,15 @@ def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     corpus = _emb_dup_corpus(spark, sf_dir)
-    assign = kmeans_assign(corpus, k=8, iters=2).select("vec_id", "cluster")
+    # The cluster assignment is the SemDeDup partition index: at 100 TB
+    # it is materialized once per corpus snapshot (the persisted IVF
+    # coarse-quantizer pattern ss3 already uses) and every dedup pass
+    # reads it — recomputing the 2-iteration Lloyd loop per run
+    # re-plans and re-executes the full iteration lineage each time.
+    assign = _shared_persist(
+        spark, ("embdup_kmeans_k8i2", sf_dir),
+        lambda: kmeans_assign(corpus, k=8, iters=2).select("vec_id", "cluster"),
+    )
     cl = corpus.join(assign, "vec_id").select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
