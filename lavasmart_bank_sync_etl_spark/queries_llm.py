@@ -309,6 +309,21 @@ def _containment_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _documents_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exploded (doc_id, shingle) rows of the PLAIN documents
+    table (k=3): dd2's signature build and dd8's decontamination probe
+    run the identical normalize→split→shingle→explode subtree per run;
+    registering the persist lets CacheManager substitute the one
+    materialized copy into both (the established _near_dup_shingles
+    idiom, applied to the un-expanded corpus)."""
+    return _shared_persist(
+        spark, ("docs_sh3", sf_dir),
+        lambda: DD._shingle_rows(
+            read_table(spark, sf_dir, "documents"), "text", "doc_id", 3
+        ),
+    )
+
+
 def _containment_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dd17's posting-list index table (shingle, ids): capped, sorted,
     multi-doc shingles only — built once per (session, corpus) from the
@@ -394,6 +409,10 @@ def _minhash_sql(num_hashes: int, corpus_sql: str) -> str:
 def dd2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (8 hash functions over word 3-shingles):
     one explode + one aggregation, a (id, 8×8B) shuffle."""
+    # register the shared documents-shingle persist (also read by dd8):
+    # the signature aggregate's explode subtree then resolves to the
+    # one materialized copy instead of re-shingling the corpus per run
+    _documents_shingles(spark, sf_dir)
     d = read_table(spark, sf_dir, "documents")
     return DD.minhash_signatures(d, num_hashes=8)
 

@@ -106,6 +106,12 @@ def dd8_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so it broadcasts — the 100 TB corpus never shuffles; each
     scan task probes the broadcast shingle set map-side and only the
     (doc, bench, count) hits move."""
+    # register the shared documents-shingle persist (also read by dd2):
+    # the corpus-side explode below then resolves to the one
+    # materialized copy instead of re-shingling the corpus per run
+    from .queries_llm import _documents_shingles
+
+    _documents_shingles(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 23 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
