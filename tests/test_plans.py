@@ -387,20 +387,45 @@ def test_lsh_prefiltered_jaccard_scores_candidates_only(q):
     assert "InMemoryTableScan" in plan
 
 
+def _outside_cached_relations(plan: str) -> str:
+    """Tree-section lines of a formatted plan that are NOT inside any
+    InMemoryRelation subtree. Spark may print a cached relation's plan
+    under one scan or under every scan depending on whether the persist
+    was already materialized in the session, so any count over the raw
+    string is fragile; the top-level slice is stable either way."""
+    import re
+
+    tree = plan.split("\n\n", 1)[0]
+    out = []
+    cache_indent = None
+    for line in tree.splitlines():
+        op = re.sub(r"^[\s:+*-]*", "", line)
+        indent = len(line) - len(op)
+        if cache_indent is not None:
+            if indent > cache_indent:
+                continue  # still inside the cached relation's subtree
+            cache_indent = None
+        if op.startswith("InMemoryRelation"):
+            cache_indent = indent
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def test_containment_pair_emit_reads_posting_index(q):
     """dd17: pair emission must consume the session-persisted
     posting-list index table (the Generate's input is an
     InMemoryTableScan), and the per-run plan must not re-run the
-    by-shingle cap shuffle — the one WindowGroupLimit cap pass lives
-    inside the index build (its InMemoryRelation), not at top level."""
+    by-shingle cap shuffle — the WindowGroupLimit cap pass lives only
+    inside the index build (its InMemoryRelation), never at top level."""
     import re
 
     plan = q("dd17_containment_pairs")
     assert re.search(r"Generate \(\d+\)\n[\s:]*\+- InMemoryTableScan", plan), plan
-    # one cap window total (partial+final WindowGroupLimit, tree +
-    # details = 4 mentions) — a regression to per-consumer
-    # recomputation would at least double this
-    assert plan.count("WindowGroupLimit") <= 4, plan.count("WindowGroupLimit")
+    top = _outside_cached_relations(plan)
+    assert "WindowGroupLimit" not in top, top
+    # the cap does exist — inside the cached index build
+    assert "WindowGroupLimit" in plan
 
 
 def test_salted_join_spreads_hot_keys(q):
