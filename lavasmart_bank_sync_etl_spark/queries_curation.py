@@ -30,7 +30,7 @@ from .queries_llm import (
     _minhash_sql,
     _near_dup_corpus,
     _neardup_cand_sets,
-    _shared_persist,
+    _run_persist,
     near_dup_lsh_pairs,
     near_dup_minhash_sigs,
 )
@@ -1093,15 +1093,12 @@ def dd12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     corpus = _emb_dup_corpus(spark, sf_dir)
-    # The cluster assignment is the SemDeDup partition index: at 100 TB
-    # it is materialized once per corpus snapshot (the persisted IVF
-    # coarse-quantizer pattern ss3 already uses) and every dedup pass
-    # reads it — recomputing the 2-iteration Lloyd loop per run
-    # re-plans and re-executes the full iteration lineage each time.
-    assign = _shared_persist(
-        spark, ("embdup_kmeans_k8i2", sf_dir),
-        lambda: kmeans_assign(corpus, k=8, iters=2).select("vec_id", "cluster"),
-    )
+    # NOT persisted (persist policy, VERDICT r12): dd12 is the
+    # assignment's only registered consumer and its plan reads it only
+    # once, so a session memo would purely exploit min-of-reps (the r12
+    # persist was removed for exactly that reason). The 2-iteration
+    # Lloyd loop runs fresh per invocation — its honest cost.
+    assign = kmeans_assign(corpus, k=8, iters=2).select("vec_id", "cluster")
     cl = corpus.join(assign, "vec_id").select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
@@ -1438,11 +1435,13 @@ def tx18_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<string>"))
         ).alias("tok"),
     )
-    # (doc_id, bucket) longs only — persisted once per (session,
-    # sf_dir) because three consumers read it (the two LM builds and
-    # the scoring probe); at 100 TB this is the scratch-parquet
-    # feature table every DSIR implementation materializes.
-    feats = _shared_persist(
+    # (doc_id, bucket) longs only. The three readers (target-count,
+    # raw-count, scoring probe) are all INSIDE this one query, so per
+    # the persist policy this is a `_run_persist`: one materialization
+    # serves the three passes within a run, but every invocation (and
+    # every bench rep) rebuilds it — at 100 TB this is the scratch
+    # feature table every DSIR implementation writes per run.
+    feats = _run_persist(
         spark,
         ("dsir_feats", sf_dir),
         lambda: uni.select(
