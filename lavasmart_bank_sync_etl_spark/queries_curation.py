@@ -722,7 +722,7 @@ def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = d.select("doc_id", norm.alias("_n")).where(F.col("_n") != "").select(
         "doc_id", F.split("_n", " ").alias("toks")
     )
-    bg = w.select(
+    bg_stream = w.select(
         "doc_id",
         F.explode(
             F.when(
@@ -739,6 +739,15 @@ def tx17_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(DD._hash64(F.col("p.w1"), 1), F.lit(_TX17_B)).alias("b1"),
         F.pmod(DD._hash64(F.col("p.w12"), 2), F.lit(_TX17_B)).alias("b2"),
     )
+    # The hashed bigram stream feeds BOTH the LM count build and the
+    # scoring pass; Spark plans duplicated subtrees independently, so
+    # without staging the corpus pays the tokenize + two-md5-per-bigram
+    # pipeline twice per run (guide §2.4 / §8: decide over a light
+    # proxy computed once). `_run_persist` (tx17 is the only consumer):
+    # three narrow longs per bigram materialized per invocation — the
+    # scratch (doc_id, b1, b2) table a 100 TB run writes once and reads
+    # for both passes — rebuilt every rep, so min-of-reps still pays it.
+    bg = _run_persist(spark, ("tx17_bigrams", sf_dir), lambda: bg_stream)
     counts = (
         bg.select(
             F.explode(
