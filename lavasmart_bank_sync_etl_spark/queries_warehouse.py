@@ -1551,7 +1551,13 @@ def merge_on_read(base: DataFrame, delta: DataFrame, key: str, seq: str, op: str
     tombstone beats update beats insert (the safe direction), and
     same-seq same-op rows order by a payload hash so the winner never
     depends on partitioning. A well-formed CDC log has unique seqs
-    per key; the tiebreak keeps malformed input reproducible."""
+    per key; the tiebreak keeps malformed input reproducible.
+
+    The resolved-latest frame feeds BOTH outputs (survivor rows and the
+    anti-join's broadcast key set), so Spark executes the delta subtree
+    twice per run — keep the delta cheap (a single-scan log, not a
+    multi-branch union; r13 measured staging it with a run-scoped
+    persist as no better once the subtree is one scan)."""
     cols = base.columns
     op_rank = (
         F.when(F.col(op) == "D", 3).when(F.col(op) == "U", 2).otherwise(1)
@@ -1606,23 +1612,33 @@ def t9_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sales_view(spark, sf_dir)
     fol = F.col("folio").cast("long")
     base = s.where(fol % 10 != 0).select("folio", "metodo", "monto")
-    # CDC log: op, seq, payload — all derived from the corpus
-    d_ins = s.where(fol % 10 == 0).select(
-        "folio", "metodo", "monto", F.lit("I").alias("op"), F.lit(1).alias("seq")
+    # CDC log: op, seq, payload — all derived from the corpus. ONE pass
+    # over the source emits every delta row via explode (a row matching
+    # several mod-conditions emits each of its ops), instead of four
+    # separately-planned scan+filter branches unioned together (r13,
+    # guide §2.4: the union form re-read and re-parsed the sales view
+    # four times per delta evaluation). Row multiset identical by
+    # construction: per source row, the same (op, seq, monto) tuples.
+    mk = lambda monto, op, seq: F.struct(
+        monto.alias("monto"), F.lit(op).alias("op"), F.lit(seq).alias("seq")
     )
-    d_upd_stale = s.where(fol % 7 == 0).select(
-        "folio", "metodo",
-        (F.col("monto") + 999).alias("monto"),  # must be superseded
-        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    empty = F.array().cast("array<struct<monto:double,op:string,seq:int>>")
+    ops = F.concat(
+        F.when(fol % 10 == 0, F.array(mk(F.col("monto"), "I", 1))).otherwise(empty),
+        F.when(
+            fol % 7 == 0,
+            F.array(
+                mk(F.col("monto") + 999, "U", 1),  # must be superseded
+                mk(F.col("monto") + 5, "U", 2),
+            ),
+        ).otherwise(empty),
+        F.when(fol % 13 == 0, F.array(mk(F.col("monto"), "D", 3))).otherwise(empty),
     )
-    d_upd = s.where(fol % 7 == 0).select(
-        "folio", "metodo", (F.col("monto") + 5).alias("monto"),
-        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    delta = (
+        s.where((fol % 10 == 0) | (fol % 7 == 0) | (fol % 13 == 0))
+        .select("folio", "metodo", F.explode(ops).alias("_d"))
+        .select("folio", "metodo", "_d.monto", "_d.op", "_d.seq")
     )
-    d_del = s.where(fol % 13 == 0).select(
-        "folio", "metodo", "monto", F.lit("D").alias("op"), F.lit(3).alias("seq")
-    )
-    delta = d_ins.unionByName(d_upd_stale).unionByName(d_upd).unionByName(d_del)
     resolved = merge_on_read(base, delta, key="folio", seq="seq", op="op")
     h60 = F.conv(F.substring(F.md5(F.col("folio")), 1, 15), 16, 10).cast("long")
     return (
