@@ -28,7 +28,7 @@ Two interchangeable algorithms share the (node, comp) contract:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,7 +111,7 @@ def large_small_star_components(
     LSH components. Same contract as ``connected_components``:
     returns ``(node, comp)`` with ``comp`` the component-minimum id.
 
-    Each round is two join+hash-agg passes over the current edge set;
+    Each round is two window-min passes over the current edge set;
     edges strictly contract toward stars rooted at component minima,
     and the fixed point (edge set unchanged) IS the converged star
     forest. Lineage is cut per round with ``localCheckpoint``.
@@ -133,27 +133,28 @@ def large_small_star_components(
 
     converged = False
     prev_count = -1
+    wu = Window.partitionBy("u")
     for _ in range(max_rounds):
         # large-star(u): every strictly-larger neighbor of u re-attaches
-        # to min(N(u) ∪ {u}). Needs the symmetric adjacency. No distinct
-        # here — duplicates cannot change the small-star mins and the
-        # final distinct dedups, so we save one exchange per round.
+        # to min(N(u) ∪ {u}). Needs the symmetric adjacency. The min is
+        # a window over the SAME partition key the old groupBy+self-join
+        # pair used — one exchange per star instead of two (r13; guide
+        # §2.4 window-shares-the-aggregation-shuffle), identical rows.
         sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(F.min("v").alias("minv"))
-        mins = mins.select("u", F.least("minv", F.col("u")).alias("m"))
+        lsw = sym.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
         ls = (
-            sym.join(mins, "u")
-            .where(F.col("v") > F.col("u"))
+            lsw.where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
         )
         # small-star(u): u and its smaller neighbors all re-attach to
-        # the minimum of that set. ls is already big→small per edge.
-        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        # the minimum of that set. ls is already big→small per edge;
+        # the (u, m) root rows repeat once per edge and collapse in the
+        # final distinct (same rows the old smins union emitted).
+        ssw = ls.withColumn("m", F.min("v").over(wu))
         ss = (
-            ls.join(smins, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(smins.select("u", F.col("m").alias("v")))
+            ssw.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(ssw.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=False)
@@ -210,13 +211,12 @@ def dedup_clusters(
         labels = connected_components(pairs, src=src, dst=dst)
     else:
         raise ValueError(f"unknown algorithm: {algorithm!r}")
-    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "comp")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("comp").alias("cluster_id"),
-            F.col("cluster_size"),
-            (F.col("node") == F.col("comp")).alias("is_canonical"),
-        )
+    # cluster size as a count window over the labels — shares the
+    # by-comp shuffle instead of aggregate-then-rejoin (which planned
+    # the labels subtree twice; r13, guide §2.4)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.count(F.lit(1)).over(Window.partitionBy("comp")).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
