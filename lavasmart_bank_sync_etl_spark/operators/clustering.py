@@ -52,11 +52,21 @@ def kmeans_assign(
     vecs = df.select(
         F.col(id_col).alias("vid"), _as_double_array(F.col(vec_col)).alias("v")
     )
-    centroids = (
+    # Seed row: the k lowest-vid vectors collapse straight into the
+    # one-row cid-sorted centroid array — cid = position in vid order
+    # via the indexed-transform, no row_number window, no per-iteration
+    # re-collect (r13: the old centroids-table + groupBy().collect pair
+    # cost one extra Exchange per iteration).
+    cent_row = (
         vecs.orderBy("vid")
         .limit(k)
-        .select(F.row_number().over(Window.orderBy("vid")).alias("cid"), F.col("v").alias("c"))
-        .withColumn("cid", F.col("cid") - 1)
+        .agg(F.array_sort(F.collect_list(F.struct("vid", "v"))).alias("sv"))
+        .select(
+            F.transform(
+                "sv",
+                lambda x, i: F.struct(i.cast("int").alias("cid"), x["v"].alias("c")),
+            ).alias("cents")
+        )
     )
     for step in range(iters):
         # Assignment is a pure projection, not a shuffle: the k
@@ -70,9 +80,6 @@ def kmeans_assign(
         # outright): per iteration this drops one Exchange and one
         # WindowExec over k·N rows while computing bitwise-identical
         # distances (`_sqdist` unchanged, applied to the same doubles).
-        cent_row = centroids.groupBy().agg(
-            F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("cents")
-        )
         assigned = (
             vecs.crossJoin(F.broadcast(cent_row))
             .withColumn(
@@ -117,14 +124,27 @@ def kmeans_assign(
         means = exploded.groupBy("cluster", "dim").agg(
             (F.sum("fx") / float(FIXED_POINT) / F.count(F.lit(1))).alias("m")
         )
-        centroids = (
-            means.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
-                    lambda s: s["m"],
-                ).alias("c")
+        # Next centroid row in ONE global aggregation over the k·dims
+        # mean rows: sort by (cluster, dim), slice per cluster with
+        # higher-order functions. Fuses the old per-cluster groupBy +
+        # global collect pair (two consecutive exchanges) into one
+        # single-partition exchange per iteration (r13, guide §2.4);
+        # identical doubles, identical cid order.
+        cent_row = (
+            means.agg(
+                F.array_sort(F.collect_list(F.struct("cluster", "dim", "m"))).alias("s")
             )
-            .select(F.col("cluster").alias("cid"), "c")
+            .select(
+                F.transform(
+                    F.array_distinct(F.transform("s", lambda x: x["cluster"])),
+                    lambda cl: F.struct(
+                        cl.alias("cid"),
+                        F.transform(
+                            F.filter("s", lambda x: x["cluster"] == cl),
+                            lambda x: x["m"],
+                        ).alias("c"),
+                    ),
+                ).alias("cents")
+            )
         )
     raise AssertionError("unreachable: iters >= 1")
