@@ -362,9 +362,13 @@ def candidate_shingle_sets(
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # the candidate id set is tiny relative to the corpus by
+    # construction — broadcast it so the corpus side never shuffles for
+    # the prune (size estimates after the union+distinct are unreliable,
+    # so the hint, not the planner, carries this at scale)
     return (
         df.select(F.col(id_col), F.split(normalized_text(text_col), " ").alias("_w"))
-        .join(cand_ids, id_col, "left_semi")
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
         .select(F.col(id_col), shingles_from_words(F.col("_w"), k).alias("sh"))
     )
 
