@@ -168,6 +168,38 @@ def _assign(seeded: DataFrame, cent_arr: DataFrame) -> DataFrame:
     )
 
 
+def _centroid_row(seeded: DataFrame) -> DataFrame:
+    """``_centroid_array(_build_centroids(seeded))`` fused into TWO
+    aggregations instead of three (r13, guide §2.4): the (cell, pos)
+    mean rows collapse straight into the one-row cid-sorted,
+    unit-normalized ``cents`` array in a single global agg — identical
+    doubles (same 6dp-rounded means, same normalization expression,
+    same cell order via the sorted collect)."""
+    by_pos = seeded.select("cell0", F.posexplode("vec").alias("pos", "val"))
+    means = by_pos.groupBy("cell0", "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("cv")
+    )
+
+    def unit(cvec):
+        n = F.sqrt(F.aggregate(cvec, F.lit(0.0), lambda a, x: a + x * x))
+        return F.when(n > 0, F.transform(cvec, lambda x: x / n)).otherwise(
+            F.transform(cvec, lambda x: x * 0.0)
+        )
+
+    def cvec_of(c):
+        return F.transform(F.filter("s", lambda x: x["cell0"] == c), lambda x: x["cv"])
+
+    return (
+        means.agg(F.array_sort(F.collect_list(F.struct("cell0", "pos", "cv"))).alias("s"))
+        .select(
+            F.transform(
+                F.array_distinct(F.transform("s", lambda x: x["cell0"])),
+                lambda c: F.struct(c.alias("cell"), unit(cvec_of(c)).alias("cvec_n")),
+            ).alias("cents")
+        )
+    )
+
+
 def _centroid_array(centroids: DataFrame) -> DataFrame:
     """All centroids as ONE row ``cents: array<struct<cell, cvec_n>>``
     (sorted by cell, centroid pre-normalized to unit length; an
@@ -224,7 +256,7 @@ def ivf_topk(
     the centroid aggregation's two shuffles (at 100 TB the analog is a
     stored index table, computed once per corpus snapshot)."""
     seeded = _seeded(corpus, n_cells, id_col, vec_col)
-    cent_arr = _centroid_array(_build_centroids(seeded)).persist()
+    cent_arr = _centroid_row(seeded).persist()
     assignment = _assign(seeded, cent_arr)
     qs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     # nprobe nearest cells per query with the same shuffle-free array
@@ -638,7 +670,7 @@ def ivf_pq_index(
     flat search, ss9's shortlist) share one build instead of paying
     the corpus-wide assembly join per query."""
     seeded = _seeded(corpus, n_cells, id_col, vec_col)
-    cent_arr = _centroid_array(_build_centroids(seeded)).persist()
+    cent_arr = _centroid_row(seeded).persist()
     assignment = _assign(seeded, cent_arr).select("vid", "cell")
     cb_row, encoded = pq_encode(corpus, n_sub, n_codes, id_col, vec_col)
     index = encoded.select("vid", "codes").join(assignment, on="vid")
