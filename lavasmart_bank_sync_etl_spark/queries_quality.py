@@ -751,20 +751,24 @@ def dq7_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("n_cur"),
     )
-    tot = hist.groupBy("scenario").agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
-    )
-    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 10)
-    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + 10)
-    terms = hist.join(F.broadcast(tot), "scenario").select(
+    # Per-scenario totals and the PSI sum as WINDOWS over the (≤40-row)
+    # histogram instead of aggregate-then-rejoin: the join form planned
+    # the hist subtree — and with it the whole corpus-sized bin chain —
+    # once per join side (up to 4 corpus passes per run); both windows
+    # share one by-scenario partitioning of the tiny frame (r13, guide
+    # §2.4). Same long sums, identical values.
+    ws = Window.partitionBy("scenario")
+    p_cur = (F.col("n_cur") + 1.0) / (F.sum("n_cur").over(ws) + 10)
+    p_ref = (F.col("n_ref") + 1.0) / (F.sum("n_ref").over(ws) + 10)
+    terms = hist.select(
         "scenario", "bin", "n_ref", "n_cur",
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000000)
         .cast("long").alias("term_i"),
     )
-    total = terms.groupBy("scenario").agg(F.sum("term_i").alias("psi_i"))
-    return terms.join(F.broadcast(total), "scenario").select(
+    psi_i = F.sum("term_i").over(ws)
+    return terms.select(
         "scenario", "bin", "n_ref", "n_cur",
         (F.col("term_i") / 1000000.0).alias("psi_term"),
-        (F.col("psi_i") / 1000000.0).alias("psi_total"),
-        (F.col("psi_i") >= 200000).alias("drifted"),
+        (psi_i / 1000000.0).alias("psi_total"),
+        (psi_i >= 200000).alias("drifted"),
     )
