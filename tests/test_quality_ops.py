@@ -379,9 +379,15 @@ def test_dq7_psi_calibration_and_fixed_point_total(q):
 def test_dq7_plan_narrow_scan_no_window(q):
     """dq7's scale claims, plan-pinned: every events scan reads ONLY
     the (ts, value) projection (never props/user_id — the wide
-    columns), and no window function ever touches the facts (the PSI
-    machinery is pure aggregates + broadcast one-row frames)."""
+    columns), and no window function ever touches the facts — the only
+    windows allowed are the per-scenario totals over the ≤40-row
+    histogram (r13: they replaced aggregate-then-rejoin, which
+    re-planned the corpus chain once per join side)."""
+    import re
+
     plan = plan_of(q("dq7_distribution_drift"))
-    assert "Window" not in plan
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs, "expected the per-scenario histogram windows"
+    assert set(specs) == {"scenario"}, specs
     for rs in [ln for ln in plan.splitlines() if "ReadSchema" in ln]:
         assert "props" not in rs and "user_id" not in rs and "event_id" not in rs
